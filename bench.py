@@ -1,0 +1,68 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the `noop` sink (full pipeline runs, nothing
+collected to the driver) so timings measure the engine, not result
+transfer. A warm-up pass of the first query absorbs one-time JVM/codegen
+cost so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
+    testdata_queries,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.session import (
+    get_spark,
+)
+
+
+def run_query(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = list(testdata_queries.QUERIES)
+    # Warm-up: JVM + whole-stage-codegen compilation, parquet footer reads.
+    run_query(testdata_queries.QUERIES[names[0]], spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(testdata_queries.QUERIES[name], spark, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
