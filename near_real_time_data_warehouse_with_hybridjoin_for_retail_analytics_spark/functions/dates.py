@@ -18,9 +18,13 @@ DATE_FORMATS = ("yyyy-MM-dd", "dd-MM-yyyy", "MM/dd/yyyy", "yyyy/MM/dd")
 
 
 def parse_date_multi(c: Column | str) -> Column:
-    """Try each known format in order; NULL if none parse."""
+    """Try each known format in order; NULL if none parse.
+
+    try_to_date (not to_date): Spark 4 raises on unparseable input under
+    the default ANSI policy, but the reference tolerates garbage dates.
+    """
     col = F.col(c) if isinstance(c, str) else c
-    return F.coalesce(*[F.to_date(col, fmt) for fmt in DATE_FORMATS])
+    return F.coalesce(*[F.try_to_date(col, fmt) for fmt in DATE_FORMATS])
 
 
 def year_i(c) -> Column:

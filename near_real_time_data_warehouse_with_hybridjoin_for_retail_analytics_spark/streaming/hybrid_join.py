@@ -1,0 +1,243 @@
+"""Stream→warehouse enrichment: the Spark-native HYBRIDJOIN replacement.
+
+The reference's engine (hybridjoin.py:267-487) is a hand-built
+bounded-memory MESHJOIN: stream tuples hash into a 10,000-slot table, a
+FIFO picks the oldest, 500-row sorted partitions of the Customer
+relation are repeatedly scanned against the table, matches are enriched
+and batch-inserted. All of that machinery exists to amortize disk I/O
+under a memory budget — concerns Spark's micro-batch runtime owns.
+
+The Spark rebuild expresses only the *semantics* (SURVEY §2.3 J1-J3,
+§2.2 P1-P8):
+
+    readStream (CSV micro-batches, backpressure = maxFilesPerTrigger)
+      → normalize: trim, alias-coalesce, casts, required-field drop
+      → INNER join broadcast(customer dim)     # J1: drop unmatched keys
+      → LEFT  join broadcast(product dim) + defaults on miss   # J2
+      → join broadcast(date dim) on deterministic date_id      # J3
+      → sales_amount = round(quantity * price, 2)              # P6
+      → foreachBatch: assign sales_ids, append parquet         # S6/S10
+
+Stream–static equi-joins are stateless: no watermark, no state store,
+memory bounded by micro-batch sizing (SURVEY §2.9). The same
+``enrich()`` runs unchanged on a batch DataFrame, which is the
+stream/batch-equivalence property the tests assert (SURVEY §5.3).
+
+At 100 TB-dim scale the broadcast of Customer would flip to a shuffle
+(sort-merge) join: the code marks broadcast only on the dims, so
+removing the hint (or exceeding the threshold) degrades gracefully to
+Catalyst's choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
+
+from ..etl.date_dim import date_id_expr
+from ..etl.schemas import (
+    DEFAULT_PRICE,
+    DEFAULT_STORE_ID,
+    DEFAULT_SUPPLIER_ID,
+    TRANSACTION_ALIASES,
+)
+from ..functions.dates import parse_date_multi
+
+# The reference falls back to *today* for unparseable dates
+# (hybridjoin.py:147) — nondeterministic; we pin a sentinel instead
+# (SURVEY §7.2, documented deviation).
+FALLBACK_DATE = "1900-01-01"
+
+
+def _pick(df_cols: list[str], canonical: str) -> Column:
+    """Robust field extraction (P2): first matching alias, case-insensitive."""
+    by_lower = {c.lower(): c for c in df_cols}
+    candidates = [
+        by_lower[a.lower()] for a in TRANSACTION_ALIASES[canonical] if a.lower() in by_lower
+    ]
+    if not candidates:
+        return F.lit(None).cast("string")
+    return F.coalesce(*[F.col(f"`{c}`") for c in candidates])
+
+
+def normalize_stream(raw: DataFrame) -> DataFrame:
+    """P1-P5 + P7: trim, alias-coalesce, casts, drops — all Catalyst
+    expressions (zero UDFs), so they run inside whole-stage codegen."""
+    cols = raw.columns
+    trimmed = raw.select([F.trim(F.col(f"`{c}`")).alias(c.strip()) for c in cols])
+    # try_cast throughout: Spark 4's ANSI mode makes plain cast throw on
+    # malformed input, but the reference silently skips/defaults bad
+    # values (P3/P5) — try_cast restores NULL-on-garbage semantics.
+    picked = trimmed.select(
+        _pick(trimmed.columns, "order_id").try_cast("long").alias("order_id"),
+        _pick(trimmed.columns, "customer_id").try_cast("long").alias("customer_id"),
+        _pick(trimmed.columns, "product_id").alias("product_id"),
+        _pick(trimmed.columns, "quantity").alias("quantity_raw"),
+        _pick(trimmed.columns, "date").alias("date_raw"),
+    )
+    return (
+        picked
+        # P3/P4: invalid-key and required-field drops (hybridjoin.py:281-286,386-397)
+        .filter(
+            F.col("customer_id").isNotNull()
+            & F.col("order_id").isNotNull()
+            & F.col("product_id").isNotNull()
+            & (F.col("product_id") != "")
+            & F.col("quantity_raw").isNotNull()
+            & F.col("date_raw").isNotNull()
+        )
+        # P5: int(float(qty)) with fallback 0 (hybridjoin.py:406-409)
+        .withColumn(
+            "quantity",
+            F.coalesce(
+                F.col("quantity_raw").try_cast("double").try_cast("int"), F.lit(0)
+            ),
+        )
+        # P7: multi-format parse; sentinel (not today) on failure
+        .withColumn(
+            "transaction_date",
+            F.coalesce(
+                parse_date_multi("date_raw"), F.to_date(F.lit(FALLBACK_DATE))
+            ),
+        )
+        .drop("quantity_raw", "date_raw")
+    )
+
+
+def enrich(
+    stream_df: DataFrame,
+    customer_dim: DataFrame,
+    product_dim: DataFrame,
+) -> DataFrame:
+    """J1 + J2 + J3 + P6: identical semantics for streaming and batch
+    inputs (stream/batch equivalence is tested)."""
+    cust_keys = customer_dim.select("customer_id")
+    enriched = (
+        # J1: inner join ≡ drop stream tuples whose customer is unknown
+        # (the reference's bulk-drop path hybridjoin.py:342-362)
+        stream_df.join(F.broadcast(cust_keys), "customer_id", "inner")
+        # J2: product lookup with defaults-on-miss (hybridjoin.py:399-404)
+        .join(
+            F.broadcast(
+                product_dim.select("product_id", "price", "store_id", "supplier_id")
+            ),
+            "product_id",
+            "left",
+        )
+        .withColumns(
+            {
+                "price": F.coalesce(
+                    F.col("price"), F.lit(DEFAULT_PRICE).cast("decimal(12,2)")
+                ),
+                "store_id": F.coalesce(
+                    F.col("store_id"), F.lit(DEFAULT_STORE_ID).cast("long")
+                ),
+                "supplier_id": F.coalesce(
+                    F.col("supplier_id"), F.lit(DEFAULT_SUPPLIER_ID).cast("long")
+                ),
+            }
+        )
+        # J3: the reference's stateful date lookup/upsert (MAX+1 ids,
+        # hybridjoin.py:149-205) collapses to a pure expression because
+        # date_id is a deterministic function of the date — no join, no
+        # state. date_dim exists for query-time attribute joins.
+        .withColumn("date_id", date_id_expr("transaction_date"))
+        # P6: derived measure (hybridjoin.py:413); decimal math, round half-up
+        .withColumn(
+            "sales_amount",
+            F.round(F.col("quantity") * F.col("price"), 2).cast("decimal(12,2)"),
+        )
+    )
+    return enriched.select(
+        "order_id",
+        "customer_id",
+        "product_id",
+        "date_id",
+        "store_id",
+        "supplier_id",
+        "sales_amount",
+        "quantity",
+    )
+
+
+def assign_sales_ids(batch_df: DataFrame, offset: int) -> DataFrame:
+    """S10: contiguous surrogate ids.
+
+    The reference allocates ids from a Postgres sequence under a lock
+    (hybridjoin.py:80-85,207-211). Here: row_number over a *defined*
+    total order within the batch + a running offset across batches —
+    deterministic, and contiguous per run. (monotonically_increasing_id
+    would be cheaper but non-contiguous; SURVEY §7.1.)
+    """
+    w = Window.orderBy("order_id", "product_id", "customer_id", "quantity")
+    return batch_df.withColumn(
+        "sales_id", (F.row_number().over(w) + F.lit(offset)).cast("long")
+    ).select(
+        "sales_id",
+        "order_id",
+        "customer_id",
+        "product_id",
+        "date_id",
+        "store_id",
+        "supplier_id",
+        "sales_amount",
+        "quantity",
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    customer_dim: DataFrame,
+    product_dim: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Replay CSV files as micro-batches and load the Sales fact.
+
+    ``available_now=True`` reproduces the reference's run-to-completion
+    semantics (producer EOF flag, hybridjoin.py:54,301-315);
+    ``max_files_per_trigger`` is the backpressure knob standing in for
+    the reference's bounded queue (STREAM_BUFFER_SIZE).
+    """
+    reader = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.csv(input_dir)
+
+    fact = enrich(normalize_stream(raw), customer_dim, product_dim)
+
+    # Running offset for contiguous ids across micro-batches: kept on the
+    # driver, initialized from the sink (sequence bootstrap parity,
+    # hybridjoin.py:80-85). foreachBatch gives the exactly-once-per-batch
+    # hook the reference's COMMIT_INTERVAL approximates.
+    state = {"offset": _existing_max_id(spark, output_dir)}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        with_ids = assign_sales_ids(batch_df, state["offset"])
+        n = with_ids.count()
+        with_ids.write.mode("append").parquet(output_dir)
+        state["offset"] += n
+
+    writer = (
+        fact.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _existing_max_id(spark: SparkSession, output_dir: str) -> int:
+    try:
+        existing = spark.read.parquet(output_dir)
+        row = existing.agg(F.max("sales_id")).collect()[0]
+        return int(row[0] or 0)
+    except Exception:
+        return 0

@@ -1,0 +1,160 @@
+"""ETL end-to-end tests (SURVEY §5.2/§5.3).
+
+Replays a messy transactions CSV set (alternate header spellings,
+whitespace padding, mixed date formats, unknown customers/products,
+float-string quantities, missing required fields) through the
+Structured Streaming pipeline and asserts:
+
+  * stream output == batch-computed enrichment of the same input
+    (the HYBRIDJOIN-parity property), including sales_id assignment;
+  * each reference drop/default semantic individually.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from decimal import Decimal
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+    hybrid_join as hj,
+)
+
+CSV_MAIN = """orderID,Customer_ID,Product_ID,quantity,date
+100,1000001,P001,2,2017-03-04
+100,1000001,P002, 1 ,04-03-2017
+101,1000002,P001,2.0,03/04/2017
+102,1000003,P001,1,2017/03/05
+103,9999999,P001,5,2017-03-04
+104,1000001,PMISSING,3,2017-03-06
+105,1000002,P002,4,not-a-date
+,1000001,P001,1,2017-03-04
+106,,P001,1,2017-03-04
+107,1000001,,1,2017-03-04
+108,1000001,P001,,2017-03-04
+109,1000001,P001,1,
+"""
+
+# Alternate header spellings (hybridjoin.py:382-385 probing)
+CSV_ALT = """order_id,customer_id,product_id,Quantity,transaction_date
+200,1000003,P002,2,2017-12-31
+201,1000001,P001,oops,2017-06-15
+"""
+
+CUSTOMERS = [
+    (1000001, "M", "26-35", 7, "A", "0", 2),
+    (1000002, "F", "18-25", 3, "B", "1", 1),
+    (1000003, "F", "55+", 12, "C", "0", 4),
+]
+PRODUCTS = [
+    ("P001", "Toys", Decimal("10.50"), 3, 2),
+    ("P002", "Appliances", Decimal("79.95"), 4, 5),
+]
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    cust = spark.createDataFrame(
+        CUSTOMERS,
+        "customer_id long, gender string, age_group string, occupation int, "
+        "city_category string, marital_status string, stay_in_current_city_years int",
+    )
+    prod = spark.createDataFrame(
+        PRODUCTS,
+        "product_id string, product_category string, price decimal(12,2), "
+        "store_id long, supplier_id long",
+    )
+    return cust, prod
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="hjtest_")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def stream_result(spark, dims, workdir):
+    cust, prod = dims
+    input_dir = workdir / "in"
+    input_dir.mkdir()
+    (input_dir / "part1.csv").write_text(CSV_MAIN)
+    (input_dir / "part2.csv").write_text(CSV_ALT)
+
+    out = str(workdir / "sales")
+    ckpt = str(workdir / "ckpt")
+    # Schema of the widest file; the alt file's columns are aliased at
+    # normalize time. Two files → two micro-batches (maxFilesPerTrigger=1).
+    q = hj.run_stream(
+        spark,
+        str(input_dir),
+        "orderID string, Customer_ID string, Product_ID string, quantity string, date string",
+        cust,
+        prod,
+        output_dir=out,
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_stream_batch_equivalence(spark, dims, stream_result, workdir):
+    """The key HYBRIDJOIN-parity property: replaying the stream gives
+    exactly the rows a batch run of the same logic gives."""
+    cust, prod = dims
+    raw1 = spark.read.option("header", True).csv(str(workdir / "in" / "part1.csv"))
+    raw2 = spark.read.option("header", True).csv(str(workdir / "in" / "part2.csv"))
+    batch = hj.enrich(hj.normalize_stream(raw1), cust, prod).unionByName(
+        hj.enrich(hj.normalize_stream(raw2), cust, prod)
+    )
+    got = sorted(
+        tuple(r)
+        for r in stream_result.drop("sales_id").collect()
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_drop_semantics(stream_result):
+    rows = {tuple(r) for r in stream_result.collect()}
+    order_ids = {r[1] for r in rows}
+    # unknown customer 9999999 (order 103) dropped — J1 inner-join semantics
+    assert 103 not in order_ids
+    # rows with missing required fields dropped (orders None/106/107/108/109)
+    assert {106, 107, 108, 109}.isdisjoint(order_ids)
+    # valid rows retained, both header spellings
+    assert {100, 101, 102, 104, 105, 200, 201} <= order_ids
+
+
+def test_default_product_semantics(stream_result):
+    """J2: unknown product → price 0 → sales_amount 0.00, store/supplier 1."""
+    row = stream_result.filter(F.col("order_id") == 104).collect()[0]
+    assert row.store_id == 1 and row.supplier_id == 1
+    assert row.sales_amount == Decimal("0.00")
+
+
+def test_quantity_and_date_parsing(stream_result):
+    by_order = {r.order_id: r for r in stream_result.collect()}
+    # "2.0" → 2 (P5 float-string cast)
+    assert by_order[101].quantity == 2
+    # "oops" → 0 (P5 fallback)
+    assert by_order[201].quantity == 0
+    # four date formats all land on the same date_id (P7)
+    assert by_order[101].date_id == 20170304
+    assert by_order[102].date_id == 20170305
+    # unparseable date → pinned sentinel, not today (SURVEY §7.2)
+    assert by_order[105].date_id == 19000101
+    # amounts: round(qty*price, 2) (P6)
+    assert by_order[200].sales_amount == Decimal("159.90")
+
+
+def test_sales_ids_contiguous(stream_result):
+    ids = sorted(r.sales_id for r in stream_result.collect())
+    assert ids == list(range(1, len(ids) + 1))
