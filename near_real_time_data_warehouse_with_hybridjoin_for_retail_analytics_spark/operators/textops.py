@@ -1,0 +1,153 @@
+"""Text analysis over the ``documents`` table.
+
+All hot-path logic is Catalyst built-ins (split/regexp/length/md5 —
+JVM-side, codegen'd); no Python touches row data. Token-level metrics
+explode to a (doc_id, token) relation and aggregate back — the shape
+that scales: the explode is map-side, the agg shuffles only on doc_id.
+
+Determinism notes mirror plans/testdata_queries: integer casts pinned,
+double divisions computed with the same expression tree on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import query
+
+# Whitespace tokenizer shared by every text operator (both dialects).
+TOKEN_SPLIT = r"\s+"
+# Tiny function-word list for the language-ID heuristic. The testdata
+# corpus is a synthetic single-vocabulary soup, so the heuristic is the
+# demonstrable capability; on real corpora the marker lists grow per
+# language.
+EN_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) relation — the base of token-level analytics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
+    )
+
+
+_SQL_TOKENS = (
+    "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+    "FROM documents"
+)
+
+
+@query(
+    "text_token_count",
+    f"""
+    WITH toks AS ({_SQL_TOKENS})
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts — the BPE-ish regex variant is
+    text_quality_scores' avg_token_len; exact token counting for budget
+    estimation in a training pipeline."""
+    return _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("token").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    t AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+             CAST(SUM(length(token)) AS BIGINT) AS token_chars
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           t.n_tokens,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS type_token_ratio,
+           CAST(t.token_chars AS DOUBLE) / t.n_tokens AS avg_token_len
+    FROM documents d JOIN t USING (doc_id)
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, type-token ratio (repetition detector),
+    mean token length — the standard cheap filters before expensive
+    model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("token").alias("n_distinct"),
+            F.sum(F.length("token")).alias("token_chars"),
+        )
+    )
+    return docs.join(t, "doc_id").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        "n_tokens",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("token_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH toks AS ({_SQL_TOKENS})
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN token IN ({_STOP_LIST_SQL}) THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS stopword_ratio,
+           CASE WHEN CAST(SUM(CASE WHEN token IN ({_STOP_LIST_SQL}) THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*) > 0.03
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-ratio language ID (n-gram heuristic family).
+    Declarative: explode → conditional agg; no per-row Python."""
+    is_stop = F.col("token").isin(*EN_STOPWORDS)
+    ratio = F.sum(F.when(is_stop, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(ratio.alias("stopword_ratio"))
+        .withColumn(
+            "lang_pred",
+            F.when(F.col("stopword_ratio") > 0.03, F.lit("en")).otherwise(F.lit("und")),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form content fingerprint (the exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint"))

