@@ -14,8 +14,10 @@ Five strategies, cheapest→richest, as a training-data pipeline runs them:
                   Hamming-distance verification
   embedding       cosine near-dup pairs over the embedding column
 
-Everything is DataFrame ops (explode/agg/join) — no Python UDFs; the
-hash family is xxhash64 affine transforms, all JVM-side.
+The hash-based strategies are pure DataFrame ops (explode/agg/join) —
+the hash family is xxhash64 salted rehashes, all JVM-side. The
+embedding strategy uses Arrow-batched numpy kernels (``applyInPandas``
+block nested-loop) — cosine over millions of pairs is matmul work.
 """
 
 from __future__ import annotations
@@ -26,7 +28,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vectors import cosine
 from ..plans.registry import query
 
 TOKEN_SPLIT = r"\s+"
@@ -309,6 +310,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
+_PAIR_SCHEMA = "vec_a long, vec_b long"
+
+
+def _cosine_pairs_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """One (block_a, block_b) cell: matmul, threshold, emit id pairs."""
+    import numpy as np
+    import pandas as pd
+
+    a = pdf[pdf["side"] == 0]
+    b = pdf[pdf["side"] == 1]
+    if a.empty or b.empty:
+        return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+
+    def norm_rows(frame):
+        ids = frame["vec_id"].to_numpy()
+        mat = np.stack(frame["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.maximum(n, 1e-300, out=n)
+        return ids, mat / n
+
+    ids_a, mat_a = norm_rows(a)
+    ids_b, mat_b = norm_rows(b)
+    sims = mat_a @ mat_b.T
+    hit = (sims >= NEAR_DUP_COSINE) & (ids_a[:, None] < ids_b[None, :])
+    ra, rb = np.nonzero(hit)
+    return pd.DataFrame({"vec_a": ids_a[ra], "vec_b": ids_b[rb]})
+
+
 @query(
     "dedup_embedding_cosine",
     f"""
@@ -319,13 +348,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (ids only — scores are float-
-    order-sensitive across engines and stay out of the hash check)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    order-sensitive across engines and stay out of the hash check).
+
+    Block nested-loop: B² ``applyInPandas`` cells, each one numpy
+    matmul — shuffle moves O(n·B) rows, compute shards O(n²·d) across
+    cells (same scale pattern as ``similarity.ann_topk_bruteforce``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocks = 8
+    blk = F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int")
+    grid = spark.range(blocks).select(F.col("id").cast("int").alias("other"))
+    a_side = (
+        emb.withColumn("ga", blk)
+        .crossJoin(grid.withColumnRenamed("other", "gb"))
+        .withColumn("side", F.lit(0))
+    )
+    b_side = (
+        emb.withColumn("gb", blk)
+        .crossJoin(grid.withColumnRenamed("other", "ga"))
+        .withColumn("side", F.lit(1))
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= NEAR_DUP_COSINE)
-        .select("vec_a", "vec_b")
+        a_side.unionByName(b_side)
+        .groupBy("ga", "gb")
+        .applyInPandas(_cosine_pairs_kernel, _PAIR_SCHEMA)
     )
