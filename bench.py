@@ -19,8 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators  # noqa: F401  (registers operator queries)
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
-    testdata_queries,
+    registry,
+    testdata_queries,  # noqa: F401  (registers the warehouse/ETL queries)
 )
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.session import (
     get_spark,
@@ -42,13 +44,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = list(testdata_queries.QUERIES)
-    # Warm-up: JVM + whole-stage-codegen compilation, parquet footer reads.
-    run_query(testdata_queries.QUERIES[names[0]], spark, sf_dir)
+    names = list(registry.QUERIES)
+    # Warm-up: JVM + whole-stage-codegen compilation, parquet footer
+    # reads, and one Arrow/python-worker spin-up for the pandas kernels.
+    run_query(registry.QUERIES[names[0]], spark, sf_dir)
+    run_query(registry.QUERIES["ann_topk_lsh"], spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_query(testdata_queries.QUERIES[name], spark, sf_dir), 3)
+        timings[name] = round(run_query(registry.QUERIES[name], spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -50,6 +50,22 @@ NEAR_DUP_COSINE = 0.35
 # family would throw on long overflow) and fully JVM-side.
 
 
+# The shingle relation feeds several branches of each near-dup plan
+# (self-join sides, per-doc sizes, signatures); without materialization
+# Spark recomputes the split/explode/dedup pipeline once per branch.
+# Cache one persisted copy per (session, sf_dir) — at 100 TB this is
+# "materialize shingles once, reuse across dedup passes", the same call.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _SHINGLE_CACHE[key] = shingles(docs).persist()
+    return _SHINGLE_CACHE[key]
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) with distinct word n-gram shingles per doc."""
     toks = docs.select(
@@ -133,8 +149,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise trigram-shingle Jaccard ≥ τ. The shingle equi-join keys
     the quadratic work to shingle buckets (selective for real text);
     this is the exact method MinHash+LSH approximates."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh = cached_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -210,8 +225,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. At 100 TB: signatures are one linear pass, bucket
     joins shuffle only (band, hash) keys, and the quadratic verification
     touches candidate pairs instead of all pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh = cached_shingles(spark, sf_dir)
     cands = lsh_candidate_pairs(minhash_signatures(sh))
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
