@@ -162,29 +162,68 @@ def enrich(
     )
 
 
-def assign_sales_ids(batch_df: DataFrame, offset: int) -> DataFrame:
-    """S10: contiguous surrogate ids.
+_ID_ORDER = ["order_id", "product_id", "customer_id", "quantity"]
+
+
+def assign_sales_ids(batch_df: DataFrame, offset: int):
+    """S10: contiguous surrogate ids, distributed.
 
     The reference allocates ids from a Postgres sequence under a lock
-    (hybridjoin.py:80-85,207-211). Here: row_number over a *defined*
-    total order within the batch + a running offset across batches —
-    deterministic, and contiguous per run. (monotonically_increasing_id
-    would be cheaper but non-contiguous; SURVEY §7.1.)
+    (hybridjoin.py:80-85,207-211). A naive Spark translation —
+    ``row_number()`` over an unpartitioned window — funnels the whole
+    batch through ONE task: correct at test scale, a wall at 100 TB.
+
+    Two-phase global numbering instead (the zipWithIndex pattern):
+      1. range-partition on the id order, count rows per partition
+         (tiny driver collect: one long per partition), prefix-sum the
+         counts into per-partition bases;
+      2. ``row_number()`` *within* each partition + its base + the
+         running cross-batch offset.
+    Range partitioning keeps the numbering identical to the global sort
+    (partition i's keys all precede partition i+1's; equal keys land in
+    one partition), so ids stay deterministic wherever the order key is
+    unique — every task numbers its own slice in parallel.
+
+    Returns ``(numbered_df, row_count, cleanup)``; call ``cleanup()``
+    after the result is consumed to drop the intermediate cache.
     """
-    w = Window.orderBy("order_id", "product_id", "customer_id", "quantity")
-    return batch_df.withColumn(
-        "sales_id", (F.row_number().over(w) + F.lit(offset)).cast("long")
-    ).select(
-        "sales_id",
-        "order_id",
-        "customer_id",
-        "product_id",
-        "date_id",
-        "store_id",
-        "supplier_id",
-        "sales_amount",
-        "quantity",
+    spark = batch_df.sparkSession
+    ranged = (
+        batch_df.repartitionByRange(*_ID_ORDER)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    bases, running = [], 0
+    for pid in sorted(counts):
+        bases.append((pid, running))
+        running += counts[pid]
+    base_df = spark.createDataFrame(bases or [], "_pid int, _base long")
+
+    w = Window.partitionBy("_pid").orderBy(*_ID_ORDER)
+    numbered = (
+        ranged.join(F.broadcast(base_df), "_pid")
+        .withColumn(
+            "sales_id",
+            (F.row_number().over(w) + F.col("_base") + F.lit(offset)).cast("long"),
+        )
+        .select(
+            "sales_id",
+            "order_id",
+            "customer_id",
+            "product_id",
+            "date_id",
+            "store_id",
+            "supplier_id",
+            "sales_amount",
+            "quantity",
+        )
+    )
+    return numbered, total, lambda: ranged.unpersist()
 
 
 def run_stream(
@@ -219,9 +258,9 @@ def run_stream(
     state = {"offset": _existing_max_id(spark, output_dir)}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        with_ids = assign_sales_ids(batch_df, state["offset"])
-        n = with_ids.count()
+        with_ids, n, cleanup = assign_sales_ids(batch_df, state["offset"])
         with_ids.write.mode("append").parquet(output_dir)
+        cleanup()
         state["offset"] += n
 
     writer = (
