@@ -236,6 +236,7 @@ def run_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
+    partition_by_year: bool = False,
 ) -> StreamingQuery:
     """Replay CSV files as micro-batches and load the Sales fact.
 
@@ -243,6 +244,12 @@ def run_stream(
     semantics (producer EOF flag, hybridjoin.py:54,301-315);
     ``max_files_per_trigger`` is the backpressure knob standing in for
     the reference's bounded queue (STREAM_BUFFER_SIZE).
+
+    ``partition_by_year=True`` writes the fact hive-partitioned on
+    ``sale_year`` (derived from the yyyymmdd date_id) — the 100 TB
+    layout: every dashboard query filters on year, so partition pruning
+    skips cold years at scan time. Off by default to keep the output
+    schema identical to the reference's fact table.
     """
     reader = spark.readStream.schema(schema_ddl).option("header", True)
     if max_files_per_trigger:
@@ -259,7 +266,16 @@ def run_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         with_ids, n, cleanup = assign_sales_ids(batch_df, state["offset"])
-        with_ids.write.mode("append").parquet(output_dir)
+        writer = with_ids.write.mode("append")
+        if partition_by_year:
+            writer = (
+                with_ids.withColumn(
+                    "sale_year", (F.col("date_id") / 10000).cast("int")
+                )
+                .write.mode("append")
+                .partitionBy("sale_year")
+            )
+        writer.parquet(output_dir)
         cleanup()
         state["offset"] += n
 

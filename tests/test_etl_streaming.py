@@ -158,3 +158,30 @@ def test_quantity_and_date_parsing(stream_result):
 def test_sales_ids_contiguous(stream_result):
     ids = sorted(r.sales_id for r in stream_result.collect())
     assert ids == list(range(1, len(ids) + 1))
+
+
+def test_partitioned_fact_layout(spark, dims, workdir, stream_result):
+    """partition_by_year writes hive layout sale_year=YYYY/ and the same
+    rows; year predicates then prune partitions at scan time."""
+    cust, prod = dims
+    out = str(workdir / "sales_by_year")
+    q = hj.run_stream(
+        spark,
+        str(workdir / "in"),
+        "orderID string, Customer_ID string, Product_ID string, quantity string, date string",
+        cust,
+        prod,
+        output_dir=out,
+        checkpoint_dir=str(workdir / "ckpt_by_year"),
+        partition_by_year=True,
+    )
+    q.awaitTermination(120)
+    year_dirs = {p.name for p in (workdir / "sales_by_year").iterdir() if p.is_dir()}
+    assert "sale_year=2017" in year_dirs
+    assert "sale_year=1900" in year_dirs  # sentinel-date rows
+    df = spark.read.parquet(out)
+    assert df.count() == stream_result.count()
+    only_2017 = df.filter(F.col("sale_year") == 2017)
+    assert only_2017.count() == stream_result.filter(
+        (F.col("date_id") >= 20170000) & (F.col("date_id") < 20180000)
+    ).count()
