@@ -9,3 +9,4 @@ Importing this package registers the operators' graded queries.
 """
 
 from . import dedup, multimodal, similarity, textops  # noqa: F401
+from ..streaming import windows  # noqa: F401  (registers etl_events_hourly)

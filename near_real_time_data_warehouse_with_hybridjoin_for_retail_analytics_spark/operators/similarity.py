@@ -1,6 +1,7 @@
 """Approximate-nearest-neighbor search over the ``embeddings`` table.
 
-Two implementations of top-k cosine neighbors:
+Three implementations of top-k cosine neighbors (exact baseline + the
+two standard approximate index families):
 
   bruteforce   exact block nested-loop: vectors are hashed into B blocks,
                every (block_a, block_b) cell is one ``applyInPandas``
@@ -14,9 +15,14 @@ Two implementations of top-k cosine neighbors:
   lsh          random-hyperplane LSH: vectors bucket by the sign pattern
                of h projections (one matmul against the plane matrix,
                L tables at once); candidates come only from the same
-               bucket (multi-table to recover recall). The 100 TB path:
+               bucket (multi-table to recover recall). A 100 TB path:
                buckets shard the quadratic work, and each table is one
                shuffle on a short (table, bucket) key.
+  ivf          IVF-Flat: spherical k-means coarse quantizer (trained
+               driver-side on a deterministic sample), inverted lists
+               keyed by nearest centroid, queries probe their nprobe
+               nearest lists. The other 100 TB path: search cost drops
+               ~nclusters/nprobe, lists are independent groups.
 
 Scoring runs in Arrow-batched numpy kernels (``applyInPandas``), not
 per-element Catalyst folds — a 64-dim cosine over millions of pairs is
@@ -173,6 +179,98 @@ def _bucket_topk_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     sims = mat @ mat.T
     np.fill_diagonal(sims, -np.inf)
     return _topk_rows(ids, ids, sims, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat: coarse k-means quantizer + inverted lists + nprobe search
+# ---------------------------------------------------------------------------
+IVF_CLUSTERS = 16
+IVF_NPROBE = 8
+IVF_SAMPLE = 256  # quantizer training sample (driver-side, deterministic)
+IVF_ITERS = 5
+
+_CENTROID_CACHE: dict[tuple[str, str], np.ndarray] = {}
+
+
+def _train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Spherical k-means on a deterministic sample (lowest vec_ids) —
+    the standard IVF recipe: train the coarse quantizer on a small
+    sample driver-side, broadcast the centroids. Deterministic init
+    (first k sample vectors), fixed iteration count."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    sample = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(IVF_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    mat = np.stack([np.asarray(r["embedding"]) for r in sample]).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    cent = mat[:IVF_CLUSTERS].copy()
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for j in range(IVF_CLUSTERS):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-300)
+    _CENTROID_CACHE[key] = cent
+    return cent
+
+
+def _ivf_probe_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One inverted list: rows with pos==0 are the cluster's members
+    (a vector's nearest centroid is probe 0 = its assignment); every
+    row is a probing query. Score probes × members, local top-k."""
+    members = pdf[pdf["pos"] == 0].sort_values("vec_id")
+    if members.empty:
+        return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+    ids_m, mat_m = _normalized(members)
+    ids_q, mat_q = _normalized(pdf)
+    sims = mat_q @ mat_m.T
+    sims[ids_q[:, None] == ids_m[None, :]] = -np.inf
+    return _topk_rows(ids_q, ids_m, sims, TOP_K)
+
+
+@query("ann_topk_ivf")  # rows-only: approximate recall by construction
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse quantizer assigns every vector
+    to its nearest centroid (inverted lists); a query probes its nprobe
+    nearest lists; per-list kernels score probes × members. At 100 TB
+    the lists shard the corpus — search cost drops by ~nclusters/nprobe
+    and each list is one independent group. Returns (vec_id, rank,
+    neighbor_id, sim)."""
+    cent = _train_centroids(spark, sf_dir)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_ids(embedding: pd.Series) -> pd.Series:
+        mat = np.stack(embedding.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        order = np.argsort(-(mat @ cent.T), kind="stable")[:, :IVF_NPROBE]
+        return pd.Series(list(order.astype(np.int32)))
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(probe_ids(F.col("embedding"))).alias("pos", "cluster"),
+    )
+    cands = (
+        tagged.groupBy("cluster")
+        .applyInPandas(_ivf_probe_kernel, _CAND_SCHEMA)
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "rank", "neighbor_id", "sim")
+    )
 
 
 @query("ann_topk_lsh")  # rows-only: approximate recall by construction

@@ -53,6 +53,22 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3  # noise embeddings; LSH trades recall for cost
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-Flat with nprobe=8 of 16 lists probes ~half the corpus; on
+    near-noise embeddings recall@k should comfortably beat the ~nprobe/
+    nclusters floor of random bucketing."""
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.ann_topk_ivf(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5
+
+
 def test_dedup_exact_canonical_ids(spark, sf_dir):
     df = dedup.dedup_exact(spark, sf_dir)
     rows = df.collect()

@@ -71,7 +71,7 @@ def warehouse(spark):
     date_dim = build_date_dim(spark, dt.date(2017, 1, 1), dt.date(2018, 12, 31))
 
     raw = spark.read.option("header", True).csv(str(d / "tx.csv"))
-    fact = hj.assign_sales_ids(
+    fact, _n, _cleanup = hj.assign_sales_ids(
         hj.enrich(hj.normalize_stream(raw), customer, product), offset=0
     )
 
