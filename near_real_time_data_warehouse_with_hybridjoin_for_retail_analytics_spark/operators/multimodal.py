@@ -54,6 +54,51 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("wire PIL.Image.open here when available")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize is decode-dependent — STUB, same gate as decode_image.
+    The distributed shape (a bytes→bytes Pandas-UDF body) is what
+    matters: swapping in PIL's thumbnail keeps the plan identical."""
+    if not _DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "image resize requires PIL, not installed in this environment"
+        )
+    raise NotImplementedError("wire PIL resize here when available")
+
+
+# --- frame sampling -------------------------------------------------------
+FRAME_BYTES = 16  # bytes per synthetic "frame"
+FRAME_STRIDE = 4  # keep every 4th frame
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hex string"
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker with 1→N output shape: slice each payload
+    into fixed-size frames and keep every FRAME_STRIDE-th — the video
+    frame-sampling pattern (payload stands in for a decoded stream;
+    a real codec changes this body, not the plan)."""
+    for pdf in batches:
+        doc_ids, idxs, frames = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n_frames = len(raw) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                frames.append(raw[i * FRAME_BYTES : (i + 1) * FRAME_BYTES].hex())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_hex": pd.Series(frames, dtype="object"),
+            }
+        )
+
+
+def frame_sample_pipeline(docs: DataFrame) -> DataFrame:
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
 def extract_metadata(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: per-payload typed metadata. Arrow-batched —
     each pdf is a columnar batch, never row-at-a-time Python."""
@@ -110,3 +155,25 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked (byte lengths and header bytes are deterministic)."""
     docs = load_table(spark, sf_dir, "documents")
     return metadata_pipeline(docs)
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           lower(hex(encode(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})))) AS frame_hex
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)) // {FRAME_BYTES},
+                          {FRAME_STRIDE})) AS i
+      FROM documents
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas (1→N batch shape) —
+    oracle-checked against byte-slicing SQL (documents are ASCII, so
+    char and byte offsets coincide on the oracle side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_pipeline(docs)

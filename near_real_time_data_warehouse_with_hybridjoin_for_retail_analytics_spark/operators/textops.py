@@ -151,3 +151,63 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form content fingerprint (the exact-dedup key)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+
+
+# Winnowing (rolling-hash document fingerprinting, Schleimer et al.):
+# hash every k-char gram, slide a w-position window, keep each window's
+# minimum — the classic plagiarism/near-dup fingerprint that guarantees
+# any shared substring of length >= k+w-1 shares a fingerprint. The
+# "hash" is a 16-hex-char md5 prefix: identical on both engines, and
+# winnowing only needs a total order, which lexicographic hex gives.
+WINNOW_K = 8  # gram length (chars)
+WINNOW_W = 4  # window length (positions)
+
+_WINNOW_SPARK = f"""
+    transform(
+      sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),
+      i -> substring(md5(substring(t, i, {WINNOW_K})), 1, 16)
+    )
+"""
+
+# DuckDB: range(a, b) is [a, b) and list slicing l[i:j] is 1-based
+# inclusive — both expressions below enumerate the same gram starts
+# 1..len-k+1 and the same w-element windows as the Spark side.
+_WINNOW_SQL = f"""
+    WITH canon AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             [substr(md5(substr(t, i, {WINNOW_K})), 1, 16)
+              for i in range(1, greatest(length(t) - {WINNOW_K - 1}, 1) + 1)] AS g
+      FROM canon
+    )
+    SELECT DISTINCT doc_id,
+           unnest([list_min(g[i:i + {WINNOW_W - 1}])
+                   for i in range(1, greatest(len(g) - {WINNOW_W - 1}, 1) + 1)])
+             AS fingerprint
+    FROM grams
+"""
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) winnowed rolling-hash fingerprints — all
+    Catalyst higher-order functions over per-row arrays: linear per-doc
+    work, no shuffle until the final DISTINCT on (doc_id, fingerprint)."""
+    canon = docs.select("doc_id", F.lower(F.trim("text")).alias("t"))
+    grams = canon.select("doc_id", F.expr(_WINNOW_SPARK).alias("g"))
+    fps = grams.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(g) - {WINNOW_W - 1}, 1)),"
+                f" i -> array_min(slice(g, i, {WINNOW_W})))"
+            )
+        ).alias("fingerprint"),
+    )
+    return fps.dropDuplicates(["doc_id", "fingerprint"])
+
+
+@query("text_winnowing", _WINNOW_SQL)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprints of the documents table (see
+    winnow_fingerprints for the algorithm and scale shape)."""
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))

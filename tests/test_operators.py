@@ -108,6 +108,59 @@ def test_multimodal_features_deterministic(spark, sf_dir):
 def test_decode_stub_is_gated():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG", 64, 64)
+
+
+def test_frame_sampling_shapes(spark, sf_dir):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    frames = multimodal.frame_sample_pipeline(docs).collect()
+    assert len(frames) > 0
+    for r in frames:
+        assert r.frame_idx % multimodal.FRAME_STRIDE == 0
+        assert len(r.frame_hex) == 2 * multimodal.FRAME_BYTES  # full frames only
+    # stride sampling: ~1/stride of the full frame count per doc
+    lens = {r.doc_id: r.n for r in docs.selectExpr(
+        "doc_id", "length(text) AS n").collect()}
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, 0)
+        by_doc[r.doc_id] += 1
+    for doc_id, got in by_doc.items():
+        n_frames = lens[doc_id] // multimodal.FRAME_BYTES
+        want = (n_frames + multimodal.FRAME_STRIDE - 1) // multimodal.FRAME_STRIDE
+        assert got == want
+
+
+def test_winnowing_invariants(spark):
+    """Winnowing guarantees (Schleimer et al.): identical texts give
+    identical fingerprint sets, and any shared substring of length
+    >= k + w - 1 forces at least one shared fingerprint."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        textops,
+    )
+
+    shared = "a common run of text that is plenty long enough to share"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique prefix one {shared} unique suffix one"),
+            (2, f"unique prefix one {shared} unique suffix one"),  # exact dup of 1
+            (3, f"totally different opening {shared} and a different close"),
+            (4, "0123456789 qwertzuiop 998877 asdfghjkl 665544 yxcvbnm 33"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = textops.winnow_fingerprints(docs).collect()
+    sets: dict[int, set] = {}
+    for r in fps:
+        sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert sets[1] == sets[2]  # identical docs: identical sets
+    assert sets[1] & sets[3]  # long shared substring: >=1 shared fp
+    assert not (sets[1] & sets[4])  # disjoint texts: disjoint fps
 
 
 def test_minhash_signature_shape(spark, sf_dir):
