@@ -53,23 +53,49 @@ def build_customer_dim(spark: SparkSession, csv_path: str) -> DataFrame:
 def split_product_master(
     spark: SparkSession, csv_path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """product_master CSV → (product_dim, store_dim, supplier_dim)."""
+    """product_master CSV → (product_dim, store_dim, supplier_dim).
+
+    S4 schema introspection (reference hybridjoin.py:88-99 probes
+    information_schema for optional columns): a product master without
+    storeID/supplierID (or the name columns) still loads — missing ids
+    fall back to the default store/supplier (hybridjoin.py:17-18), and
+    the corresponding dim reduces to its default row.
+    """
     raw = _read_csv(spark, csv_path)
+    cols = set(raw.columns)
+    store_id = (
+        F.col("storeID").cast("long")
+        if "storeID" in cols
+        else F.lit(DEFAULT_STORE_ID).cast("long")
+    )
+    supplier_id = (
+        F.col("supplierID").cast("long")
+        if "supplierID" in cols
+        else F.lit(DEFAULT_SUPPLIER_ID).cast("long")
+    )
+    store_name = (
+        F.col("storeName")
+        if "storeName" in cols
+        else F.lit(DEFAULT_STORE_NAME)
+    )
+    supplier_name = (
+        F.col("supplierName")
+        if "supplierName" in cols
+        else F.lit(DEFAULT_SUPPLIER_NAME)
+    )
+
     product = validate_product(
         raw.select(
             F.col("Product_ID").alias("product_id"),
             F.col("Product_Category").alias("product_category"),
             F.col("price$").cast("decimal(12,2)").alias("price"),
-            F.col("storeID").cast("long").alias("store_id"),
-            F.col("supplierID").cast("long").alias("supplier_id"),
+            store_id.alias("store_id"),
+            supplier_id.alias("supplier_id"),
         )
     ).dropDuplicates(["product_id"])
 
     store = (
-        raw.select(
-            F.col("storeID").cast("long").alias("store_id"),
-            F.col("storeName").alias("store_name"),
-        )
+        raw.select(store_id.alias("store_id"), store_name.alias("store_name"))
         .dropDuplicates(["store_id"])
         .unionByName(
             spark.createDataFrame(
@@ -79,10 +105,7 @@ def split_product_master(
         .dropDuplicates(["store_id"])
     )
     supplier = (
-        raw.select(
-            F.col("supplierID").cast("long").alias("supplier_id"),
-            F.col("supplierName").alias("supplier_name"),
-        )
+        raw.select(supplier_id.alias("supplier_id"), supplier_name.alias("supplier_name"))
         .dropDuplicates(["supplier_id"])
         .unionByName(
             spark.createDataFrame(

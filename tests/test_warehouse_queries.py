@@ -145,6 +145,26 @@ def test_dashboard_query_runs(spark, warehouse, name):
     assert len(df.collect()) > 0, name
 
 
+def test_product_master_without_store_supplier_columns(spark):
+    """S4 schema-introspection parity (hybridjoin.py:88-99): a product
+    master lacking storeID/supplierID/name columns still loads, ids
+    defaulting to the default store/supplier."""
+    d = Path(tempfile.mkdtemp(prefix="s4test_"))
+    try:
+        (d / "product.csv").write_text(
+            "index,Product_ID,Product_Category,price$\n"
+            "0,P001,Toys,10.50\n"
+            "1,P002,Appliances,79.95\n"
+        )
+        product, store, supplier = split_product_master(spark, str(d / "product.csv"))
+        prows = {r.product_id: r for r in product.collect()}
+        assert prows["P001"].store_id == 1 and prows["P001"].supplier_id == 1
+        assert [tuple(r) for r in store.collect()] == [(1, "Unknown Store")]
+        assert [tuple(r) for r in supplier.collect()] == [(1, "Unknown Supplier")]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_dashboard_year_filter(spark, warehouse):
     df = serving.run_dashboard_query(spark, "quarterly_trends", year=2018)
     quarters = {r.quarter_num for r in df.collect()}
