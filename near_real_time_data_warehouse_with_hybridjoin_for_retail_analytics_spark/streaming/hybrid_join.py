@@ -31,6 +31,8 @@ Catalyst's choice.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -265,6 +267,15 @@ def run_stream(
     state = {"offset": _existing_max_id(spark, output_dir)}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent replay: a marker per committed batch (underscore
+        # prefix → invisible to parquet readers, like _SUCCESS) makes a
+        # redelivered batch a no-op — its rows (and id range) are
+        # already in the sink. The crash window between data write and
+        # marker write is the same one Delta's transaction log closes;
+        # on plain parquet this is the honest best.
+        marker = os.path.join(output_dir, f"_batch_{batch_id}_committed")
+        if os.path.exists(marker):
+            return
         with_ids, n, cleanup = assign_sales_ids(batch_df, state["offset"])
         writer = with_ids.write.mode("append")
         if partition_by_year:
@@ -278,6 +289,7 @@ def run_stream(
         writer.parquet(output_dir)
         cleanup()
         state["offset"] += n
+        open(marker, "w").close()
 
     writer = (
         fact.writeStream.foreachBatch(sink)

@@ -160,6 +160,27 @@ def test_sales_ids_contiguous(stream_result):
     assert ids == list(range(1, len(ids) + 1))
 
 
+def test_replay_without_checkpoint_is_idempotent(spark, dims, workdir, stream_result):
+    """Losing the checkpoint and replaying the whole input must not
+    duplicate rows: per-batch commit markers make redelivery a no-op."""
+    cust, prod = dims
+    before = stream_result.count()
+    q = hj.run_stream(
+        spark,
+        str(workdir / "in"),
+        "orderID string, Customer_ID string, Product_ID string, quantity string, date string",
+        cust,
+        prod,
+        output_dir=str(workdir / "sales"),
+        checkpoint_dir=str(workdir / "ckpt_replay"),  # fresh checkpoint
+    )
+    q.awaitTermination(120)
+    after = spark.read.parquet(str(workdir / "sales"))
+    assert after.count() == before
+    ids = sorted(r.sales_id for r in after.collect())
+    assert ids == list(range(1, before + 1))
+
+
 def test_partitioned_fact_layout(spark, dims, workdir, stream_result):
     """partition_by_year writes hive layout sale_year=YYYY/ and the same
     rows; year predicates then prune partitions at scan time."""
