@@ -5,4 +5,4 @@ Importing this package registers the batch-equivalent streaming queries
 (etl_events_hourly).
 """
 
-from . import windows  # noqa: F401
+from . import sessions, windows  # noqa: F401
