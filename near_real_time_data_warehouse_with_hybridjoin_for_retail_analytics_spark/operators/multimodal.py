@@ -157,6 +157,15 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata_pipeline(docs)
 
 
+@query("multimodal_features")  # rows-only: array<float> hashing is
+# float-format-sensitive across engines; shape/determinism are pytest-gated
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-dim feature extraction through mapInPandas (the model-server
+    UDF shape; deterministic byte-histogram stand-in for an encoder)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_pipeline(docs)
+
+
 @query(
     "multimodal_frame_sample",
     f"""
