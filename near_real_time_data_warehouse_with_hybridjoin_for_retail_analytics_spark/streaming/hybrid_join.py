@@ -53,12 +53,17 @@ from ..functions.dates import parse_date_multi
 FALLBACK_DATE = "1900-01-01"
 
 
-def _pick(df_cols: list[str], canonical: str) -> Column:
-    """Robust field extraction (P2): first matching alias, case-insensitive."""
-    by_lower = {c.lower(): c for c in df_cols}
-    candidates = [
-        by_lower[a.lower()] for a in TRANSACTION_ALIASES[canonical] if a.lower() in by_lower
-    ]
+def _pick(orig: list[str], uniq: list[str], canonical: str) -> Column:
+    """Robust field extraction (P2): coalesce of every column whose
+    (case-insensitive) name is a known alias, in alias-preference order.
+    References go through the position-unique names so a source carrying
+    SEVERAL alias spellings at once (e.g. a JSON schema with both
+    Customer_ID and customer_id) resolves unambiguously."""
+    candidates = []
+    for alias in TRANSACTION_ALIASES[canonical]:
+        for i, c in enumerate(orig):
+            if c.lower() == alias.lower():
+                candidates.append(uniq[i])
     if not candidates:
         return F.lit(None).cast("string")
     return F.coalesce(*[F.col(f"`{c}`") for c in candidates])
@@ -67,17 +72,27 @@ def _pick(df_cols: list[str], canonical: str) -> Column:
 def normalize_stream(raw: DataFrame) -> DataFrame:
     """P1-P5 + P7: trim, alias-coalesce, casts, drops — all Catalyst
     expressions (zero UDFs), so they run inside whole-stage codegen."""
-    cols = raw.columns
-    trimmed = raw.select([F.trim(F.col(f"`{c}`")).alias(c.strip()) for c in cols])
+    # toDF renames positionally → unique names even when the schema has
+    # case-variant duplicates (Spark's resolver is case-insensitive, so
+    # F.col("Customer_ID") is ambiguous next to "customer_id").
+    orig = [c.strip() for c in raw.columns]
+    uniq = [f"{c}__p{i}" for i, c in enumerate(orig)]
+    # trim + empty→NULL: the reference's required-field check treats ""
+    # as missing (falsy probe, hybridjoin.py:386-397). CSV sources give
+    # NULL for empty fields but JSON gives "", so normalizing here keeps
+    # drop semantics identical across source formats.
+    trimmed = raw.toDF(*uniq).select(
+        [F.nullif(F.trim(F.col(f"`{u}`")), F.lit("")).alias(u) for u in uniq]
+    )
     # try_cast throughout: Spark 4's ANSI mode makes plain cast throw on
     # malformed input, but the reference silently skips/defaults bad
     # values (P3/P5) — try_cast restores NULL-on-garbage semantics.
     picked = trimmed.select(
-        _pick(trimmed.columns, "order_id").try_cast("long").alias("order_id"),
-        _pick(trimmed.columns, "customer_id").try_cast("long").alias("customer_id"),
-        _pick(trimmed.columns, "product_id").alias("product_id"),
-        _pick(trimmed.columns, "quantity").alias("quantity_raw"),
-        _pick(trimmed.columns, "date").alias("date_raw"),
+        _pick(orig, uniq, "order_id").try_cast("long").alias("order_id"),
+        _pick(orig, uniq, "customer_id").try_cast("long").alias("customer_id"),
+        _pick(orig, uniq, "product_id").alias("product_id"),
+        _pick(orig, uniq, "quantity").alias("quantity_raw"),
+        _pick(orig, uniq, "date").alias("date_raw"),
     )
     return (
         picked
@@ -239,8 +254,9 @@ def run_stream(
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
     partition_by_year: bool = False,
+    source_format: str = "csv",
 ) -> StreamingQuery:
-    """Replay CSV files as micro-batches and load the Sales fact.
+    """Replay transaction files as micro-batches and load the Sales fact.
 
     ``available_now=True`` reproduces the reference's run-to-completion
     semantics (producer EOF flag, hybridjoin.py:54,301-315);
@@ -252,11 +268,18 @@ def run_stream(
     layout: every dashboard query filters on year, so partition pruning
     skips cold years at scan time. Off by default to keep the output
     schema identical to the reference's fact table.
+
+    ``source_format``: ``csv`` (reference-native, header row) or
+    ``json`` (JSON-lines) — the normalization layer is format-agnostic
+    (alias coalescing and casts happen after the scan), so any file
+    format Spark can stream works here.
     """
-    reader = spark.readStream.schema(schema_ddl).option("header", True)
+    reader = spark.readStream.schema(schema_ddl)
+    if source_format == "csv":
+        reader = reader.option("header", True)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.csv(input_dir)
+    raw = reader.format(source_format).load(input_dir)
 
     fact = enrich(normalize_stream(raw), customer_dim, product_dim)
 
@@ -270,9 +293,12 @@ def run_stream(
         # Idempotent replay: a marker per committed batch (underscore
         # prefix → invisible to parquet readers, like _SUCCESS) makes a
         # redelivered batch a no-op — its rows (and id range) are
-        # already in the sink. The crash window between data write and
-        # marker write is the same one Delta's transaction log closes;
-        # on plain parquet this is the honest best.
+        # already in the sink. Contract: ONE logical pipeline owns a
+        # sink, and replays re-deliver the same input in the same batch
+        # order (true for file sources re-listing an unchanged input).
+        # Concurrent writers or grown inputs need a transaction log
+        # (Delta/Iceberg); the crash window between data write and
+        # marker write is the same one Delta's log closes.
         marker = os.path.join(output_dir, f"_batch_{batch_id}_committed")
         if os.path.exists(marker):
             return

@@ -181,6 +181,96 @@ def test_replay_without_checkpoint_is_idempotent(spark, dims, workdir, stream_re
     assert ids == list(range(1, before + 1))
 
 
+def test_json_stream_source_equivalent(spark, dims, workdir, stream_result):
+    """The same pipeline consumes JSON-lines transactions: normalization
+    is format-agnostic, so a JSON replay of the same rows produces the
+    same fact rows as the CSV replay."""
+    import json as jsonlib
+
+    cust, prod = dims
+    jdir = workdir / "in_json"
+    jdir.mkdir()
+    for src in ["part1.csv", "part2.csv"]:
+        lines = (workdir / "in" / src).read_text().strip().splitlines()
+        header = lines[0].split(",")
+        out = []
+        for row in lines[1:]:
+            vals = row.split(",")
+            out.append(jsonlib.dumps(dict(zip(header, vals))))
+        (jdir / src.replace(".csv", ".json")).write_text("\n".join(out) + "\n")
+
+    # One stream per file, each into its OWN sink: a single Spark source
+    # schema cannot carry case-duplicate field names
+    # (COLUMN_ALREADY_EXISTS), and a sink is owned by one logical
+    # pipeline (per-batch commit markers assume deterministic replay of
+    # the same input — see run_stream).
+    (jdir / "part2.json").rename(workdir / "part2.json.hold")
+    q = hj.run_stream(
+        spark,
+        str(jdir),
+        "orderID string, Customer_ID string, Product_ID string, quantity string, date string",
+        cust,
+        prod,
+        output_dir=str(workdir / "sales_json_a"),
+        checkpoint_dir=str(workdir / "ckpt_json"),
+        source_format="json",
+    )
+    q.awaitTermination(120)
+    (jdir / "part1.json").unlink()
+    (workdir / "part2.json.hold").rename(jdir / "part2.json")
+    q = hj.run_stream(
+        spark,
+        str(jdir),
+        "order_id string, customer_id string, product_id string, Quantity string, "
+        "transaction_date string",
+        cust,
+        prod,
+        output_dir=str(workdir / "sales_json_b"),
+        checkpoint_dir=str(workdir / "ckpt_json2"),
+        source_format="json",
+    )
+    q.awaitTermination(120)
+    json_union = spark.read.parquet(str(workdir / "sales_json_a")).unionByName(
+        spark.read.parquet(str(workdir / "sales_json_b"))
+    )
+    got = sorted(tuple(r) for r in json_union.drop("sales_id").collect())
+    want = sorted(tuple(r) for r in stream_result.drop("sales_id").collect())
+    assert got == want
+
+
+def test_compaction_preserves_rows_and_markers(spark, dims, workdir, stream_result):
+    """Compacting the streaming sink keeps every row, shrinks the file
+    count, keeps commit markers (replay still a no-op), and sorts rows
+    so date_id min/max prune at file level."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.etl.compact import (
+        compact_parquet,
+        parquet_file_count,
+    )
+
+    out = workdir / "sales"
+    before_rows = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+    before_files = parquet_file_count(str(out))
+    n_after = compact_parquet(spark, str(out), sort_within_by=["date_id"])
+    assert n_after <= before_files
+    after_rows = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+    assert after_rows == before_rows
+    assert any(p.name.startswith("_batch_") for p in out.iterdir())
+
+    # replay against the compacted sink: still idempotent
+    cust, prod = dims
+    q = hj.run_stream(
+        spark,
+        str(workdir / "in"),
+        "orderID string, Customer_ID string, Product_ID string, quantity string, date string",
+        cust,
+        prod,
+        output_dir=str(out),
+        checkpoint_dir=str(workdir / "ckpt_after_compact"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == len(before_rows)
+
+
 def test_partitioned_fact_layout(spark, dims, workdir, stream_result):
     """partition_by_year writes hive layout sale_year=YYYY/ and the same
     rows; year predicates then prune partitions at scan time."""
@@ -200,9 +290,12 @@ def test_partitioned_fact_layout(spark, dims, workdir, stream_result):
     year_dirs = {p.name for p in (workdir / "sales_by_year").iterdir() if p.is_dir()}
     assert "sale_year=2017" in year_dirs
     assert "sale_year=1900" in year_dirs  # sentinel-date rows
+    # re-read the flat sink: the module fixture's DataFrame snapshot
+    # predates the compaction test's rewrite of the same directory
+    flat = spark.read.parquet(str(workdir / "sales"))
     df = spark.read.parquet(out)
-    assert df.count() == stream_result.count()
+    assert df.count() == flat.count()
     only_2017 = df.filter(F.col("sale_year") == 2017)
-    assert only_2017.count() == stream_result.filter(
+    assert only_2017.count() == flat.filter(
         (F.col("date_id") >= 20170000) & (F.col("date_id") < 20180000)
     ).count()
