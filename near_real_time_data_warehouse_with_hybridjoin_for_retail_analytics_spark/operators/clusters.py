@@ -1,0 +1,192 @@
+"""Near-duplicate clustering: pair edges → connected components.
+
+Pairwise near-dup detection (``operators/dedup.py``) emits edges; a real
+training-data pipeline needs the *transitive closure* of those edges —
+"A≈B and B≈C" must put A, B, C in one group even when A and C are not
+directly similar — then keeps one canonical document per group. This
+module closes that gap: connected components over the union of exact-
+duplicate edges and exact-Jaccard near-dup edges, component id = min
+doc_id in the component (so singletons are their own component and the
+canonical doc is the smallest id, matching ``dedup_exact``'s
+``min(doc_id)`` convention).
+
+Algorithm: iterative min-label propagation. Each round, every node
+takes the min of its own label and its neighbors' labels; convergence
+in O(component diameter) rounds. Near-dup clusters in web/corpus data
+are shallow (dup "chains" are rare, star-shaped clusters dominate), so
+the round count is small in practice; for adversarially deep graphs the
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond") converges in O(log n) rounds with the same
+join-shape per round — the loop below is deliberately structured so
+only the per-round step would change.
+
+Scale notes (100 TB):
+- The label frame is one row per document and the edge frame one row
+  per near-dup pair — both orders of magnitude smaller than the corpus
+  text after the pair-generation stage. Each round is one shuffle-join
+  on ``src`` plus one groupBy on ``dst``; hash partitioning on the join
+  key is stable across rounds so AQE reuses exchanges where possible.
+- ``localCheckpoint`` truncates the per-round lineage (the plan would
+  otherwise double every iteration and overwhelm the driver long before
+  the executors notice). On a real cluster with reliable storage,
+  ``checkpoint()`` to the cluster FS instead — same call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import query
+from .dedup import NEAR_DUP_JACCARD, _SQL_SHINGLES, dedup_ngram_jaccard
+
+MAX_ROUNDS = 50  # safety net; diameter-bound convergence is expected
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
+) -> DataFrame:
+    """Min-label propagation over undirected ``edges`` (src, dst).
+
+    ``nodes``: one column ``doc_id`` (isolated nodes allowed).
+    Returns (doc_id, component_id) where component_id = min doc_id
+    reachable from the node.
+    """
+    sym = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates()
+        .persist()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
+                ).alias("component_id"),
+                (F.col("nbr_min") < F.col("component_id")).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("changed")).limit(1).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+
+    sym.unpersist()
+    return labels
+
+
+def near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of exact-duplicate edges (same canonical fingerprint — covers
+    docs too short to produce a trigram shingle) and exact-Jaccard ≥ τ
+    near-dup edges, as (src, dst) with src < dst."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+    )
+    exact = (
+        fp.withColumn(
+            "src", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("src") < F.col("doc_id"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+    jacc = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return exact.union(jacc).dropDuplicates()
+
+
+_SQL_COMPONENTS = f"""
+    WITH RECURSIVE
+    sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    jacc AS (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NEAR_DUP_JACCARD}
+    ),
+    exact AS (
+      SELECT min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS src,
+             doc_id AS dst
+      FROM documents
+    ),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst FROM jacc
+        UNION SELECT src, dst FROM exact WHERE src < dst
+      )
+      UNION SELECT dst, src FROM (
+        SELECT src, dst FROM jacc
+        UNION SELECT src, dst FROM exact WHERE src < dst
+      )
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS component_id,
+           min(lbl) = node AS is_canonical
+    FROM walk GROUP BY node
+"""
+
+
+@query("dedup_components", _SQL_COMPONENTS)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup edges: every document labeled
+    with its duplicate-cluster id (= min doc_id in the cluster) and a
+    canonical flag. This is the keep/drop decision a dedup pipeline
+    actually ships — pair lists are an intermediate.
+
+    Oracle: DuckDB recursive CTE computing min reachable label
+    (transitive closure) — exponentially more work than the Spark loop,
+    but exact at test scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        docs.select("doc_id"), near_dup_edges(spark, sf_dir)
+    )
+    return comp.withColumn(
+        "is_canonical", F.col("component_id") == F.col("doc_id")
+    )
+
+
+@query(
+    "dedup_component_stats",
+    f"""
+    WITH comp AS ({_SQL_COMPONENTS})
+    SELECT component_id,
+           COUNT(*) AS member_count
+    FROM comp GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram input: non-singleton components and their
+    sizes — the dedup-rate report (docs dropped = Σ(size-1))."""
+    comp = dedup_components(spark, sf_dir)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("member_count"))
+        .filter(F.col("member_count") > 1)
+    )

@@ -172,3 +172,44 @@ def test_minhash_signature_shape(spark, sf_dir):
     sigs = dedup.minhash_signatures(dedup.shingles(docs))
     for r in sigs.collect():
         assert len(r.sig) == dedup.MINHASH_K
+
+
+def test_connected_components_transitive_closure(spark):
+    """A–B and B–C edges must land A, B, C in one component even though
+    A–C is not an edge — the property pair-based dedup output lacks.
+    Isolated nodes stay their own singleton component."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 0-1-2, pair 4-5, isolated 3 and 6
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in clusters.connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
+def test_dedup_components_cover_all_docs(spark, sf_dir):
+    """Every document gets exactly one component label; component ids
+    are member doc_ids; canonical = min of the component."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        clusters,
+    )
+
+    comp = clusters.dedup_components(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(comp) == n_docs
+    by_comp = {}
+    for r in comp:
+        by_comp.setdefault(r["component_id"], []).append(r["doc_id"])
+    for cid, members in by_comp.items():
+        assert cid == min(members)
+    assert sum(1 for r in comp if r["is_canonical"]) == len(by_comp)
