@@ -1,0 +1,159 @@
+"""Deterministic sampling and corpus selection for training-data curation.
+
+Training pipelines need samples that are (a) reproducible across runs
+and engines — no RNG state, no partition-order dependence — and (b)
+stratified, because corpora are head-heavy (one language or source
+dominates). Both operators here key the sampling decision on
+``md5(doc_id)``: a fixed, engine-portable hash, so the same document is
+always in or out of the sample no matter which system or how many
+partitions computed it. (Spark's ``rand(seed)`` is partition-order
+dependent and engine-private — useless as a selection contract.)
+
+Two strategies, the same trade as dedup's exact-vs-LSH split:
+
+  sample_stratified_topk   EXACTLY k docs per stratum, chosen by hash
+                           order. Needs a per-stratum sort (window) —
+                           one shuffle on the stratum key; skewed
+                           strata sort long. The precise option.
+  sample_hash_rate         rate-per-stratum via hash threshold. A pure
+                           map-side filter — zero shuffles, trivially
+                           100 TB-safe; sample size is binomial around
+                           rate·n rather than exact. The scale option.
+
+``corpus_select`` composes the library into the decision a pipeline
+actually ships: canonical docs only (dedup clusters, [[dedup_components]])
+∧ cheap quality gates ∧ head-language downsampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import query
+from .clusters import _SQL_COMPONENTS, dedup_components
+from .textops import _SQL_TOKENS, text_quality_scores
+
+TOPK_PER_STRATUM = 25
+# Hash-threshold rates per language: downsample the head language (en),
+# keep the tail. Thresholds are on the first md5 hex byte: '1f' → 32/256
+# = 12.5%, '7f' → 128/256 = 50%.
+HEAD_LANG = "en"
+HEAD_THRESHOLD = "1f"
+TAIL_THRESHOLD = "7f"
+# corpus_select quality gates (cheap filters before model-based scoring)
+MIN_TOKENS = 20
+MIN_TTR = 0.20
+
+
+def _hash_bucket(col: str = "doc_id"):
+    """First md5 hex byte of the id — a uniform, engine-portable 1/256
+    bucket. Computed identically by DuckDB's md5() (both emit lowercase
+    hex of the decimal string form of the id)."""
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+
+
+@query(
+    "sample_stratified_topk",
+    f"""
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {TOPK_PER_STRATUM}
+    """,
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per language, in hash order — a stable 'uniform
+    k-per-stratum' sample that survives reruns and engine swaps.
+
+    One shuffle (window partition on lang). Skew note: the per-stratum
+    sort is the cost at scale — for a huge head stratum, pre-filter
+    with a generous hash threshold (e.g. keep 4k/n fraction) before the
+    window so the sort touches ~4k rows, not the whole stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOPK_PER_STRATUM)
+    )
+
+
+@query(
+    "sample_hash_rate",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+            <= CASE WHEN lang = '{HEAD_LANG}'
+                    THEN '{HEAD_THRESHOLD}' ELSE '{TAIL_THRESHOLD}' END
+    """,
+)
+def sample_hash_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-per-stratum sampling as a pure filter: keep a doc iff its
+    hash bucket clears the stratum's threshold. No shuffle, no state —
+    the predicate pushes into the scan, so at 100 TB this costs one
+    pass over (doc_id, lang). Head language kept at 12.5%, tail at 50%
+    (language rebalancing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == HEAD_LANG, F.lit(HEAD_THRESHOLD)).otherwise(
+        F.lit(TAIL_THRESHOLD)
+    )
+    return docs.filter(_hash_bucket() <= thr).select("doc_id", "lang")
+
+
+@query(
+    "corpus_select",
+    f"""
+    WITH comp AS ({_SQL_COMPONENTS}),
+    toks AS ({_SQL_TOKENS}),
+    t AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, t.n_tokens
+    FROM documents d
+    JOIN comp ON d.doc_id = comp.doc_id AND comp.is_canonical
+    JOIN t ON d.doc_id = t.doc_id
+    WHERE t.n_tokens >= {MIN_TOKENS}
+      AND t.ttr >= {MIN_TTR}
+      AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+            <= CASE WHEN d.lang = '{HEAD_LANG}'
+                    THEN '{HEAD_THRESHOLD}' ELSE '{TAIL_THRESHOLD}' END
+    """,
+)
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus selection: drop duplicate-cluster non-canonical
+    docs, apply cheap quality gates (token count, type-token ratio),
+    then rebalance languages by hash-rate sampling. The composition a
+    curation pipeline runs nightly; every stage is one of this repo's
+    operators, so the whole plan stays declarative (the only iterative
+    part is the component loop, whose output is a tiny label frame)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = dedup_components(spark, sf_dir).filter("is_canonical").select("doc_id")
+    quality = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "type_token_ratio"
+    )
+    thr = F.when(F.col("lang") == HEAD_LANG, F.lit(HEAD_THRESHOLD)).otherwise(
+        F.lit(TAIL_THRESHOLD)
+    )
+    return (
+        docs.join(canon, "doc_id")
+        .join(quality, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("type_token_ratio") >= MIN_TTR)
+            & (_hash_bucket() <= thr)
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )

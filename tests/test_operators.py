@@ -213,3 +213,62 @@ def test_dedup_components_cover_all_docs(spark, sf_dir):
     for cid, members in by_comp.items():
         assert cid == min(members)
     assert sum(1 for r in comp if r["is_canonical"]) == len(by_comp)
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark, sf_dir):
+    """Top-k sample takes at most k per stratum and is bit-identical
+    across runs (hash order, no RNG)."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        sampling,
+    )
+
+    a = sampling.sample_stratified_topk(spark, sf_dir).collect()
+    b = sampling.sample_stratified_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang = {}
+    for r in a:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert all(v <= sampling.TOPK_PER_STRATUM for v in per_lang.values())
+
+
+def test_hash_rate_downsamples_head_language(spark, sf_dir):
+    """Head language is kept at a lower rate than the tail; the sample
+    is a deterministic subset of the corpus."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in sampling.sample_hash_rate(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    head_rate = kept.get(sampling.HEAD_LANG, 0) / totals[sampling.HEAD_LANG]
+    tail_kept = sum(v for k, v in kept.items() if k != sampling.HEAD_LANG)
+    tail_total = sum(v for k, v in totals.items() if k != sampling.HEAD_LANG)
+    assert head_rate < tail_kept / tail_total
+
+
+def test_corpus_select_members_are_canonical_and_pass_gates(spark, sf_dir):
+    """Every selected doc is its cluster's canonical member and clears
+    the quality gates."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        clusters,
+        sampling,
+        textops,
+    )
+
+    sel = {r["doc_id"] for r in sampling.corpus_select(spark, sf_dir).collect()}
+    canon = {
+        r["doc_id"]
+        for r in clusters.dedup_components(spark, sf_dir).filter("is_canonical").collect()
+    }
+    assert sel <= canon
+    q = {
+        r["doc_id"]: r
+        for r in textops.text_quality_scores(spark, sf_dir).collect()
+    }
+    for d in sel:
+        assert q[d]["n_tokens"] >= sampling.MIN_TOKENS
+        assert q[d]["type_token_ratio"] >= sampling.MIN_TTR
