@@ -8,5 +8,13 @@ search, text analysis, and multimodal-column plumbing.
 Importing this package registers the operators' graded queries.
 """
 
-from . import clusters, dedup, multimodal, sampling, similarity, textops  # noqa: F401
+from . import (  # noqa: F401
+    clusters,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textops,
+    timeseries,
+)
 from ..streaming import windows  # noqa: F401  (registers etl_events_hourly)

@@ -12,7 +12,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -211,3 +211,91 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed fingerprints of the documents table (see
     winnow_fingerprints for the algorithm and scale shape)."""
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics: exact per-stratum quantiles
+# ---------------------------------------------------------------------------
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "text_length_quantiles",
+    """
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS p50,
+           MAX(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT) THEN n_chars END) AS p90,
+           MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
+    FROM (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    GROUP BY lang, n
+    """,
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p50/p90/p99) of document length per
+    language — the length-distribution report a curation run emits.
+
+    Discrete (rank-selected) rather than interpolated quantiles: the
+    value at rank ceil(q·n) is an element of the data, so the result is
+    integer-exact and engine-portable — interpolated percentiles differ
+    across engines in floating-point summation order. One shuffle
+    (window over lang); at scale, skewed strata sort long — swap in
+    percentile_approx when a bounded-error answer is acceptable."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias(f"p{int(q * 100)}")
+        for q in _QUANTILES
+    ]
+    return (
+        ranked.groupBy("lang", "n")
+        .agg(*aggs)
+        .select("lang", F.col("n").cast("long").alias("n_docs"), "p50", "p90", "p99")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: global top-k tokens by document frequency
+# ---------------------------------------------------------------------------
+VOCAB_TOPK = 50
+
+
+@query(
+    "text_vocab_topk",
+    f"""
+    WITH toks AS ({_SQL_TOKENS})
+    SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM toks GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT {VOCAB_TOPK}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary by document frequency (token appears in how many
+    docs), deterministic tiebreak on the token itself. The global top-k
+    is a TakeOrderedAndProject — partial top-k per partition, only k
+    rows cross the final exchange, no full sort at any scale."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(VOCAB_TOPK)
+    )

@@ -1,0 +1,127 @@
+"""Time-series joins over the events stream: as-of and bounded-range.
+
+Spark has no ASOF JOIN operator (DuckDB and kdb do); the scalable
+re-expression is the union-and-window trick: interleave both sides into
+one frame ordered by (ts, side) per key, carry the left side's last row
+forward with ``last(..., ignorenulls=True)``. One shuffle on the key,
+one sort — the same cost as a single window aggregate, and no
+quadratic candidate generation at any key cardinality.
+
+Bounded-range joins ("events within the prior 5 minutes") get the
+interval-bucketing pattern: quantize time into interval-width buckets,
+equi-join on (key, bucket) for the two buckets any qualifying row can
+live in, then filter exactly. The equi-join keeps Catalyst on
+shuffle-hash/sort-merge strategies — a naive ``t BETWEEN a AND b`` join
+degenerates to broadcast-nested-loop and dies at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import query
+
+CONTEXT_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+@query(
+    "events_asof_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the user's latest prior (or same-
+    instant) click — the canonical as-of join. Purchases with no prior
+    click keep NULL attribution (left semantics).
+
+    Oracle: DuckDB's native ASOF LEFT JOIN. Spark plan: one union, one
+    window over (user_id, ts) — ties order clicks (side 0) before
+    purchases (side 1), matching the oracle's ``>=`` bound."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(0).alias("side")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("side") == 0, F.struct("ts", "eid")), ignorenulls=True
+    ).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("lc", last_click)
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("eid").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.col("lc.eid").alias("click_id"),
+            (F.unix_micros("ts") - F.unix_micros("lc.ts")).alias(
+                "micros_since_click"
+            ),
+        )
+    )
+
+
+@query(
+    "events_error_context",
+    """
+    SELECT e.event_id AS error_id,
+           e.user_id,
+           epoch_us(e.ts) AS error_us,
+           CAST((SELECT COUNT(*)
+                 FROM events x
+                 WHERE x.user_id = e.user_id
+                   AND x.ts < e.ts
+                   AND epoch_us(e.ts) - epoch_us(x.ts) <= 300000000
+                ) AS BIGINT) AS n_context_events
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: how many same-user events occurred in the
+    strictly-prior 5 minutes (incident context size).
+
+    Interval bucketing: an event qualifying for an error at time t lives
+    in the error's 5-minute bucket or the one before, so each error
+    probes exactly two (user_id, bucket) keys; the exact time filter
+    runs after the equi-join. Shuffle volume is O(rows), never O(pairs);
+    the oracle's correlated subquery is the semantic spec, DuckDB
+    decorrelates it itself."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    bucket = (F.col("us") / F.lit(CONTEXT_WINDOW_US)).cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("us").alias("error_us"),
+        F.explode(F.array(bucket - 1, bucket)).alias("bucket"),
+    )
+    candidates = ev.select(
+        "user_id", bucket.alias("bucket"), F.col("us").alias("cand_us")
+    )
+    hit = (F.col("cand_us") < F.col("error_us")) & (
+        F.col("error_us") - F.col("cand_us") <= CONTEXT_WINDOW_US
+    )
+    return (
+        errors.join(candidates, ["user_id", "bucket"], "left")
+        .groupBy("error_id", "user_id", "error_us")
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_context_events"))
+    )
