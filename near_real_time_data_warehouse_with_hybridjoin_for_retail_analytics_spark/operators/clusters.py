@@ -43,6 +43,14 @@ from .dedup import NEAR_DUP_JACCARD, _SQL_SHINGLES, dedup_ngram_jaccard
 
 MAX_ROUNDS = 50  # safety net; diameter-bound convergence is expected
 
+# One component labeling per (session, sf_dir): the label frame feeds
+# several consumers (component report, cluster stats, corpus selection)
+# and is the product of a multi-round loop — recomputing it per consumer
+# would repeat every round. Same pattern (and rationale) as
+# dedup.cached_shingles; at 100 TB this is "materialize the dedup
+# labels once, reuse across the curation run".
+_COMPONENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
@@ -163,11 +171,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE computing min reachable label
     (transitive closure) — exponentially more work than the Spark loop,
     but exact at test scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(
-        docs.select("doc_id"), near_dup_edges(spark, sf_dir)
-    )
-    return comp.withColumn(
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COMPONENT_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _COMPONENT_CACHE[key] = connected_components(
+            docs.select("doc_id"), near_dup_edges(spark, sf_dir)
+        )
+    return _COMPONENT_CACHE[key].withColumn(
         "is_canonical", F.col("component_id") == F.col("doc_id")
     )
 
