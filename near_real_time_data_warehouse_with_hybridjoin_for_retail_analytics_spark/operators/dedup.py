@@ -386,3 +386,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ga", "gb")
         .applyInPandas(_cosine_pairs_kernel, _PAIR_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Method agreement: text near-dups vs embedding near-dups
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_crosscheck",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    textp AS (
+      SELECT doc_a, doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NEAR_DUP_JACCARD}
+    ),
+    embp AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_COSINE}
+    )
+    SELECT CASE WHEN t.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 'both'
+                WHEN t.doc_a IS NOT NULL THEN 'text_only'
+                ELSE 'embedding_only' END AS agreement,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM textp t
+    FULL JOIN embp e ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
+    GROUP BY 1
+    """,
+)
+def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement report between the two near-dup modalities (trigram
+    Jaccard on text vs cosine on embeddings, ids aligned 1:1 in the
+    testdata): pairs flagged by both, by text only, by embeddings only.
+    The QA readout a curation pipeline uses to tune thresholds — a big
+    'embedding_only' bucket means the text threshold is too tight (or
+    the embeddings conflate topics), and vice versa."""
+    t = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    e = dedup_embedding_cosine(spark, sf_dir)
+    joined = t.join(
+        e,
+        (t["doc_a"] == e["vec_a"]) & (t["doc_b"] == e["vec_b"]),
+        "full",
+    )
+    agreement = (
+        F.when(F.col("doc_a").isNotNull() & F.col("vec_a").isNotNull(), "both")
+        .when(F.col("doc_a").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+    )
+    return joined.groupBy(agreement.alias("agreement")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -299,3 +299,67 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "token")
         .limit(VOCAB_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top terms per document
+# ---------------------------------------------------------------------------
+TFIDF_TOPK = 5
+
+
+@query(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token
+             ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TFIDF_TOPK}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf — the classic
+    relevance/topic signal, and the standard cheap doc-descriptor before
+    embeddings. tf and df are exact integers (two shuffles: (doc, token)
+    and token); the only float is the final score, rounded to 6 decimals
+    so a ULP of libm ln() difference across engines cannot flip the
+    hash or the rank order (ties break on the token)."""
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # corpus size as a broadcast 1-row frame, not a driver .count() —
+    # keeps the whole plan lazy/single-submission
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
