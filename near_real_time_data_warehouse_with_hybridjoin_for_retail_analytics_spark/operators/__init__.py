@@ -17,4 +17,4 @@ from . import (  # noqa: F401
     textops,
     timeseries,
 )
-from ..streaming import windows  # noqa: F401  (registers etl_events_hourly)
+from ..streaming import interval_join, windows  # noqa: F401  (registers etl_* stream twins)
