@@ -22,7 +22,7 @@ from ..plans.registry import query
 METADATA_SCHEMA = (
     "doc_id long, byte_len int, header_hex string, modality string"
 )
-FEATURE_SCHEMA = "doc_id long, feature array<float>"
+FEATURE_SCHEMA = "doc_id long, feature array<double>"
 FEATURE_DIM = 8
 
 _DECODERS_AVAILABLE = False  # flips when real media libs are installed
@@ -157,13 +157,47 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata_pipeline(docs)
 
 
-@query("multimodal_features")  # rows-only: array<float> hashing is
-# float-format-sensitive across engines; shape/determinism are pytest-gated
+def _feature_oracle() -> str:
+    """Byte-histogram oracle: per-byte bucket = ascii % FEATURE_DIM
+    (documents are ASCII, so codepoint == byte — same assumption the
+    hash-matched frame_sample oracle makes). Each fk = exact int count
+    divided in DOUBLE — IEEE-identical to the kernel's f64 division."""
+    fks = ",\n           ".join(
+        f"coalesce(CAST(sum(CASE WHEN bucket = {k} THEN 1 END) AS DOUBLE)"
+        f" / count(bucket), 0.0) AS f{k}"
+        for k in range(FEATURE_DIM)
+    )
+    return f"""
+    WITH bytes AS (
+      SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) % {FEATURE_DIM} AS bucket
+      FROM (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents
+      )
+    )
+    SELECT d.doc_id,
+           {fks}
+    FROM documents d LEFT JOIN bytes b USING (doc_id)
+    GROUP BY d.doc_id
+    """
+
+
+@query("multimodal_features", _feature_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-dim feature extraction through mapInPandas (the model-server
-    UDF shape; deterministic byte-histogram stand-in for an encoder)."""
+    UDF shape; deterministic byte-histogram stand-in for an encoder).
+    The graded surface flattens the vector to one DOUBLE column per
+    dimension — scalar columns canonicalize across engines, where a raw
+    array column does not (r01 driver canonicalizer failure)."""
     docs = load_table(spark, sf_dir, "documents")
-    return feature_pipeline(docs)
+    feats = feature_pipeline(docs)
+    return feats.select(
+        "doc_id",
+        *[
+            F.element_at("feature", k + 1).alias(f"f{k}")
+            for k in range(FEATURE_DIM)
+        ],
+    )
 
 
 @query(
