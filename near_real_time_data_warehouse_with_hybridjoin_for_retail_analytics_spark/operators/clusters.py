@@ -55,6 +55,10 @@ MAX_ROUNDS = 50  # safety net; diameter-bound convergence is expected
 # labels once, reuse across the curation run".
 _COMPONENT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Edge frames are consumed twice per curation run (text-only components
+# and the multimodal union) — persist per (session, sf) like the labels.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
@@ -118,22 +122,27 @@ def connected_components(
 def near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of exact-duplicate edges (same canonical fingerprint — covers
     docs too short to produce a trigram shingle) and exact-Jaccard ≥ τ
-    near-dup edges, as (src, dst) with src < dst."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
-    )
-    exact = (
-        fp.withColumn(
-            "src", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    near-dup edges, as (src, dst) with src < dst. Persisted per
+    (session, sf): both the text-only and the multimodal component
+    queries consume this frame."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        fp = docs.select(
+            "doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
         )
-        .filter(F.col("src") < F.col("doc_id"))
-        .select("src", F.col("doc_id").alias("dst"))
-    )
-    jacc = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    return exact.union(jacc).dropDuplicates()
+        exact = (
+            fp.withColumn(
+                "src", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+            )
+            .filter(F.col("src") < F.col("doc_id"))
+            .select("src", F.col("doc_id").alias("dst"))
+        )
+        jacc = dedup_ngram_jaccard(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        _EDGE_CACHE[key] = exact.union(jacc).dropDuplicates().persist()
+    return _EDGE_CACHE[key]
 
 
 _SQL_COMPONENTS = f"""
@@ -279,7 +288,17 @@ def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_edges = dedup_embedding_cosine(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
-    edges = near_dup_edges(spark, sf_dir).union(emb_edges).dropDuplicates()
+    # Contract the text graph first: the text-only labeling is already
+    # materialized (_COMPONENT_CACHE via dedup_components), and replacing
+    # its edges with star edges (text-canonical → member) preserves
+    # connectivity exactly while collapsing every text chain to diameter
+    # ≤ 2 — the union loop then only has to close over the *embedding*
+    # chains instead of re-walking (and re-mining) the text edges.
+    text_comp = dedup_components(spark, sf_dir)
+    star = text_comp.filter(F.col("component_id") != F.col("doc_id")).select(
+        F.col("component_id").alias("src"), F.col("doc_id").alias("dst")
+    )
+    edges = star.union(emb_edges).dropDuplicates()
     comp = connected_components(docs.select("doc_id"), edges)
     return comp.withColumn(
         "is_canonical", F.col("component_id") == F.col("doc_id")
