@@ -8,6 +8,11 @@ Execution is forced with the `noop` sink (full pipeline runs, nothing
 collected to the driver) so timings measure the engine, not result
 transfer. A warm-up pass of the first query absorbs one-time JVM/codegen
 cost so per-query numbers reflect steady state.
+
+Each query is timed ``BENCH_RUNS`` times (default 2) and the minimum is
+reported: this host shows multi-second noisy-neighbor CPU bursts, and
+min-of-N measures the engine rather than the neighbor. Set
+``SPARK_GRAFT_BENCH_RUNS=1`` for a single-pass run.
 """
 
 from __future__ import annotations
@@ -58,9 +63,20 @@ def main() -> None:
 
     dedup.cached_shingles(spark, sf_dir).count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name in names:
-        timings[name] = round(run_query(registry.QUERIES[name], spark, sf_dir), 3)
+    for p in range(runs):
+        if p > 0:
+            # Re-run passes with the same cache semantics as a fresh
+            # session: per-session operator caches are rebuilt inside
+            # the pass (so min-of-N never times a bare cache hit), and
+            # the suite-level shingle staging is re-materialized
+            # uncounted, exactly like the pass-0 warm-up above.
+            near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.reset_session_caches()
+            dedup.cached_shingles(spark, sf_dir).count()
+        for name in names:
+            t = round(run_query(registry.QUERIES[name], spark, sf_dir), 3)
+            timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -18,3 +18,18 @@ from . import (  # noqa: F401
     timeseries,
 )
 from ..streaming import interval_join, windows  # noqa: F401  (registers etl_* stream twins)
+
+
+def reset_session_caches() -> None:
+    """Drop every per-session operator cache (persisted shingles/edges,
+    component labels, IVF centroids). Used by the bench harness between
+    measurement passes so each pass rebuilds state exactly as a fresh
+    session would — min-of-N stays a measurement, not a cache readout."""
+    for df in dedup._SHINGLE_CACHE.values():
+        df.unpersist()
+    dedup._SHINGLE_CACHE.clear()
+    for df in clusters._EDGE_CACHE.values():
+        df.unpersist()
+    clusters._EDGE_CACHE.clear()
+    clusters._COMPONENT_CACHE.clear()
+    similarity._CENTROID_CACHE.clear()
