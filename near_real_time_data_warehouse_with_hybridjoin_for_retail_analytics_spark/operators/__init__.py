@@ -10,6 +10,7 @@ Importing this package registers the operators' graded queries.
 
 from . import (  # noqa: F401
     clusters,
+    curation,
     dedup,
     multimodal,
     sampling,

@@ -1,0 +1,393 @@
+"""Corpus-curation operators: the steps between "raw documents" and
+"training batches" that a large-scale data pipeline runs after dedup —
+mixture reporting, token budgeting, decontamination, repetition
+filtering, and sequence packing.
+
+All five are pure Catalyst plans (joins/windows/aggregations — zero
+Python in the hot path) and each is oracle-checked against DuckDB.
+Engine-portability rules follow plans/testdata_queries: integer casts
+pinned, doubles produced only by division, sampling keyed by md5 of the
+id's string form (identical across engines, RNG-free).
+
+Scale notes (100 TB):
+- Every per-stratum window partitions by (lang) or (source): strata
+  process in parallel, and within a stratum Spark's window exchange is
+  a single hash partition — for a pathologically large single stratum
+  the two-phase form (per-range partial sums + broadcast offsets, cf.
+  streaming/hybrid_join.assign_sales_ids) swaps in without changing
+  the operator's contract.
+- Decontamination joins on the n-gram key: the eval-side relation is
+  tiny (held-out benchmarks), so Catalyst broadcasts it; the train side
+  never shuffles its text, only (doc_id, gram) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import query
+from .dedup import TOKEN_SPLIT, shingles
+
+# Training-sequence length for concat-and-chunk packing.
+PACK_SEQ_TOKENS = 512
+# Held-out "benchmark" slice for the decontamination report: a
+# deterministic ~2% of documents stand in for an eval suite.
+EVAL_MODULUS = 43
+# n-gram order for contamination matching (longer than the dedup
+# trigrams — contamination wants high-precision matches).
+CONTAM_NGRAM = 5
+# Per-source token budget for mixture sampling.
+SOURCE_TOKEN_BUDGET = 20_000
+
+_SQL_N_TOKENS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+def _n_tokens_col():
+    """Token count without an explode — ``size(split(...))`` stays in
+    codegen. Built with the Python API, not F.expr: inside a SQL string
+    literal ``'\\s+'`` collapses to ``'s+'`` (backslash escape), which
+    silently splits on the letter s."""
+    return F.size(F.split(F.trim("text"), TOKEN_SPLIT)).cast("long")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, n_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", "source", _n_tokens_col().alias("n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+@query(
+    "curation_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(CAST(cum_before AS DOUBLE) / {PACK_SEQ_TOKENS}) AS BIGINT) AS seq_id,
+           CAST(cum_before % {PACK_SEQ_TOKENS} AS INT) AS seq_offset
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing, per language: documents are
+    concatenated in doc_id order within each lang stream and chunked
+    into {PACK_SEQ_TOKENS}-token training sequences. Each doc learns
+    which sequence it starts in (seq_id) and at which offset — the
+    (shard, offset) addressing a dataloader needs. A prefix sum per
+    stratum; no data movement beyond one hash partition per lang."""
+    t = _doc_tokens(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before.cast("double") / PACK_SEQ_TOKENS)
+        .cast("long")
+        .alias("seq_id"),
+        (cum_before % PACK_SEQ_TOKENS).cast("int").alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap against a held-out eval slice
+# ---------------------------------------------------------------------------
+_SQL_CONTAM_GRAMS = f"""
+    SELECT DISTINCT doc_id,
+           unnest([list_aggregate(w[i:i+{CONTAM_NGRAM - 1}], 'string_agg', ' ')
+                   for i in range(1, len(w) - {CONTAM_NGRAM - 2})]) AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents)
+"""
+
+
+@query(
+    "curation_contamination",
+    f"""
+    WITH grams AS ({_SQL_CONTAM_GRAMS}),
+    eval_g AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % {EVAL_MODULUS} = 0),
+    train_g AS (SELECT doc_id, gram FROM grams WHERE doc_id % {EVAL_MODULUS} <> 0),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_shared_ngrams,
+             CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_matched_eval_docs
+      FROM train_g t JOIN eval_g e ON t.gram = e.gram
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+           COALESCE(h.n_matched_eval_docs, 0) AS n_matched_eval_docs,
+           h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {EVAL_MODULUS} <> 0
+    """,
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination report: every training document scored
+    by {CONTAM_NGRAM}-gram overlap against the held-out slice
+    (doc_id % {EVAL_MODULUS} = 0, standing in for an eval suite). The
+    join key is the gram; the eval side is broadcast-small by
+    construction. Docs sharing any gram are flagged — the drop/keep
+    input for pre-training decontamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles(docs, n=CONTAM_NGRAM)
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    eval_g = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), F.col("shingle").alias("gram")
+    )
+    train_g = grams.filter(~is_eval).select(
+        "doc_id", F.col("shingle").alias("gram")
+    )
+    hits = (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_ngrams"),
+            F.count_distinct("eval_id").alias("n_matched_eval_docs"),
+        )
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits.withColumn("_hit", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            F.coalesce("n_matched_eval_docs", F.lit(0)).alias(
+                "n_matched_eval_docs"
+            ),
+            F.coalesce("_hit", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+@query(
+    "curation_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tok_stats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_token_count
+      FROM (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    bg_stats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_count
+      FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens AS dup_token_frac,
+           CAST(t.top_token_count AS DOUBLE) / t.n_tokens AS top_token_frac,
+           CASE WHEN b.n_bigrams IS NULL OR b.n_bigrams = 0 THEN 0.0
+                ELSE CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams
+           END AS top_bigram_frac
+    FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
+    """,
+)
+def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals in the Gopher/MassiveText
+    style: fraction of tokens that are repeat occurrences, mass of the
+    single most frequent token, and mass of the most frequent word
+    bigram. High values mark boilerplate/spam for the quality gate.
+    Two explode→agg passes, shuffling only (doc_id, key) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
+    )
+    tok_stats = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_token_count"),
+        )
+    )
+    bigrams = (
+        docs.select(
+            "doc_id", F.split(F.trim("text"), TOKEN_SPLIT).alias("w")
+        )
+        .select(
+            "doc_id",
+            # guarded: sequence(1, 0) yields a DESCENDING [1, 0] in
+            # Spark, so the one-token case must short-circuit to []
+            F.explode(
+                F.expr(
+                    "if(size(w) >= 2, "
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat_ws(' ', slice(w, i, 2))), "
+                    "cast(array() as array<string>))"
+                )
+            ).alias("bg"),
+        )
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    return tok_stats.join(bg_stats, "doc_id", "left").select(
+        "doc_id",
+        (
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_token_frac"),
+        (F.col("top_token_count").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+        F.when(
+            F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), F.lit(0.0)
+        )
+        .otherwise(F.col("top_bigram_count").cast("double") / F.col("n_bigrams"))
+        .alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture report
+# ---------------------------------------------------------------------------
+@query(
+    "curation_mix_report",
+    f"""
+    WITH per_doc AS (
+      SELECT source, lang,
+             CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(n_tokens) AS total_tokens,
+             SUM(n_chars) AS total_chars,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts
+      FROM per_doc GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_tokens, total_chars, n_unique_texts,
+           CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share
+    FROM g
+    """,
+)
+def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data card: per (source, lang) doc counts, token/char totals,
+    exact-unique text counts, and each stratum's share of the corpus
+    token budget — what a mixture spec is written against. One groupBy
+    plus a scalar window; the distinct-fingerprint count is the only
+    extra exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        _n_tokens_col().alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    )
+    g = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("fp").alias("n_unique_texts"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_unique_texts",
+        (
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(Window.partitionBy())
+        ).alias("token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling
+# ---------------------------------------------------------------------------
+@query(
+    "curation_token_budget_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+    """,
+)
+def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling to a per-source token budget: docs are ranked
+    by a deterministic md5 of their id (an RNG-free shuffle both
+    engines compute identically) and taken in that order until the
+    stratum's running token total reaches {SOURCE_TOKEN_BUDGET}. The
+    per-stratum prefix-sum shape again — the downsampling step that
+    turns a mixture spec into an actual training subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        _n_tokens_col().alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

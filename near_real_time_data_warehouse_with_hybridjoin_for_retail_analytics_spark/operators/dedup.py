@@ -72,11 +72,16 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         "doc_id", F.split(F.trim("text"), TOKEN_SPLIT).alias("w")
     )
     # n-gram assembly as an array comprehension — stays in codegen.
+    # Guarded for short docs: sequence(1, 0) yields a DESCENDING [1, 0]
+    # in Spark, whose 0 would crash slice(); docs below n tokens must
+    # short-circuit to an empty gram array.
     grams = toks.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
-            f"i -> concat_ws(' ', slice(w, i, {n})))"
+            f"if(size(w) >= {n}, "
+            f"transform(sequence(1, size(w) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(w, i, {n}))), "
+            f"cast(array() as array<string>))"
         ).alias("grams"),
     )
     return grams.select(
