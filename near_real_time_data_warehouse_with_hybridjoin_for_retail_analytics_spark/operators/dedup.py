@@ -39,15 +39,69 @@ MINHASH_K = 64
 LSH_BANDS = 16
 LSH_ROWS = 4
 NEAR_DUP_JACCARD = 0.5
-# SimHash near-dup: Hamming ≤ 3 over 64 bits; 4×16-bit pigeonhole bands.
+# SimHash near-dup: Hamming ≤ 3 over 60 bits; 4×15-bit pigeonhole bands.
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
 # Embedding near-dup threshold (testdata cosines top out ≈ 0.46).
 NEAR_DUP_COSINE = 0.35
 
-# Hash family: h_i(x) = xxhash64(xxhash64(x), i) — salted rehash of the
-# base shingle hash. Overflow-free under ANSI mode (an affine a*h+b
-# family would throw on long overflow) and fully JVM-side.
+# ---------------------------------------------------------------------------
+# Engine-portable hash family
+# ---------------------------------------------------------------------------
+# Base hash: the first 15 hex chars of md5 parsed as a 60-bit integer —
+# Spark `conv(substr(md5(x),1,15),16,10)` and DuckDB
+# `('0x' || substr(md5(x),1,15))::BIGINT` agree bit-for-bit, which is
+# what lets the *approximate* dedup pipelines (MinHash+LSH, SimHash) be
+# value-hash-checked against the DuckDB oracle instead of rows-only.
+# Rehash family: affine over the two 30-bit halves,
+#   h_i = (A_i·lo + C_i·hi + B_i) mod (2^31−1),
+# with every product < 2^60 — overflow-free under ANSI mode (a direct
+# a·h+b over the 60-bit base would throw on long overflow).
+P31 = 2_147_483_647  # 2^31 − 1 (prime)
+M30 = 1 << 30
+
+_SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit base hash both Spark and DuckDB compute identically."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _lcg_coeffs(k: int) -> list[tuple[int, int, int]]:
+    """Fixed (A, C, B) affine coefficients from a seeded LCG — plain
+    literals embedded identically in the Spark plan and the oracle SQL."""
+    x = 0x243F6A8885A308D3
+    out = []
+
+    def step() -> int:
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        return x >> 33
+
+    for _ in range(k):
+        out.append((step() % M30 | 1, step() % M30 | 1, step() % P31))
+    return out
+
+
+MINHASH_COEFFS = _lcg_coeffs(MINHASH_K)
+
+
+def _fold_cols(cols: list[Column]) -> Column:
+    """Order-dependent polynomial combine of per-row hash values
+    (Horner, base 31, mod 2^31−1); mirrors `_fold_sql`."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = (acc * F.lit(31) + c) % F.lit(P31)
+    return acc
+
+
+def _fold_sql(terms: list[str]) -> str:
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"(({acc}) * 31 + {t}) % {P31}"
+    return acc
 
 
 # The shingle relation feeds several branches of each near-dup plan
@@ -186,11 +240,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>): k min-hashes per doc in one groupBy —
     map-side partial min means the shuffle carries k longs per doc."""
-    base = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    mins = base.groupBy("doc_id").agg(
+    hb = sh.select("doc_id", portable_hash60("shingle").alias("h")).select(
+        "doc_id", (F.col("h") % M30).alias("lo"), F.shiftright("h", 30).alias("hi")
+    )
+    mins = hb.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
-            for i in range(MINHASH_K)
+            F.min((F.lit(a) * F.col("lo") + F.lit(c) * F.col("hi") + F.lit(b)) % P31).alias(
+                f"m{i}"
+            )
+            for i, (a, c, b) in enumerate(MINHASH_COEFFS)
         ]
     )
     return mins.select(
@@ -199,7 +257,10 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Banded LSH: docs colliding in any band become candidate pairs."""
+    """Banded LSH: docs colliding in any band become candidate pairs.
+    Band keys are the polynomial fold of the band's signature rows —
+    the same arithmetic the oracle SQL runs, so the candidate sets are
+    identical across engines (no engine-private hash in the plan)."""
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -207,7 +268,12 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.hash(F.slice("sig", i * LSH_ROWS + 1, LSH_ROWS)).alias("bh"),
+                        _fold_cols(
+                            [
+                                F.element_at("sig", i * LSH_ROWS + j + 1)
+                                for j in range(LSH_ROWS)
+                            ]
+                        ).alias("bh"),
                     )
                     for i in range(LSH_BANDS)
                 ]
@@ -224,12 +290,55 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic
+def _minhash_lsh_sql() -> str:
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * lo + {c} * hi + {b}) % {P31}) AS m{i}"
+        for i, (a, c, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"{_fold_sql([f'm{i * LSH_ROWS + j}' for j in range(LSH_ROWS)])} AS bh FROM sig"
+        for i in range(LSH_BANDS)
+    )
+    h60 = _SQL_H60.format(x="shingle")
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    hv AS (SELECT doc_id, {h60} AS h FROM sh),
+    hb AS (SELECT doc_id, h % {M30} AS lo, h >> 30 AS hi FROM hv),
+    sig AS (SELECT doc_id, {sig_cols} FROM hb GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(common_shingles AS DOUBLE)
+             / (sa.n + sb.n - common_shingles) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common_shingles AS DOUBLE)
+            / (sa.n + sb.n - common_shingles) >= {NEAR_DUP_JACCARD}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_lsh_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection with exact-Jaccard verification of
     candidates only. At 100 TB: signatures are one linear pass, bucket
     joins shuffle only (band, hash) keys, and the quadratic verification
-    touches candidate pairs instead of all pairs."""
+    touches candidate pairs instead of all pairs.
+
+    The whole pipeline runs on the engine-portable hash family, so the
+    oracle replays it exactly (full value-hash check, not rows-only) —
+    LSH recall vs exact ngram Jaccard stays gated in tests."""
     sh = cached_shingles(spark, sf_dir)
     cands = lsh_candidate_pairs(minhash_signatures(sh))
 
@@ -261,32 +370,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): sign of per-bit vote sums over token
-    hashes. 64 conditional sums in a single groupBy — one shuffle."""
+    hashes. 60 conditional sums in a single groupBy — one shuffle; the
+    60-bit portable base hash keeps the whole signature replayable by
+    the DuckDB oracle."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", portable_hash60("token"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ]
     )
     bit_terms: list[Column] = [
         F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
         .otherwise(F.lit(0).cast("long"))
-        for j in range(64)
+        for j in range(SIMHASH_BITS)
     ]
-    sig = functools.reduce(lambda x, y: x.bitwiseOR(y), bit_terms)
+    # disjoint bits: + is | but stays foldable alongside the SQL twin
+    sig = functools.reduce(lambda x, y: x + y, bit_terms)
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-@query("dedup_simhash")  # rows-only: banding recall is structural, not SQL
+_SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+_SIMHASH_CHUNK_MASK = (1 << _SIMHASH_CHUNK_BITS) - 1
+
+
+def _simhash_sql() -> str:
+    h60 = _SQL_H60.format(x="token")
+    vote_cols = ",\n             ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig_expr = "\n           + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    chunk_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {i * _SIMHASH_CHUNK_BITS}) & {_SIMHASH_CHUNK_MASK} AS chunk FROM sig"
+        for i in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    hv AS (SELECT doc_id, {h60} AS h FROM toks),
+    votes AS (SELECT doc_id, {vote_cols} FROM hv GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_expr} AS simhash FROM votes),
+    chunks AS ({chunk_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: Hamming ≤ 3 pairs found via 16-bit pigeonhole
-    bands (any pair within Hamming 3 of 64 bits must agree on ≥1 of 4
-    chunks), verified with bit_count(xor)."""
+    """SimHash near-dup: Hamming ≤ 3 pairs found via 15-bit pigeonhole
+    bands (any pair within Hamming 3 of 60 bits must agree on ≥1 of 4
+    chunks), verified with bit_count(xor). Portable hash family → the
+    oracle replays the full pipeline (value-hash-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
     chunks = sigs.select(
@@ -297,8 +450,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", i * _SIMHASH_CHUNK_BITS)
+                        .bitwiseAND(F.lit(_SIMHASH_CHUNK_MASK))
                         .alias("chunk"),
                     )
                     for i in range(SIMHASH_BANDS)
