@@ -26,9 +26,9 @@ def reset_session_caches() -> None:
     component labels, IVF centroids). Used by the bench harness between
     measurement passes so each pass rebuilds state exactly as a fresh
     session would — min-of-N stays a measurement, not a cache readout."""
-    for df in dedup._SHINGLE_CACHE.values():
+    for df in dedup._DF_CACHE.values():
         df.unpersist()
-    dedup._SHINGLE_CACHE.clear()
+    dedup._DF_CACHE.clear()
     for df in clusters._EDGE_CACHE.values():
         df.unpersist()
     clusters._EDGE_CACHE.clear()

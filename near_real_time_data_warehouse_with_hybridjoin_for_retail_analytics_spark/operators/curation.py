@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.registry import query
-from .dedup import TOKEN_SPLIT, shingles
+from .dedup import TOKEN_SPLIT, _cached, shingles
 
 # Training-sequence length for concat-and-chunk packing.
 PACK_SEQ_TOKENS = 512
@@ -149,7 +149,13 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Docs sharing any gram are flagged — the drop/keep
     input for pre-training decontamination."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = shingles(docs, n=CONTAM_NGRAM)
+    # both join sides branch off the gram relation — materialize once
+    grams = _cached(
+        spark,
+        sf_dir,
+        f"shingles{CONTAM_NGRAM}",
+        lambda: shingles(docs, n=CONTAM_NGRAM),
+    )
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
     eval_g = grams.filter(is_eval).select(
         F.col("doc_id").alias("eval_id"), F.col("shingle").alias("gram")

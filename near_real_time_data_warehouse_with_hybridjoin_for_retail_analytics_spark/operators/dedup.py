@@ -104,20 +104,30 @@ def _fold_sql(terms: list[str]) -> str:
     return acc
 
 
-# The shingle relation feeds several branches of each near-dup plan
-# (self-join sides, per-doc sizes, signatures); without materialization
-# Spark recomputes the split/explode/dedup pipeline once per branch.
-# Cache one persisted copy per (session, sf_dir) — at 100 TB this is
-# "materialize shingles once, reuse across dedup passes", the same call.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# The shingle/signature relations feed several branches of each
+# near-dup plan (pair-generation sides, per-doc sizes, verification);
+# without materialization Spark recomputes the upstream pipeline once
+# per branch — and recompiles the wide signature aggregates with it.
+# Cache one persisted copy per (session, sf_dir, name) — at 100 TB this
+# is "materialize signatures once, reuse across dedup passes", the same
+# call a production pipeline makes by writing them to a table.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = build().persist()
+    return _DF_CACHE[key]
 
 
 def cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SHINGLE_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        _SHINGLE_CACHE[key] = shingles(docs).persist()
-    return _SHINGLE_CACHE[key]
+    return _cached(
+        spark,
+        sf_dir,
+        "shingles3",
+        lambda: shingles(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -256,6 +266,32 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_pairs(keyed: DataFrame, keys: list[str], payload: str) -> DataFrame:
+    """All unordered within-bucket pairs of ``payload`` values: groupBy
+    bucket → collect → emit combinations with an array comprehension.
+    One shuffle of (bucket, payload) and no self-join — the self-join
+    formulation duplicates (and recompiles) the whole upstream signature
+    subtree into both sides, and its equi-join shuffles the relation
+    twice. Bucket sizes bound the quadratic work exactly as the join
+    would (an LSH bucket with b docs yields b(b−1)/2 pairs either way)."""
+    return (
+        keyed.groupBy(*keys)
+        .agg(F.collect_list(payload).alias("xs"))
+        .filter(F.size("xs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (x, i) -> "
+                    "transform(slice(xs, i + 2, size(xs)), y -> "
+                    "struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .dropDuplicates()
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Banded LSH: docs colliding in any band become candidate pairs.
     Band keys are the polynomial fold of the band's signature rows —
@@ -280,13 +316,8 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
+    return _bucket_pairs(bands, ["band", "bh"], "doc_id").select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
     )
 
 
@@ -340,6 +371,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it exactly (full value-hash check, not rows-only) —
     LSH recall vs exact ngram Jaccard stays gated in tests."""
     sh = cached_shingles(spark, sf_dir)
+    # One straight DAG: with bucket-grouped pair generation every
+    # subtree (signatures, candidates) is referenced exactly once, so
+    # nothing needs persisting — measured at sf0.1, persist()ing the
+    # signature relation costs ~10× its recompute (columnar-cache
+    # writes of array columns), and a candidate-doc semi-join
+    # restriction of the verification was 3× slower than joining the
+    # already-persisted shingle relation directly.
     cands = lsh_candidate_pairs(minhash_signatures(sh))
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -439,12 +477,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: Hamming ≤ 3 pairs found via 15-bit pigeonhole
     bands (any pair within Hamming 3 of 60 bits must agree on ≥1 of 4
     chunks), verified with bit_count(xor). Portable hash family → the
-    oracle replays the full pipeline (value-hash-checked)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    oracle replays the full pipeline (value-hash-checked).
+
+    Straight DAG, nothing persisted: the signature relation feeds the
+    bucket pair generator once, and the Hamming verification rides on
+    the signatures carried through the buckets (no join back)."""
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
     chunks = sigs.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("ds"),
         F.explode(
             F.array(
                 *[
@@ -458,24 +498,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.band", "c.chunk")
-    a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "chunk"
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "chunk"
-    )
+    ).select("ds", "c.band", "c.chunk")
+    # struct comparison is doc_id-first, so least/greatest inside the
+    # bucket pair generator orders each pair exactly like the
+    # a.doc_id < b.doc_id join condition in the oracle SQL.
     return (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        _bucket_pairs(chunks, ["band", "chunk"], "ds")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
