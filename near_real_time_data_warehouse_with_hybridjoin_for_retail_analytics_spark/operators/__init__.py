@@ -18,7 +18,11 @@ from . import (  # noqa: F401
     textops,
     timeseries,
 )
-from ..streaming import interval_join, windows  # noqa: F401  (registers etl_* stream twins)
+from ..streaming import (  # noqa: F401  (registers etl_* stream twins)
+    dedup_stream,
+    interval_join,
+    windows,
+)
 
 
 def reset_session_caches() -> None:

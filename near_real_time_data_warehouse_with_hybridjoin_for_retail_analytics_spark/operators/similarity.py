@@ -296,3 +296,64 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("vec_id", "rank", "neighbor_id", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (the "train the coarse quantizer" aggregation)
+# ---------------------------------------------------------------------------
+# 6-decimal fixed-point quantization: float sums are order-dependent
+# (parallel aggregation reorders them), so each element is floored onto
+# an integer grid first — integer sums are associative, making the
+# centroid bit-identical across engines and across runs at any
+# parallelism. The double `centroid_val` is then one exact division of
+# identical operands on both sides.
+CENTROID_Q = 1_000_000
+
+
+@query(
+    "embedding_centroids_by_label",
+    f"""
+    WITH e AS (
+      SELECT label, pos, CAST(floor(CAST(v AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) - 1 AS pos
+            FROM embeddings)
+    )
+    SELECT label, CAST(pos AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(q) AS BIGINT) AS sum_q6,
+           CAST(SUM(q) AS DOUBLE) / (COUNT(*) * {CENTROID_Q}.0) AS centroid_val
+    FROM e GROUP BY 1, 2
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) centroid of the embedding column — the
+    aggregation that trains a coarse quantizer / class prototype. One
+    posexplode + groupBy: the shuffle carries (label, dim, q) longs with
+    map-side partial sums; output cardinality is |labels|·d regardless
+    of corpus size. Flat (label, dim) rows rather than an array column
+    so the result is directly joinable and oracle-hashable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        e.select(
+            "label",
+            F.col("pos").cast("int").alias("dim"),
+            F.floor(F.col("v").cast("double") * CENTROID_Q).cast("long").alias("q"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("q").alias("sum_q6"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            "sum_q6",
+            (
+                F.col("sum_q6").cast("double")
+                / (F.col("n_vectors") * F.lit(float(CENTROID_Q)))
+            ).alias("centroid_val"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Streaming deduplication over the events stream.
+
+The reference ingests an at-least-once CSV feed and relies on its
+PostgreSQL sink's ``ON CONFLICT DO NOTHING`` to absorb replays
+(``/root/reference/hybridjoin.py:440-460``). The Spark-native form of
+that guarantee is dedup *inside the stream*: keep the first arrival per
+natural key and let the watermark bound how long the key state lives.
+
+One transformation, two execution modes (the stream/batch-equivalence
+design used throughout this repo):
+
+  * batch: ``dedup_events(df)`` — registered as the oracle-checked
+    query ``etl_stream_dedup`` (min-event_id survivor + arrival count
+    per key, so the batch form is deterministic and hash-checkable);
+  * streaming: ``run_dedup_stream`` replays event files as
+    micro-batches through ``dropDuplicatesWithinWatermark`` — the
+    at-scale pattern: state for a key is dropped once the watermark
+    passes it, so memory is bounded by (keys arriving within one
+    watermark window), not by stream length.
+
+Scale notes: the dedup state store shuffles on the natural key, the
+same exchange a batch groupBy would use; skewed keys are absorbed by
+AQE in batch mode and by state-store partitioning in streaming mode.
+The watermark delay is the replay-tolerance knob — arrivals farther
+apart than the delay are treated as new.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..catalog import load_table
+from ..plans.registry import query
+from .windows import EVENTS_SCHEMA
+
+# Natural identity of an event in the at-least-once feed: the producer
+# retries carry a fresh event_id but the same logical occurrence.
+DEDUP_KEYS = ["user_id", "ts", "event_type"]
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """First-arrival dedup, batch form: min event_id survives per key,
+    with the arrival count kept as the replay-rate observability signal.
+    (``dropDuplicates`` keeps an *arbitrary* row — min-id is the
+    deterministic equivalent a batch backfill must use to agree with
+    itself across runs.)"""
+    return (
+        events.groupBy(*DEDUP_KEYS)
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_arrivals"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "first_event_id",
+            "n_arrivals",
+        )
+    )
+
+
+@query(
+    "etl_stream_dedup",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_arrivals
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def etl_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch execution of the streaming dedup (same transformation)."""
+    return dedup_events(load_table(spark, sf_dir, "events"))
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str,
+    watermark_delay: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Replay event parquet files as micro-batches through watermarked
+    streaming dedup into an in-memory table named ``query_name``.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    ``DEDUP_KEYS`` and evicts a key's state once the watermark (max
+    event time − delay) passes its timestamp — the bounded-memory
+    exactly-once surface over an at-least-once source."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    deduped = raw.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        DEDUP_KEYS
+    )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
