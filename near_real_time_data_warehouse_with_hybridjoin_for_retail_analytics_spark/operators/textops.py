@@ -53,8 +53,8 @@ _SQL_TOKENS = (
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counts — the BPE-ish regex variant is
-    text_quality_scores' avg_token_len; exact token counting for budget
+    """Whitespace token counts (the BPE-style subword estimate is
+    ``text_bpe_token_count``); exact token counting for budget
     estimation in a training pipeline."""
     return _tokens(spark, sf_dir).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -362,4 +362,58 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TFIDF_TOPK)
         .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style subword pre-tokenizer counts
+# ---------------------------------------------------------------------------
+# GPT-2-style pre-tokenizer alternation, restricted to the subset both
+# Java regex (Spark) and RE2 (DuckDB) implement with identical leftmost-
+# first semantics — no lookahead (RE2 lacks it). Contractions, then
+# space-prefixed letter/digit/punctuation runs, then whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_SQL_BPE_PATTERN = BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+@query(
+    "text_bpe_token_count",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_SQL_BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_ws_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+           CAST(n_chars AS DOUBLE) / n_bpe_tokens AS chars_per_bpe_token
+    FROM t
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token budget estimation with a BPE-style pre-tokenizer
+    (the whitespace count under-estimates subword token spend; the
+    chars-per-token ratio is the calibration constant pipelines track
+    per source/language). Pure codegen — regexp_extract_all + size, no
+    explode, no shuffle: one pass over the corpus, verified bit-exact
+    against DuckDB's RE2 on the shared pattern subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), TOKEN_SPLIT)).cast("long").alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return t.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_ws_tokens",
+        (F.col("n_chars").cast("double") / F.col("n_bpe_tokens")).alias(
+            "chars_per_bpe_token"
+        ),
     )
