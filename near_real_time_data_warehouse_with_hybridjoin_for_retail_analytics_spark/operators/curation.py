@@ -291,6 +291,61 @@ def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "curation_chunk_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, {CHUNK_STRIDE})) AS st
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((st - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(st AS INT) AS start_token,
+           CAST(len(w[st:st + {CHUNK_TOKENS - 1}]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(w[st:st + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document's token stream is cut
+    into {CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE} tokens
+    ({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap so no context is lost
+    at chunk boundaries) — the retrieval/context-window preparation
+    step between curation and embedding. Per-row higher-order
+    functions (sequence → slice) with NO shuffle: chunk addressing and
+    hashes are computed where the document lives; at 100 TB this is
+    one map pass, and the explode multiplies rows only by
+    ceil(n_tokens/{CHUNK_STRIDE}) per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.trim("text"), TOKEN_SPLIT).alias("w")
+    )
+    s = t.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(f"sequence(1, size(w), {CHUNK_STRIDE})")).alias("st"),
+    )
+    chunk = F.expr(f"slice(w, st, {CHUNK_TOKENS})")
+    return s.select(
+        "doc_id",
+        ((F.col("st") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("st").cast("int").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus mixture report
 # ---------------------------------------------------------------------------
 @query(

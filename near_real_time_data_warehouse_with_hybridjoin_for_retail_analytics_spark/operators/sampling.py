@@ -110,6 +110,49 @@ def sample_hash_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(_hash_bucket() <= thr).select("doc_id", "lang")
 
 
+# Train/val/test thresholds on the first md5 hex byte of a salted id:
+# 'cb' → 204/256 ≈ 79.7% train, 'e5' → next 26/256 ≈ 10.2% val, rest
+# ≈ 10.2% test. The salt decorrelates the split from the sampling
+# hashes above — a doc's split assignment and its sample membership
+# are independent coin flips.
+SPLIT_SALT = "split:"
+TRAIN_MAX = "cb"
+VAL_MAX = "e5"
+
+
+@query(
+    "sample_split_assign",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN b <= '{TRAIN_MAX}' THEN 'train'
+                WHEN b <= '{VAL_MAX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    )
+    """,
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (~80/10/10) keyed
+    on a salted md5 of the doc id — the split a training pipeline must
+    hold constant across reruns, engine swaps, and corpus re-shuffles
+    (a doc never migrates between splits when other docs are added or
+    removed). Pure map-side projection: zero shuffles, the 100 TB cost
+    is one pass over (doc_id, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = (
+        F.when(b <= TRAIN_MAX, F.lit("train"))
+        .when(b <= VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
 @query(
     "corpus_select",
     f"""

@@ -357,3 +357,117 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification (integer-quantized, fully declarative)
+# ---------------------------------------------------------------------------
+# Every intermediate (vector norms, centroid means, dot products) is an
+# exact BIGINT on the 1e-6 grid: integer sums are associative, so the
+# cosine inputs are bit-identical across engines and partitionings; the
+# only floats are two sqrt ops + one divide on identical operands, then
+# round(6). Centroids are quantized MEANS (floor(sum/n)) so magnitudes
+# stay ~1e6 and the dot products fit BIGINT at any corpus size.
+@query(
+    "ann_centroid_assign",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label, CAST(pos AS INT) AS dim,
+             CAST(floor(CAST(v AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS qv
+      FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+    ),
+    vstats AS (
+      SELECT vec_id, label, CAST(SUM(qv * qv) AS BIGINT) AS v2
+      FROM q GROUP BY 1, 2
+    ),
+    cmean AS (
+      SELECT label AS clabel, dim,
+             CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM q GROUP BY 1, 2
+    ),
+    cnorm AS (
+      SELECT clabel, CAST(SUM(cq * cq) AS BIGINT) AS c2
+      FROM cmean GROUP BY 1
+    ),
+    dots AS (
+      SELECT t.vec_id, t.label, c.clabel, CAST(SUM(t.qv * c.cq) AS BIGINT) AS dot
+      FROM q t JOIN cmean c USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.vec_id, d.label, d.clabel,
+             round(CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(greatest(v.v2, 1) AS DOUBLE))
+                      * sqrt(CAST(greatest(c.c2, 1) AS DOUBLE))), 6) AS cos
+      FROM dots d
+      JOIN vstats v ON d.vec_id = v.vec_id
+      JOIN cnorm c USING (clabel)
+    )
+    SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM (
+      SELECT vec_id, label, clabel AS pred_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk
+      FROM scored
+    )
+    WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+)
+def ann_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: every vector
+    is assigned to the label whose (quantized-mean) centroid it is
+    most cosine-similar to; output is (true label, predicted label,
+    count) — the cluster-purity / prototype-classifier readout a
+    labeling pipeline tracks. Fully declarative: one posexplode, three
+    integer aggregations, one broadcast join on dim (the centroid
+    relation is |labels|·d rows), one window argmax. Shuffle volume is
+    O(n·d + n·|labels|) rows of longs — no pairwise blow-up; exact
+    same integer arithmetic on both engines (see quantization note)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * CENTROID_Q).cast("long").alias("qv"),
+    )
+    vstats = q.groupBy("vec_id", "label").agg(
+        F.sum(F.col("qv") * F.col("qv")).alias("v2")
+    )
+    cmean = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cq")
+    )
+    cnorm = cmean.groupBy("clabel").agg(F.sum(F.col("cq") * F.col("cq")).alias("c2"))
+    dots = (
+        q.join(F.broadcast(cmean), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("qv") * F.col("cq")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.greatest(F.col("v2"), F.lit(1)).cast("double"))
+            * F.sqrt(F.greatest(F.col("c2"), F.lit(1)).cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        dots.join(vstats, ["vec_id", "label"])
+        .join(F.broadcast(cnorm), "clabel")
+        .withColumn("cos", cos)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

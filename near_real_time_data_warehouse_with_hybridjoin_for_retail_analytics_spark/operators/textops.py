@@ -366,6 +366,142 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+# Detection patterns restricted to the Java-regex (Spark) / RE2 (DuckDB)
+# shared subset — character classes, bounded repeats, \b word boundaries;
+# no lookaround (RE2 lacks it). The testdata corpus is synthetic word
+# soup with no real PII, so the scrubber is exercised on a PII-bearing
+# variant derived deterministically from each doc's id (email + IPv4 +
+# phone appended); the operator itself — detect counts, global redaction,
+# redacted fingerprint — is exactly what runs on a real corpus.
+PII_EMAIL = r"[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+_PII_TEXT_SQL = """
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.25 call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+"""
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                  '{PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{PII_IPV4}', '<IP>', 'g'),
+                  '{PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                  '{PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{PII_IPV4}', '<IP>', 'g'),
+                  '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM p
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: per-doc detection counts (emails, IPv4s, phone
+    numbers) and the md5 + length of the globally-redacted text — the
+    pre-training privacy pass. Pure codegen (regexp_extract_all +
+    regexp_replace, both JVM-side and global by default in Spark): one
+    pass over the corpus, no shuffle, verified against DuckDB's RE2 on
+    the shared pattern subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".25 call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    p = docs.select("doc_id", pii_text.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_IPV4), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model score (model-based quality signal)
+# ---------------------------------------------------------------------------
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    ctf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS ctf
+      FROM toks GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           round(SUM(tf.tf * ln(ctf.ctf / n.n_total)) / SUM(tf.tf), 6)
+             AS mean_logprob
+    FROM tf JOIN ctf USING (token) CROSS JOIN n
+    GROUP BY tf.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token log-probability of each document under the
+    corpus's own unigram MLE — the cheapest model-based quality score
+    (a distribution-level outlier detector: docs of rare tokens score
+    low, boilerplate of head tokens scores high). Two exact integer
+    aggregations (term and corpus frequencies) joined on the token;
+    the only floats are the final ln/divide, rounded to 6 decimals so
+    cross-engine libm ULP differences cannot flip the hash. Same
+    two-shuffle shape as tf·idf — at 100 TB the (token) relation is
+    the vocabulary, orders of magnitude smaller than the corpus."""
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    ctf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ctf"))
+    n = toks.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        tf.join(ctf, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("n_total")))
+                / F.sum("tf"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE-style subword pre-tokenizer counts
 # ---------------------------------------------------------------------------
 # GPT-2-style pre-tokenizer alternation, restricted to the subset both

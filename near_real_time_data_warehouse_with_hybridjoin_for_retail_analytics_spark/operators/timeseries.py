@@ -125,3 +125,41 @@ def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("error_id", "user_id", "error_us")
         .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_context_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity time rollup (GROUPING SETS)
+# ---------------------------------------------------------------------------
+# The aggregation body is ONE SQL string executed verbatim by both
+# engines (Spark SQL and DuckDB share the GROUPING SETS syntax and the
+# functions used) — the table name is the only parameter. Hierarchical
+# subtotals in a single pass: Spark plans one Expand + one shuffle on
+# the grouping columns, not four scans; value sums route through
+# DECIMAL(18,4) (functions/money.py rule) so every engine and every
+# partitioning yields bit-identical totals.
+_GS_BODY = """
+    SELECT day, hr, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(hour(ts) AS INT) AS hr,
+             event_type, value
+      FROM {tbl}
+    ) e
+    GROUP BY GROUPING SETS ((day, hr, event_type), (day, event_type), (day), ())
+"""
+
+
+@query("events_rollup_multi", _GS_BODY.format(tbl="events"))
+def events_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup of the events stream:
+    (day, hour, type), (day, type), (day), and grand-total levels in
+    one GROUPING SETS pass — the continuous-aggregate table a
+    time-series store maintains. NULL group markers identify the level
+    (day/hr/event_type are never NULL in the data). One Expand (4×
+    row multiplier pre-aggregation, combined map-side) + one exchange
+    carrying only (keys × partials) — at 100 TB the output cardinality
+    is bounded by hours × types, independent of event count."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(_GS_BODY.format(tbl="events_gs"))
