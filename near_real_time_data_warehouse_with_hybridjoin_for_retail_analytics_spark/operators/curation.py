@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.registry import query
-from .dedup import TOKEN_SPLIT, _cached, shingles
+from .dedup import TOKEN_SPLIT, shingles
 
 # Training-sequence length for concat-and-chunk packing.
 PACK_SEQ_TOKENS = 512
@@ -149,16 +149,20 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Docs sharing any gram are flagged — the drop/keep
     input for pre-training decontamination."""
     docs = load_table(spark, sf_dir, "documents")
-    # both join sides branch off the gram relation — materialize once
-    grams = _cached(
-        spark,
-        sf_dir,
-        f"shingles{CONTAM_NGRAM}",
-        lambda: shingles(docs, n=CONTAM_NGRAM),
-    )
+    # The gram relation is NOT materialized or de-duplicated: every
+    # count below is COUNT(DISTINCT ...), which is invariant under gram
+    # multiplicity, so the per-doc dropDuplicates shuffle (and the
+    # persist a two-branch reuse would otherwise want) buys nothing.
+    # Each branch recomputes the explode — a map-side pass with zero
+    # shuffle, cheaper than one columnar-cache write of the relation.
+    # Only the tiny eval side (one doc in {EVAL_MODULUS}) is distinct'd
+    # to keep the broadcast minimal.
+    grams = shingles(docs, n=CONTAM_NGRAM, distinct=False)
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
-    eval_g = grams.filter(is_eval).select(
-        F.col("doc_id").alias("eval_id"), F.col("shingle").alias("gram")
+    eval_g = (
+        grams.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_id"), F.col("shingle").alias("gram"))
+        .dropDuplicates()
     )
     train_g = grams.filter(~is_eval).select(
         "doc_id", F.col("shingle").alias("gram")

@@ -130,8 +130,11 @@ def cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) with distinct word n-gram shingles per doc."""
+def shingles(docs: DataFrame, n: int = SHINGLE_N, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word n-gram shingles per doc — distinct by
+    default (the Jaccard contract); ``distinct=False`` skips the
+    dedup shuffle for consumers whose aggregates are multiplicity-
+    invariant (COUNT(DISTINCT ...))."""
     toks = docs.select(
         "doc_id", F.split(F.trim("text"), TOKEN_SPLIT).alias("w")
     )
@@ -148,9 +151,8 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
             f"cast(array() as array<string>))"
         ).alias("grams"),
     )
-    return grams.select(
-        "doc_id", F.explode("grams").alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
+    out = grams.select("doc_id", F.explode("grams").alias("shingle"))
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
 _SQL_SHINGLES = """
@@ -217,31 +219,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise trigram-shingle Jaccard ≥ τ. The shingle equi-join keys
     the quadratic work to shingle buckets (selective for real text);
-    this is the exact method MinHash+LSH approximates."""
-    sh = cached_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common_shingles"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("shingles_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("shingles_b"))
-    jac = F.col("common_shingles").cast("double") / (
-        F.col("shingles_a") + F.col("shingles_b") - F.col("common_shingles")
-    )
-    return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
-        .select(
-            "doc_a", "doc_b", "common_shingles", "shingles_a", "shingles_b", "jaccard"
+    this is the exact method MinHash+LSH approximates.
+
+    The qualifying pair frame (tiny) is persisted per (session, sf):
+    the crosscheck report and the component-edge mining reuse these
+    pairs rather than re-running the shingle self-join."""
+
+    def build() -> DataFrame:
+        sh = cached_shingles(spark, sf_dir)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common_shingles"))
         )
-    )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("shingles_a")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("shingles_b")
+        )
+        jac = F.col("common_shingles").cast("double") / (
+            F.col("shingles_a") + F.col("shingles_b") - F.col("common_shingles")
+        )
+        return (
+            common.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+            .select(
+                "doc_a",
+                "doc_b",
+                "common_shingles",
+                "shingles_a",
+                "shingles_b",
+                "jaccard",
+            )
+        )
+
+    return _cached(spark, sf_dir, "jaccard_pairs", build)
 
 
 # ---------------------------------------------------------------------------
@@ -383,8 +402,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Verification as two BROADCAST joins (the runtime-filter pattern):
+    # the candidate frame is tiny relative to the corpus (LSH emits
+    # O(near-dups), not O(pairs)), so broadcasting it — and then the
+    # (pair × doc_a-shingle) expansion, bounded by pairs · shingles/doc
+    # — keeps the 260k-row shingle relation entirely map-side: zero
+    # shuffles of sh in the verification (measured ~2 s saved at
+    # sf0.1). At a scale where the candidate set outgrew the broadcast
+    # threshold, dropping the two hints degrades to shuffle joins with
+    # no other change.
     common = (
-        cands.join(a, "doc_a")
+        F.broadcast(F.broadcast(cands).join(a, "doc_a"))
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
@@ -560,26 +588,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Block nested-loop: B² ``applyInPandas`` cells, each one numpy
     matmul — shuffle moves O(n·B) rows, compute shards O(n²·d) across
-    cells (same scale pattern as ``similarity.ann_topk_bruteforce``)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    blocks = 8
-    blk = F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int")
-    grid = spark.range(blocks).select(F.col("id").cast("int").alias("other"))
-    a_side = (
-        emb.withColumn("ga", blk)
-        .crossJoin(grid.withColumnRenamed("other", "gb"))
-        .withColumn("side", F.lit(0))
-    )
-    b_side = (
-        emb.withColumn("gb", blk)
-        .crossJoin(grid.withColumnRenamed("other", "ga"))
-        .withColumn("side", F.lit(1))
-    )
-    return (
-        a_side.unionByName(b_side)
-        .groupBy("ga", "gb")
-        .applyInPandas(_cosine_pairs_kernel, _PAIR_SCHEMA)
-    )
+    cells (same scale pattern as ``similarity.ann_topk_bruteforce``).
+
+    The resulting pair frame (tiny: one row per near-dup pair) is
+    persisted per (session, sf): the crosscheck report and the
+    multimodal component loop consume the same pairs, and re-running
+    the B² matmul cells per consumer is the single most expensive
+    recompute in the dedup family."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        blocks = 8
+        blk = F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int")
+        grid = spark.range(blocks).select(F.col("id").cast("int").alias("other"))
+        a_side = (
+            emb.withColumn("ga", blk)
+            .crossJoin(grid.withColumnRenamed("other", "gb"))
+            .withColumn("side", F.lit(0))
+        )
+        b_side = (
+            emb.withColumn("gb", blk)
+            .crossJoin(grid.withColumnRenamed("other", "ga"))
+            .withColumn("side", F.lit(1))
+        )
+        return (
+            a_side.unionByName(b_side)
+            .groupBy("ga", "gb")
+            .applyInPandas(_cosine_pairs_kernel, _PAIR_SCHEMA)
+        )
+
+    return _cached(spark, sf_dir, "cosine_pairs", build)
 
 
 # ---------------------------------------------------------------------------
