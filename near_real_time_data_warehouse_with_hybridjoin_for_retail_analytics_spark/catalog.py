@@ -35,7 +35,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TESTDATA_TABLES = (
     "region",
@@ -73,11 +73,25 @@ def _read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Pin ``ts`` to TIMESTAMP regardless of the file's physical type.
+
+    The driver's testdata has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (read as long under ``nanosAsLong`` → rebuild with exact integer
+    division, identical to DuckDB's nanos→micros truncation) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ —
+    cast to TIMESTAMP; the session/system tz is UTC, so the wall-clock
+    reading matches DuckDB's naive-as-UTC epoch extraction)."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _ensure_ingested(spark: SparkSession, sf_dir: str, name: str) -> str | None:
@@ -136,10 +150,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _DF_CACHE:
         dest = _ensure_ingested(spark, sf_dir, name)
-        _DF_CACHE[key] = (
+        df = (
             spark.read.parquet(dest) if dest is not None
             else _read_raw(spark, sf_dir, name)
         )
+        if name == "events":
+            # ingested copies written by older code may carry NTZ ts
+            df = _normalize_events_ts(df)
+        _DF_CACHE[key] = df
     return _DF_CACHE[key]
 
 

@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     clusters,
     curation,
     dedup,
+    funnels,
     multimodal,
     sampling,
     similarity,

@@ -75,7 +75,14 @@ def connected_components(
         .dropDuplicates()
         .persist()
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
+    # Only nodes incident to an edge can ever change labels — run the
+    # iterative loop on that (much smaller) active subgraph and union the
+    # isolated nodes back as their own singletons at the end. Near-dup
+    # edges are sparse relative to the corpus, so at 100 TB this turns
+    # "iterate over every document" into "iterate over the dup graph".
+    active = sym.select(F.col("src").alias("doc_id")).dropDuplicates()
+    active = active.localCheckpoint(eager=True)  # survives sym.unpersist()
+    labels = active.select("doc_id", F.col("doc_id").alias("component_id"))
     labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_rounds):
@@ -116,7 +123,10 @@ def connected_components(
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 
     sym.unpersist()
-    return labels
+    isolated = nodes.select("doc_id").join(active, "doc_id", "left_anti")
+    return labels.union(
+        isolated.select("doc_id", F.col("doc_id").alias("component_id"))
+    )
 
 
 def near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

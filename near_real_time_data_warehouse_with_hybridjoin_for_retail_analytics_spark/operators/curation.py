@@ -365,8 +365,11 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT source, lang,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             SUM(n_tokens) AS total_tokens,
-             SUM(n_chars) AS total_chars,
+             -- DuckDB promotes SUM(BIGINT) to HUGEINT, which pandas/arrow
+             -- surface as float64 ("123.0") — pin BIGINT so the value
+             -- representation matches Spark's long sum exactly.
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts
       FROM per_doc GROUP BY 1, 2
     )
@@ -424,9 +427,11 @@ def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, n_tokens, cum_tokens
     FROM (
       SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (
+             -- CAST: DuckDB SUM(BIGINT) → HUGEINT → float64 in pandas;
+             -- pin BIGINT to match Spark's long running sum.
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY rk, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM t
     )
     WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
@@ -455,4 +460,78 @@ def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights
+# ---------------------------------------------------------------------------
+# Global token budget the mixture weights are written against.
+MIX_TOKEN_BUDGET = 1_000_000
+# sqrt == temperature alpha = 0.5 — chosen over an arbitrary pow(x, a)
+# because IEEE-754 mandates correctly-rounded sqrt, so Spark and DuckDB
+# produce bit-identical values; pow() is only ~1ulp and could flip the
+# fixed-point floor below.
+_Q = 1_000_000_000
+
+
+@query(
+    "curation_temperature_mix",
+    f"""
+    WITH t AS (
+      SELECT source, CAST(SUM(CAST({_SQL_N_TOKENS} AS BIGINT)) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    q AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                             / (SELECT SUM(n_tokens) FROM t)) * {_Q})
+                  AS BIGINT) AS sq
+      FROM t
+    )
+    SELECT source, n_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM t) AS natural_share,
+           CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS BIGINT) AS mix_weight,
+           CAST(floor(CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS BIGINT)
+                      * {MIX_TOKEN_BUDGET}) AS BIGINT) AS budget_tokens
+    FROM q
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (T=2, i.e.
+    share^(1/2)): the standard move that up-weights small/rare sources
+    relative to proportional sampling without letting any source
+    dominate. Emits each source's natural token share, its
+    temperature-scaled mixture weight, and the token budget that weight
+    implies at {MIX_TOKEN_BUDGET} total training tokens.
+
+    Engine portability: sqrt is correctly rounded (IEEE), the scaled
+    weights are quantized onto a {_Q} integer grid before normalizing,
+    and the normalizer is an exact integer sum — every double here is
+    the result of one division of identical integers, so the hash check
+    is stable. One groupBy + one scalar window."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(_n_tokens_col()).alias("n_tokens")
+    )
+    total = Window.partitionBy()
+    sq = F.floor(
+        F.sqrt(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total)
+        )
+        * _Q
+    ).cast("long")
+    q = t.select("source", "n_tokens", sq.alias("sq"),
+                 F.sum("n_tokens").over(total).alias("grand"))
+    mix_w = F.col("sq").cast("double") / F.sum("sq").over(total)
+    return q.select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("grand")).alias(
+            "natural_share"
+        ),
+        mix_w.alias("mix_weight"),
+        F.floor(mix_w * MIX_TOKEN_BUDGET).cast("long").alias("budget_tokens"),
     )

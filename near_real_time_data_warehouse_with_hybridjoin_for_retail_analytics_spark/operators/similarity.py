@@ -471,3 +471,68 @@ def ann_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("clabel").alias("pred_label"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm statistics (corpus QA for the vector column)
+# ---------------------------------------------------------------------------
+# Norms live on the same 1e-6 integer grid as the centroids: q_i =
+# floor(v_i * 1e6), norm²_q = Σ q_i² is an exact BIGINT (64 dims × 1e12
+# per term), so min/max/sum are engine- and order-exact; the mean is one
+# division of identical operands.
+
+
+@query(
+    "embedding_norm_stats",
+    f"""
+    WITH n AS (
+      SELECT label,
+             CAST(list_sum(list_transform(embedding,
+                  v -> CAST(floor(CAST(v AS DOUBLE) * {CENTROID_Q}) AS BIGINT)
+                       * CAST(floor(CAST(v AS DOUBLE) * {CENTROID_Q}) AS BIGINT)))
+                  AS BIGINT) AS norm2_q
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(norm2_q) AS BIGINT) AS min_norm2_q,
+           CAST(MAX(norm2_q) AS BIGINT) AS max_norm2_q,
+           CAST(SUM(norm2_q) AS DOUBLE)
+             / (COUNT(*) * 1000000000000.0) AS mean_norm2
+    FROM n GROUP BY 1
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm² statistics for the embedding column — the
+    standard sanity gate before similarity search (un-normalized or
+    degenerate vectors distort every cosine downstream; a label whose
+    norm range strays from ~1.0 flags a bad embedding batch).
+
+    Plan: one scan, the norm² computed per row by a codegen'd fold over
+    the array (no explode — the shuffle carries one long per vector),
+    then a groupBy(label) with map-side combine. Output is |labels|
+    rows at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * CENTROID_Q).cast("long"),
+    )
+    norm2_q = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return (
+        emb.select("label", norm2_q.alias("norm2_q"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("norm2_q").alias("min_norm2_q"),
+            F.max("norm2_q").alias("max_norm2_q"),
+            (
+                F.sum("norm2_q").cast("double")
+                / (
+                    F.count(F.lit(1))
+                    * F.lit(float(CENTROID_Q) * float(CENTROID_Q))
+                )
+            ).alias("mean_norm2"),
+        )
+    )
