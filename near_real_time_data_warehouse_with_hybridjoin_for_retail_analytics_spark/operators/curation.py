@@ -505,10 +505,10 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to proportional sampling without letting any source
     dominate. Emits each source's natural token share, its
     temperature-scaled mixture weight, and the token budget that weight
-    implies at {MIX_TOKEN_BUDGET} total training tokens.
+    implies at MIX_TOKEN_BUDGET (1,000,000) total training tokens.
 
     Engine portability: sqrt is correctly rounded (IEEE), the scaled
-    weights are quantized onto a {_Q} integer grid before normalizing,
+    weights are quantized onto a _Q integer grid before normalizing,
     and the normalizer is an exact integer sum — every double here is
     the result of one division of identical integers, so the hash check
     is stable. One groupBy + one scalar window."""

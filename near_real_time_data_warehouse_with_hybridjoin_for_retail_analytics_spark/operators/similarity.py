@@ -498,7 +498,7 @@ def ann_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(norm2_q) AS BIGINT) AS min_norm2_q,
            CAST(MAX(norm2_q) AS BIGINT) AS max_norm2_q,
            CAST(SUM(norm2_q) AS DOUBLE)
-             / (COUNT(*) * 1000000000000.0) AS mean_norm2
+             / (COUNT(*) * ({CENTROID_Q}.0 * {CENTROID_Q}.0)) AS mean_norm2
     FROM n GROUP BY 1
     """,
 )
