@@ -29,9 +29,19 @@ per-element Catalyst folds — a 64-dim cosine over millions of pairs is
 matrix-multiply work, 10-100× faster vectorized than interpreted
 higher-order functions, and the same kernel runs per-cell on a cluster.
 
-Scores are float64 arithmetic over float32 inputs — cross-engine bitwise
-equality is not guaranteed, so oracle-checked output is (query, rank,
-neighbor) ids only; ranks use neighbor-id tiebreaks.
+The exact baseline scores in float64 over the raw float32 inputs —
+cross-engine bitwise equality of the *scores* is not guaranteed, so its
+oracle-checked output is (query, rank, neighbor) ids only, with
+neighbor-id tiebreaks.
+
+The two approximate indexes instead run entirely on the 1e-6 fixed-point
+grid (q_i = floor(v_i·1e6), exact BIGINT dots/norms — associative, so
+order- and engine-independent) with ONE float op per score:
+dot / (sqrt(n2_a)·sqrt(n2_b)). IEEE-754 division and sqrt are correctly
+rounded, so that double is bit-identical across numpy kernels, Catalyst
+and DuckDB — which is what lets the DuckDB oracle replay hyperplane
+signs, quantizer assignment and candidate ranking exactly (full
+value-hash check on both approximate paths, not rows-only).
 """
 
 from __future__ import annotations
@@ -60,14 +70,134 @@ LSH_TABLES = 8
 LSH_HYPERPLANES = 4
 EMB_DIM = 64
 
-# Deterministic hyperplanes as one (L·h, d) matrix, generated once at
-# import; the closure ships to executors inside the serialized UDF.
-_PLANE_MAT = np.array(
-    np.random.RandomState(1234).standard_normal((LSH_TABLES * LSH_HYPERPLANES, EMB_DIM)),
-    dtype=np.float64,
-)
+# 6-decimal fixed-point grid shared by every deterministic embedding op
+# in this module (see the centroid section for the full rationale).
+CENTROID_Q = 1_000_000
 
 _CAND_SCHEMA = "vec_id long, neighbor_id long, sim double"
+
+# ---------------------------------------------------------------------------
+# Integer-grid machinery shared by the deterministic index paths
+# ---------------------------------------------------------------------------
+# Rademacher (±1) hyperplanes from a seeded LCG: sign-random projections
+# are the standard cosine-LSH family, and with ±1 coefficients the
+# projection of a quantized vector is an exact BIGINT — its sign (the
+# LSH bit) is engine-exact, unlike a float Gaussian dot whose sign can
+# flip with summation order. The same plane list is embedded as plain
+# literals in both the Spark plan and the oracle SQL.
+_MAX_PLANES = 64  # enough for 16 tables × 4 hyperplanes
+
+
+def _rademacher_planes(n_planes: int, dim: int) -> list[list[int]]:
+    x = 0x9E3779B97F4A7C15
+
+    def step() -> int:
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        return x >> 33
+
+    return [
+        [1 if step() & 1 else -1 for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+_PLANES = _rademacher_planes(_MAX_PLANES, EMB_DIM)
+
+_SQL_QE = f"""SELECT vec_id,
+           list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * {CENTROID_Q}) AS BIGINT)) AS q
+    FROM embeddings"""
+_SQL_N2 = """SELECT vec_id,
+           greatest(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT), 1) AS n2
+    FROM qe"""
+# Exact pair score: BIGINT dot over the grid, one IEEE divide. Aliases
+# qa/qb (quantized arrays) and na/nb (norms) are fixed by _sql_scored.
+_SQL_PAIR_SIM = (
+    f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),"
+    " i -> qa.q[i] * qb.q[i])) AS DOUBLE)"
+    " / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))"
+)
+
+
+def _sql_scored(cand_cte: str, a: str = "vec_id", b: str = "neighbor_id") -> str:
+    """SQL computing the exact grid cosine for every candidate pair."""
+    return f"""SELECT c.{a}, c.{b}, {_SQL_PAIR_SIM} AS sim
+      FROM {cand_cte} c
+      JOIN qe qa ON qa.vec_id = c.{a}
+      JOIN qe qb ON qb.vec_id = c.{b}
+      JOIN n2 na ON na.vec_id = c.{a}
+      JOIN n2 nb ON nb.vec_id = c.{b}"""
+
+
+def _sql_plane_dot(coefs: list[int]) -> str:
+    cl = "[" + ", ".join(str(c) for c in coefs) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> q[i] * {cl}[i]))"
+    )
+
+
+def sql_lsh_buckets(tables: int, bits: int) -> str:
+    """UNION ALL of per-table bucket assignments over the ``qe`` CTE."""
+    selects = []
+    for t in range(tables):
+        expr = "\n             + ".join(
+            f"(CASE WHEN {_sql_plane_dot(_PLANES[t * bits + h])} > 0"
+            f" THEN {1 << h} ELSE 0 END)"
+            for h in range(bits)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, {expr} AS bucket FROM qe")
+    return "\n      UNION ALL ".join(selects)
+
+
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q array<long>) — embeddings on the 1e-6 integer grid."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * CENTROID_Q).cast("long")
+    )
+    return emb.select("vec_id", q.alias("q"))
+
+
+def _bucket_udf(tables: int, bits: int):
+    """Arrow-batched LSH bucketing: one int64 matmul against the ±1
+    plane matrix per batch, sign pattern → per-table bucket ids.
+    Integer dots are exact, so the signs (and hence buckets) are
+    bit-identical to the oracle's per-plane list folds. A literal-array
+    Catalyst expression tree computes the same thing UDF-free but costs
+    seconds of plan compilation per query (32 planes × 64 literals), so
+    the batch kernel wins below cluster scale too."""
+    pm = np.array(_PLANES[: tables * bits], dtype=np.int64)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def bucket_ids(q: pd.Series) -> pd.Series:
+        mat = np.stack(q.to_numpy()).astype(np.int64)
+        signs = (mat @ pm.T) > 0
+        buckets = signs.reshape(len(mat), tables, bits) @ weights
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return bucket_ids
+
+
+def lsh_tagged(qe: DataFrame, tables: int, bits: int) -> DataFrame:
+    """(vec_id, q, tbl, bucket): one row per (vector, table); bucket is
+    the sign pattern of the table's hyperplane projections."""
+    return qe.select(
+        "vec_id",
+        "q",
+        F.posexplode(_bucket_udf(tables, bits)(F.col("q"))).alias("tbl", "bucket"),
+    )
+
+
+def int_sims(pdf_a: pd.DataFrame, pdf_b: pd.DataFrame) -> np.ndarray:
+    """Bit-exact grid-cosine matrix between two quantized groups: int64
+    matmul for the dots, int64 norms, then exactly the oracle's float
+    expression dot / (sqrt(n2_a)·sqrt(n2_b)) per entry."""
+    qa = np.stack(pdf_a["q"].to_numpy()).astype(np.int64)
+    qb = np.stack(pdf_b["q"].to_numpy()).astype(np.int64)
+    na = np.sqrt(np.maximum((qa * qa).sum(axis=1), 1).astype(np.float64))
+    nb = np.sqrt(np.maximum((qb * qb).sum(axis=1), 1).astype(np.float64))
+    return (qa @ qb.T).astype(np.float64) / (na[:, None] * nb[None, :])
 
 
 def _normalized(frame: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -157,145 +287,241 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@F.pandas_udf(ArrayType(IntegerType()))
-def _lsh_bucket_ids(embedding: pd.Series) -> pd.Series:
-    """One bucket id per LSH table: sign pattern of h hyperplane dots,
-    all L·h projections in a single matmul per Arrow batch."""
-    mat = np.stack(embedding.to_numpy()).astype(np.float64)
-    bits = (mat @ _PLANE_MAT.T) > 0  # (n, L·h)
-    weights = (1 << np.arange(LSH_HYPERPLANES)).astype(np.int32)
-    buckets = bits.reshape(len(mat), LSH_TABLES, LSH_HYPERPLANES) @ weights
-    return pd.Series(list(buckets.astype(np.int32)))
-
-
-def _bucket_topk_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """All-pairs top-k inside one (table, bucket) group."""
+def _bucket_int_topk_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """All-pairs local top-k inside one (table, bucket) group on the
+    integer grid (bit-exact sims, see int_sims)."""
     pdf = pdf.sort_values("vec_id")
     if len(pdf) < 2:
         return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
             {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
         )
-    ids, mat = _normalized(pdf)
-    sims = mat @ mat.T
+    ids = pdf["vec_id"].to_numpy()
+    sims = int_sims(pdf, pdf)
     np.fill_diagonal(sims, -np.inf)
     return _topk_rows(ids, ids, sims, TOP_K)
 
 
+def _global_topk(cands: DataFrame) -> DataFrame:
+    """Dedupe multi-table/multi-list collisions, rank globally.
+
+    Local per-bucket top-k union is a superset of the global top-k over
+    the full candidate set (a neighbor beaten by k others in some bucket
+    is beaten by k global candidates, so it can't be global top-k) — so
+    ranking the union equals the oracle's rank over ALL collisions."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "rank", "neighbor_id")
+    )
+
+
+def _ann_lsh_sql() -> str:
+    return f"""
+    WITH qe AS ({_SQL_QE}),
+    n2 AS ({_SQL_N2}),
+    buckets AS ({sql_lsh_buckets(LSH_TABLES, LSH_HYPERPLANES)}),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+             FROM buckets a JOIN buckets b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket
+              AND a.vec_id <> b.vec_id),
+    scored AS ({_sql_scored('cand')})
+    SELECT vec_id, rank, neighbor_id FROM (
+      SELECT vec_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@query("ann_topk_lsh", _ann_lsh_sql())
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k. Hyperplane signs are exact
+    integer dots computed JVM-side (codegen folds, no UDF); per-bucket
+    Arrow kernels do the quadratic scoring as int64 matmuls; a final
+    window ranks the deduped candidate union. At 100 TB the buckets
+    shard the quadratic work and each table is one shuffle on a short
+    (table, bucket) key.
+
+    Fully deterministic (grid arithmetic + IEEE division), so the
+    DuckDB oracle replays the whole index — recall vs bruteforce stays
+    gated in tests (approximate BY DESIGN, exact by construction)."""
+    tagged = lsh_tagged(
+        quantized_embeddings(spark, sf_dir), LSH_TABLES, LSH_HYPERPLANES
+    )
+    cands = tagged.groupBy("tbl", "bucket").applyInPandas(
+        _bucket_int_topk_kernel, _CAND_SCHEMA
+    )
+    return _global_topk(cands)
+
+
 # ---------------------------------------------------------------------------
-# IVF-Flat: coarse k-means quantizer + inverted lists + nprobe search
+# IVF-Flat: deterministic coarse quantizer + inverted lists + nprobe search
 # ---------------------------------------------------------------------------
 IVF_CLUSTERS = 16
 IVF_NPROBE = 8
-IVF_SAMPLE = 256  # quantizer training sample (driver-side, deterministic)
-IVF_ITERS = 5
-
-_CENTROID_CACHE: dict[tuple[str, str], np.ndarray] = {}
 
 
-def _train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Spherical k-means on a deterministic sample (lowest vec_ids) —
-    the standard IVF recipe: train the coarse quantizer on a small
-    sample driver-side, broadcast the centroids. Deterministic init
-    (first k sample vectors), fixed iteration count."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _CENTROID_CACHE:
-        return _CENTROID_CACHE[key]
-    sample = (
-        load_table(spark, sf_dir, "embeddings")
-        .orderBy("vec_id")
-        .limit(IVF_SAMPLE)
-        .select("embedding")
-        .collect()
-    )
-    mat = np.stack([np.asarray(r["embedding"]) for r in sample]).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-    cent = mat[:IVF_CLUSTERS].copy()
-    for _ in range(IVF_ITERS):
-        assign = np.argmax(mat @ cent.T, axis=1)
-        for j in range(IVF_CLUSTERS):
-            members = mat[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                cent[j] = c / max(np.linalg.norm(c), 1e-300)
-    _CENTROID_CACHE[key] = cent
-    return cent
-
-
-def _ivf_probe_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+def _ivf_int_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """One inverted list: rows with pos==0 are the cluster's members
     (a vector's nearest centroid is probe 0 = its assignment); every
-    row is a probing query. Score probes × members, local top-k."""
+    row is a probing query. Integer-grid scoring, local top-k."""
     members = pdf[pdf["pos"] == 0].sort_values("vec_id")
     if members.empty:
         return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
             {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
         )
-    ids_m, mat_m = _normalized(members)
-    ids_q, mat_q = _normalized(pdf)
-    sims = mat_q @ mat_m.T
+    ids_q = pdf["vec_id"].to_numpy()
+    ids_m = members["vec_id"].to_numpy()
+    sims = int_sims(pdf, members)
     sims[ids_q[:, None] == ids_m[None, :]] = -np.inf
     return _topk_rows(ids_q, ids_m, sims, TOP_K)
 
 
-@query("ann_topk_ivf")  # rows-only: approximate recall by construction
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate top-k: coarse quantizer assigns every vector
-    to its nearest centroid (inverted lists); a query probes its nprobe
-    nearest lists; per-list kernels score probes × members. At 100 TB
-    the lists shard the corpus — search cost drops by ~nclusters/nprobe
-    and each list is one independent group. Returns (vec_id, rank,
-    neighbor_id, sim)."""
-    cent = _train_centroids(spark, sf_dir)
+def _probe_udf(cents: list[tuple[int, list[int], int]], nprobe: int):
+    """Arrow-batched quantizer probe: exact int64 dots vs the centroid
+    matrix, one IEEE divide per (vector, centroid) — identical values
+    to the oracle's d0/d1 CTEs — then the nprobe nearest centroid ids
+    ordered (cos desc, centroid idx asc; stable argsort = idx-asc
+    tiebreak because columns are idx-ascending).
+    ``cents``: (idx, quantized array, norm²≥1)."""
+    js = np.array([j for j, _, _ in cents], dtype=np.int64)
+    cmat = np.array([cq for _, cq, _ in cents], dtype=np.int64)
+    csqrt = np.sqrt(np.array([cn2 for _, _, cn2 in cents], dtype=np.float64))
 
     @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_ids(embedding: pd.Series) -> pd.Series:
-        mat = np.stack(embedding.to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-        order = np.argsort(-(mat @ cent.T), kind="stable")[:, :IVF_NPROBE]
-        return pd.Series(list(order.astype(np.int32)))
+    def probe_ids(q: pd.Series) -> pd.Series:
+        mat = np.stack(q.to_numpy()).astype(np.int64)
+        vsqrt = np.sqrt(np.maximum((mat * mat).sum(axis=1), 1).astype(np.float64))
+        cos = (mat @ cmat.T).astype(np.float64) / (vsqrt[:, None] * csqrt[None, :])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(js[order].astype(np.int32)))
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tagged = emb.select(
+    return probe_ids
+
+
+def _ann_ivf_sql() -> str:
+    d1 = EMB_DIM + 1
+    return f"""
+    WITH qe AS ({_SQL_QE}),
+    n2 AS ({_SQL_N2}),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, q, n2
+      FROM (SELECT qe.vec_id, q, n2 FROM qe JOIN n2 USING (vec_id)
+            ORDER BY vec_id LIMIT {IVF_CLUSTERS})
+    ),
+    d0 AS (
+      SELECT v.vec_id, s.j,
+             CAST(list_sum(list_transform(range(1, {d1}),
+                  i -> v.q[i] * s.q[i])) AS DOUBLE)
+               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(s.n2 AS DOUBLE))) AS cos
+      FROM qe v JOIN n2 n ON n.vec_id = v.vec_id CROSS JOIN seeds s
+    ),
+    a0 AS (
+      SELECT vec_id, j AS home0 FROM (
+        SELECT vec_id, j, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, j) AS rk FROM d0)
+      WHERE rk = 1
+    ),
+    mexp AS (
+      SELECT a0.home0, generate_subscripts(q, 1) AS dim, unnest(q) AS qv
+      FROM a0 JOIN qe USING (vec_id)
+    ),
+    cm AS (
+      SELECT home0 AS j, dim,
+             CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM mexp GROUP BY 1, 2
+    ),
+    carr AS (SELECT j, list(cq ORDER BY dim) AS q FROM cm GROUP BY j),
+    cn AS (SELECT j, greatest(CAST(SUM(cq * cq) AS BIGINT), 1) AS cn2
+           FROM cm GROUP BY j),
+    d1 AS (
+      SELECT v.vec_id, c.j,
+             CAST(list_sum(list_transform(range(1, {d1}),
+                  i -> v.q[i] * c.q[i])) AS DOUBLE)
+               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cos
+      FROM qe v JOIN n2 n ON n.vec_id = v.vec_id
+      CROSS JOIN carr c JOIN cn ON cn.j = c.j
+    ),
+    pr AS (
+      SELECT vec_id, j, rk - 1 AS pos FROM (
+        SELECT vec_id, j, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, j) AS rk FROM d1)
+      WHERE rk <= {IVF_NPROBE}
+    ),
+    mem AS (SELECT vec_id, j FROM pr WHERE pos = 0),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS vec_id, m.vec_id AS neighbor_id
+      FROM pr p JOIN mem m ON m.j = p.j AND m.vec_id <> p.vec_id
+    ),
+    scored AS ({_sql_scored('cand')})
+    SELECT vec_id, rank, neighbor_id FROM (
+      SELECT vec_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@query("ann_topk_ivf", _ann_ivf_sql())
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k with a deterministic coarse quantizer:
+    seeds = the k lowest-vec_id vectors (k-means init), one Lloyd
+    refinement step with integer-quantized means (floor(Σq/n) per dim —
+    exact at any parallelism), then inverted lists by nearest refined
+    centroid and nprobe probing. Assignment runs JVM-side against the
+    collected centroid literals (k·d ints — the standard "train driver-
+    side, broadcast the quantizer" shape; both collects are bounded);
+    per-list Arrow kernels score probes × members on the integer grid.
+    At 100 TB the lists shard the corpus — search cost drops by
+    ~nclusters/nprobe and each list is one independent group.
+
+    Deterministic end-to-end, so the DuckDB oracle replays quantizer
+    training, assignment and ranking exactly (full value-hash check);
+    recall vs bruteforce stays gated in tests."""
+    qe = quantized_embeddings(spark, sf_dir)
+
+    # quantizer training: two bounded collects (seeds, refined means)
+    seed_rows = qe.orderBy("vec_id").limit(IVF_CLUSTERS).select("q").collect()
+    seeds = [
+        (j, list(r["q"]), max(sum(x * x for x in r["q"]), 1))
+        for j, r in enumerate(seed_rows)
+    ]
+    home0 = F.element_at(_probe_udf(seeds, 1)(F.col("q")), 1)
+    cm_rows = (
+        qe.withColumn("home0", home0)
+        .select("home0", F.posexplode("q").alias("dim", "qv"))
+        .groupBy("home0", "dim")
+        .agg(
+            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cq")
+        )
+        .collect()
+    )
+    by_j: dict[int, dict[int, int]] = {}
+    for r in cm_rows:
+        by_j.setdefault(r["home0"], {})[r["dim"]] = r["cq"]
+    cents = [
+        (j, arr, max(sum(x * x for x in arr), 1))
+        for j, dims in sorted(by_j.items())
+        for arr in [[dims[d] for d in range(EMB_DIM)]]
+    ]
+
+    tagged = qe.select(
         "vec_id",
-        "embedding",
-        F.posexplode(probe_ids(F.col("embedding"))).alias("pos", "cluster"),
+        "q",
+        F.posexplode(_probe_udf(cents, IVF_NPROBE)(F.col("q"))).alias(
+            "pos", "cluster"
+        ),
     )
-    cands = (
-        tagged.groupBy("cluster")
-        .applyInPandas(_ivf_probe_kernel, _CAND_SCHEMA)
-        .dropDuplicates(["vec_id", "neighbor_id"])
+    cands = tagged.groupBy("cluster").applyInPandas(
+        _ivf_int_kernel, _CAND_SCHEMA
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "rank", "neighbor_id", "sim")
-    )
-
-
-@query("ann_topk_lsh")  # rows-only: approximate recall by construction
-def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k: per-bucket kernels emit local
-    top-k, candidates union across L tables, final window ranks. Returns
-    (vec_id, rank, neighbor_id, sim)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tagged = emb.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(_lsh_bucket_ids(F.col("embedding"))).alias("tbl", "bucket"),
-    )
-    cands = (
-        tagged.groupBy("tbl", "bucket")
-        .applyInPandas(_bucket_topk_kernel, _CAND_SCHEMA)
-        # the same pair can collide in several tables; keep one copy
-        .dropDuplicates(["vec_id", "neighbor_id"])
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "rank", "neighbor_id", "sim")
-    )
+    return _global_topk(cands)
 
 
 # ---------------------------------------------------------------------------
@@ -306,8 +532,8 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an integer grid first — integer sums are associative, making the
 # centroid bit-identical across engines and across runs at any
 # parallelism. The double `centroid_val` is then one exact division of
-# identical operands on both sides.
-CENTROID_Q = 1_000_000
+# identical operands on both sides. (CENTROID_Q is defined with the
+# module constants up top; the deterministic ANN paths share the grid.)
 
 
 @query(

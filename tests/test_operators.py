@@ -40,7 +40,8 @@ def test_simhash_pairs_are_near_dups(spark, sf_dir):
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     """Approximate top-k should recover a solid fraction of the exact
-    top-k pairs (recall@k; 4 tables × 6 hyperplanes on 64-dim noise)."""
+    top-k pairs (recall@k; 8 tables × 4 Rademacher hyperplanes on
+    64-dim noise — measured 0.74 at sf0.001)."""
     exact = {
         (r.vec_id, r.neighbor_id)
         for r in similarity.ann_topk_bruteforce(spark, sf_dir).collect()
@@ -50,13 +51,13 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         for r in similarity.ann_topk_lsh(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3  # noise embeddings; LSH trades recall for cost
+    assert recall >= 0.7  # noise embeddings; LSH trades recall for cost
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF-Flat with nprobe=8 of 16 lists probes ~half the corpus; on
     near-noise embeddings recall@k should comfortably beat the ~nprobe/
-    nclusters floor of random bucketing."""
+    nclusters floor of random bucketing (measured 0.82 at sf0.001)."""
     exact = {
         (r.vec_id, r.neighbor_id)
         for r in similarity.ann_topk_bruteforce(spark, sf_dir).collect()
@@ -66,7 +67,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
         for r in similarity.ann_topk_ivf(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5
+    assert recall >= 0.75
 
 
 def test_dedup_exact_canonical_ids(spark, sf_dir):
