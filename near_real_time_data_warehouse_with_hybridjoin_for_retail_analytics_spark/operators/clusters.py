@@ -42,6 +42,7 @@ from .dedup import (
     NEAR_DUP_COSINE,
     NEAR_DUP_JACCARD,
     _SQL_SHINGLES,
+    _sql_emb_cand_ctes,
     dedup_ngram_jaccard,
 )
 
@@ -182,7 +183,7 @@ _SQL_COMPONENTS = f"""
              doc_id AS dst
       FROM documents
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT src, dst FROM jacc
         UNION SELECT src, dst FROM exact WHERE src < dst
@@ -268,17 +269,17 @@ _SQL_MULTIMODAL_COMPONENTS = f"""
              doc_id AS dst
       FROM documents
     ),
+    {_sql_emb_cand_ctes()},
     emb AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_COSINE}
+      SELECT vec_a AS src, vec_b AS dst FROM escore
+      WHERE sim >= {NEAR_DUP_COSINE}
     ),
     fwd AS (
       SELECT src, dst FROM jacc
       UNION SELECT src, dst FROM exact WHERE src < dst
       UNION SELECT src, dst FROM emb
     ),
-    edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+    edges AS MATERIALIZED (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
     walk(node, lbl) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
@@ -298,11 +299,17 @@ def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (doc_id ≡ vec_id in the testdata). Pairs any single method
     misses still merge when another modality links them — the strongest
     (and most aggressive) dedup the pipeline offers; same component
-    loop, bigger edge set."""
-    from .dedup import dedup_embedding_cosine
+    loop, bigger edge set.
+
+    The embedding edges come from the scale path
+    (``dedup_embedding_candidates``: LSH candidates + exact verify, the
+    only formulation that survives 100 TB) rather than the all-pairs
+    truth mode; the oracle replays the same candidate pipeline, and
+    candidate recall vs all-pairs stays gated in tests."""
+    from .dedup import dedup_embedding_candidates
 
     docs = load_table(spark, sf_dir, "documents")
-    emb_edges = dedup_embedding_cosine(spark, sf_dir).select(
+    emb_edges = dedup_embedding_candidates(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     # Contract the text graph first: the text-only labeling is already

@@ -621,6 +621,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding near-dup, the scale path: LSH candidates + exact verification
+# ---------------------------------------------------------------------------
+# The all-pairs method above is the *truth mode* — O(n²·d) compute is
+# fine at oracle scale and infeasible at 100 TB regardless of sharding.
+# The default edge source for component building is therefore ANN-style:
+# sign-LSH buckets generate candidate pairs (linear in vectors per
+# table), and only candidates get an exact cosine check. Precision is 1
+# by construction (every emitted pair passed the exact threshold);
+# recall is the LSH collision probability — with 16 tables × 4-bit
+# signatures ≈0.91 at cos 0.35 rising to ≈0.99 near the corpus's top
+# similarities — and stays gated in tests vs the all-pairs truth.
+#
+# Everything runs on the deterministic 1e-6 integer grid from
+# operators/similarity.py, so the DuckDB oracle replays bucket
+# assignment and verification exactly (full value-hash check). The
+# verification cosine is the grid cosine (quantized inputs), which can
+# disagree with the float all-pairs method only for pairs within ~1e-5
+# of the threshold — the recall test uses the all-pairs set as truth.
+DEDUP_LSH_TABLES = 16
+DEDUP_LSH_BITS = 4
+
+
+def _sql_emb_cand_ctes() -> str:
+    """CTE chain (qe, n2, ebuckets, ecand, escore) shared by the
+    candidate-pair oracle and the multimodal-component oracle."""
+    from .similarity import _SQL_N2, _SQL_QE, _sql_scored, sql_lsh_buckets
+
+    return f"""qe AS ({_SQL_QE}),
+    n2 AS ({_SQL_N2}),
+    ebuckets AS ({sql_lsh_buckets(DEDUP_LSH_TABLES, DEDUP_LSH_BITS)}),
+    ecand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM ebuckets a JOIN ebuckets b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+    escore AS ({_sql_scored('ecand', 'vec_a', 'vec_b')})"""
+
+
+def _cand_threshold_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """One (table, bucket) group: exact grid cosine, threshold, emit
+    ordered id pairs with their (bit-exact) score."""
+    import pandas as pd
+
+    from .similarity import int_sims
+
+    pdf = pdf.sort_values("vec_id")
+    if len(pdf) < 2:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+        )
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy()
+    sims = int_sims(pdf, pdf)
+    hit = (sims >= NEAR_DUP_COSINE) & (ids[:, None] < ids[None, :])
+    ra, rb = np.nonzero(hit)
+    return pd.DataFrame(
+        {"vec_a": ids[ra], "vec_b": ids[rb], "sim": sims[ra, rb]}
+    )
+
+
+@query(
+    "dedup_embedding_candidates",
+    f"""
+    WITH {_sql_emb_cand_ctes()}
+    SELECT vec_a, vec_b, sim FROM escore WHERE sim >= {NEAR_DUP_COSINE}
+    """,
+)
+def dedup_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH candidate generation + exact
+    re-verification — the 100 TB path (see the section comment). One
+    shuffle on (table, bucket) keys, per-bucket Arrow kernels do the
+    bounded quadratic work, exact threshold check inside the kernel.
+
+    Persisted per (session, sf): the multimodal component loop and the
+    candidate-recall report consume the same pairs."""
+
+    def build() -> DataFrame:
+        from .similarity import lsh_tagged, quantized_embeddings
+
+        tagged = lsh_tagged(
+            quantized_embeddings(spark, sf_dir),
+            DEDUP_LSH_TABLES,
+            DEDUP_LSH_BITS,
+        )
+        return (
+            tagged.groupBy("tbl", "bucket")
+            .applyInPandas(_cand_threshold_kernel, "vec_a long, vec_b long, sim double")
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+
+    return _cached(spark, sf_dir, "emb_cand_pairs", build)
+
+
+# ---------------------------------------------------------------------------
 # Method agreement: text near-dups vs embedding near-dups
 # ---------------------------------------------------------------------------
 @query(
