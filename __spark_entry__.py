@@ -67,8 +67,8 @@ _VERIFY_FIRST = [
     "ann_topk_bruteforce",
     "embedding_centroids_by_label",
     "ann_centroid_assign",
-    "multimodal_metadata",
     "multimodal_features",
+    "multimodal_decode_stats",
 ]
 
 
