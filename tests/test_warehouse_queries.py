@@ -169,3 +169,53 @@ def test_dashboard_year_filter(spark, warehouse):
     df = serving.run_dashboard_query(spark, "quarterly_trends", year=2018)
     quarters = {r.quarter_num for r in df.collect()}
     assert quarters <= {1, 4}  # 2018 fixture sales only in Q1 and Q4
+
+
+# The reference's plotting layer consumes these exact lowercase columns
+# (Postgres folds unquoted identifiers; dashboard.py:82-91,...,257-264).
+DASHBOARD_CONTRACT = {
+    "top_products": [
+        "product_id", "product_category", "monthnum", "is_weekend",
+        "revenue", "rn",
+    ],
+    "demographics": ["gender", "age_group", "city_category", "total_revenue"],
+    "category_occupation": ["product_category", "occupation", "total_revenue"],
+    "quarterly_trends": ["quarter_num", "gender", "age_group", "total_revenue"],
+    "top_cities": ["city_category", "product_category", "total_revenue", "rn"],
+    "monthly_growth": ["product_category", "monthnum", "growth_percent"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(serving.DASHBOARD_QUERIES))
+def test_dashboard_chart_contract(spark, warehouse, name):
+    """Each view's frame carries exactly the columns the reference's
+    plotly call binds, numeric measures included — a migrating dashboard
+    can point its six px.* calls at these frames unchanged."""
+    df = serving.run_dashboard_query(spark, name, year=2017)
+    assert df.columns == DASHBOARD_CONTRACT[name]
+    spec = serving.CHART_SPECS[name]
+    bound = [
+        v
+        for k, v in spec.items()
+        if k in ("x", "y", "color", "facet_col", "line_dash", "values")
+    ] + list(spec.get("path", []))
+    assert set(bound) <= set(df.columns), name
+    # the measure column is numeric (plotly y/values axis)
+    measure = spec.get("y") or spec.get("values")
+    dtype = dict(df.dtypes)[measure]
+    assert any(t in dtype for t in ("int", "double", "decimal", "float")), dtype
+
+
+def test_dashboard_render_is_guarded():
+    """plotly is absent in this container: the renderer must raise the
+    declared NotImplementedError, not an ImportError surprise."""
+    try:
+        import plotly  # noqa: F401
+
+        pytest.skip("plotly installed; render path active")
+    except ImportError:
+        pass
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        serving.render_dashboard_chart(pd.DataFrame(), "top_products")
