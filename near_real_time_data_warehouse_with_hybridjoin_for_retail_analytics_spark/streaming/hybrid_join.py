@@ -255,6 +255,8 @@ def run_stream(
     available_now: bool = True,
     partition_by_year: bool = False,
     source_format: str = "csv",
+    sink_format: str = "parquet",
+    sink_options: dict | None = None,
 ) -> StreamingQuery:
     """Replay transaction files as micro-batches and load the Sales fact.
 
@@ -273,6 +275,15 @@ def run_stream(
     ``json`` (JSON-lines) — the normalization layer is format-agnostic
     (alias coalescing and casts happen after the scan), so any file
     format Spark can stream works here.
+
+    ``sink_format``: ``parquet`` (default) appends files under
+    ``output_dir``; ``jdbc`` appends into a live database table — the
+    reference's actual deployment (batched INSERTs into Postgres,
+    hybridjoin.py:449-464). For JDBC pass ``sink_options`` with at
+    least ``url`` and ``table`` (plus ``driver``/``batchsize``/...);
+    the idempotent-replay batch markers then live in the checkpoint
+    directory, and the id-sequence bootstrap reads MAX(sales_id) from
+    the target table over JDBC (sequence parity, hybridjoin.py:80-85).
     """
     reader = spark.readStream.schema(schema_ddl)
     if source_format == "csv":
@@ -287,7 +298,13 @@ def run_stream(
     # driver, initialized from the sink (sequence bootstrap parity,
     # hybridjoin.py:80-85). foreachBatch gives the exactly-once-per-batch
     # hook the reference's COMMIT_INTERVAL approximates.
-    state = {"offset": _existing_max_id(spark, output_dir)}
+    jdbc_opts = dict(sink_options or {})
+    if sink_format == "jdbc":
+        state = {"offset": _existing_max_id_jdbc(spark, jdbc_opts)}
+        marker_dir = checkpoint_dir
+    else:
+        state = {"offset": _existing_max_id(spark, output_dir)}
+        marker_dir = output_dir
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # Idempotent replay: a marker per committed batch (underscore
@@ -298,21 +315,32 @@ def run_stream(
         # order (true for file sources re-listing an unchanged input).
         # Concurrent writers or grown inputs need a transaction log
         # (Delta/Iceberg); the crash window between data write and
-        # marker write is the same one Delta's log closes.
-        marker = os.path.join(output_dir, f"_batch_{batch_id}_committed")
+        # marker write is the same one Delta's log closes — or, for the
+        # JDBC sink, the same window the reference's ON CONFLICT DO
+        # NOTHING papers over (hybridjoin.py:460-464).
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"_batch_{batch_id}_committed")
         if os.path.exists(marker):
             return
         with_ids, n, cleanup = assign_sales_ids(batch_df, state["offset"])
-        writer = with_ids.write.mode("append")
-        if partition_by_year:
-            writer = (
-                with_ids.withColumn(
-                    "sale_year", (F.col("date_id") / 10000).cast("int")
-                )
-                .write.mode("append")
-                .partitionBy("sale_year")
+        if sink_format == "jdbc":
+            from ..sources.jdbc import write_jdbc_table
+
+            opts = dict(jdbc_opts)
+            write_jdbc_table(
+                with_ids, opts.pop("url"), opts.pop("table"), **opts
             )
-        writer.parquet(output_dir)
+        else:
+            writer = with_ids.write.mode("append")
+            if partition_by_year:
+                writer = (
+                    with_ids.withColumn(
+                        "sale_year", (F.col("date_id") / 10000).cast("int")
+                    )
+                    .write.mode("append")
+                    .partitionBy("sale_year")
+                )
+            writer.parquet(output_dir)
         cleanup()
         state["offset"] += n
         open(marker, "w").close()
@@ -330,6 +358,22 @@ def run_stream(
 def _existing_max_id(spark: SparkSession, output_dir: str) -> int:
     try:
         existing = spark.read.parquet(output_dir)
+        row = existing.agg(F.max("sales_id")).collect()[0]
+        return int(row[0] or 0)
+    except Exception:
+        return 0
+
+
+def _existing_max_id_jdbc(spark: SparkSession, opts: dict) -> int:
+    """Sequence bootstrap against a live sink table (the reference reads
+    the Postgres sequence's last_value, hybridjoin.py:80-85). A missing
+    table starts at 0 — first stream run creates it."""
+    from ..sources.jdbc import read_jdbc_table
+
+    o = dict(opts)
+    o.pop("batchsize", None)
+    try:
+        existing = read_jdbc_table(spark, o.pop("url"), o.pop("table"), **o)
         row = existing.agg(F.max("sales_id")).collect()[0]
         return int(row[0] or 0)
     except Exception:

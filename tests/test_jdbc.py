@@ -1,0 +1,143 @@
+"""JDBC source/sink tests against the embedded Derby database that
+ships on Spark's classpath — real reads/writes over a live JDBC
+connection, mirroring the reference's PostgreSQL deployment
+(dim scans hybridjoin.py:87-135, batched INSERT sink :449-464)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from decimal import Decimal
+from pathlib import Path
+
+import pytest
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.sources.jdbc import (
+    read_jdbc_table,
+    write_jdbc_table,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+    hybrid_join as hj,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+CSV_A = """orderID,Customer_ID,Product_ID,quantity,date
+100,1000001,P001,2,2017-03-04
+101,1000002,P002,1,2017-03-05
+102,1000001,P002,3,2017-03-06
+"""
+CSV_B = """orderID,Customer_ID,Product_ID,quantity,date
+200,1000002,P001,4,2017-04-01
+201,1000001,P001,1,2017-04-02
+"""
+
+CUSTOMERS = [(1000001, "M"), (1000002, "F")]
+PRODUCTS = [
+    ("P001", "Toys", Decimal("10.50"), 3, 2),
+    ("P002", "Appliances", Decimal("79.95"), 4, 5),
+]
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="jdbctest_")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def derby_url(workdir):
+    return f"jdbc:derby:{workdir}/db;create=true"
+
+
+def test_jdbc_round_trip_dimension(spark, derby_url):
+    """Dimension write → read over a live connection preserves rows and
+    types (S3/S7 parity)."""
+    dim = spark.createDataFrame(
+        PRODUCTS,
+        "product_id string, product_category string, price decimal(12,2), "
+        "store_id long, supplier_id long",
+    )
+    write_jdbc_table(
+        dim, derby_url, "product", mode="overwrite", driver=DERBY_DRIVER
+    )
+    back = read_jdbc_table(spark, derby_url, "product", driver=DERBY_DRIVER)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(PRODUCTS)
+
+
+def test_stream_jdbc_sink_and_sequence_bootstrap(spark, derby_url, workdir):
+    """The streaming ETL appends the fact into a live JDBC table; a
+    second run over new files resumes the sales_id sequence from
+    MAX(sales_id) in the target table (hybridjoin.py:80-85 parity)."""
+    cust = spark.createDataFrame(CUSTOMERS, "customer_id long, gender string")
+    prod = spark.createDataFrame(
+        PRODUCTS,
+        "product_id string, product_category string, price decimal(12,2), "
+        "store_id long, supplier_id long",
+    )
+    schema = (
+        "orderID string, Customer_ID string, Product_ID string, "
+        "quantity string, date string"
+    )
+    sink_opts = {"url": derby_url, "table": "sales", "driver": DERBY_DRIVER}
+
+    in_dir = workdir / "in"
+    in_dir.mkdir()
+    (in_dir / "a.csv").write_text(CSV_A)
+    hj.run_stream(
+        spark,
+        str(in_dir),
+        schema,
+        cust,
+        prod,
+        output_dir=str(workdir / "unused"),
+        checkpoint_dir=str(workdir / "ckpt1"),
+        sink_format="jdbc",
+        sink_options=sink_opts,
+    ).awaitTermination()
+
+    back = read_jdbc_table(spark, derby_url, "sales", driver=DERBY_DRIVER)
+    rows = {r.order_id: r for r in back.collect()}
+    assert len(rows) == 3
+    assert sorted(r.sales_id for r in rows.values()) == [1, 2, 3]
+    # enrichment applied before the sink: price lookup → sales_amount
+    assert rows[100].sales_amount == Decimal("21.00")
+    assert rows[101].sales_amount == Decimal("79.95")
+
+    # second run, new input, fresh checkpoint → ids continue at MAX+1
+    in2 = workdir / "in2"
+    in2.mkdir()
+    (in2 / "b.csv").write_text(CSV_B)
+    hj.run_stream(
+        spark,
+        str(in2),
+        schema,
+        cust,
+        prod,
+        output_dir=str(workdir / "unused"),
+        checkpoint_dir=str(workdir / "ckpt2"),
+        sink_format="jdbc",
+        sink_options=sink_opts,
+    ).awaitTermination()
+
+    back2 = read_jdbc_table(spark, derby_url, "sales", driver=DERBY_DRIVER)
+    assert sorted(r.sales_id for r in back2.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_jdbc_partitioned_read_option_passthrough(spark, derby_url):
+    """The partitioned-read quartet reaches the JDBC relation: the scan
+    plans numPartitions partitions over the stride."""
+    back = read_jdbc_table(
+        spark,
+        derby_url,
+        "sales",
+        driver=DERBY_DRIVER,
+        partitionColumn="sales_id",
+        lowerBound="1",
+        upperBound="6",
+        numPartitions="3",
+    )
+    assert back.rdd.getNumPartitions() == 3
+    assert back.count() == 5
