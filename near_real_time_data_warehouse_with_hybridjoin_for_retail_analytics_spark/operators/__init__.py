@@ -27,10 +27,12 @@ from ..streaming import (  # noqa: F401  (registers etl_* stream twins)
 
 
 def reset_session_caches() -> None:
-    """Drop every per-session operator cache (persisted shingles/edges,
-    component labels, IVF centroids). Used by the bench harness between
-    measurement passes so each pass rebuilds state exactly as a fresh
-    session would — min-of-N stays a measurement, not a cache readout."""
+    """Drop every per-session operator cache (persisted shingles/edges/
+    candidate pairs, component labels). Used by the bench harness
+    between measurement passes so each pass rebuilds state exactly as a
+    fresh session would — min-of-N stays a measurement, not a cache
+    readout. (The IVF quantizer has no cross-query cache anymore: its
+    deterministic training runs inside the query.)"""
     for df in dedup._DF_CACHE.values():
         df.unpersist()
     dedup._DF_CACHE.clear()
@@ -38,4 +40,3 @@ def reset_session_caches() -> None:
         df.unpersist()
     clusters._EDGE_CACHE.clear()
     clusters._COMPONENT_CACHE.clear()
-    similarity._CENTROID_CACHE.clear()
