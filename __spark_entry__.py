@@ -51,6 +51,8 @@ _VERIFY_FIRST = [
     "events_retention",
     "curation_temperature_mix",
     "embedding_norm_stats",
+    "embedding_random_projection",
+    "embedding_scalar_quantize",
     # dedup family (multimodal_components depends on these)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -62,8 +64,6 @@ _VERIFY_FIRST = [
     "dedup_component_stats",
     # timeseries + embedding aggregations
     "events_asof_attribution",
-    "events_error_context",
-    "events_rollup_multi",
     "ann_topk_bruteforce",
     "embedding_centroids_by_label",
     "ann_centroid_assign",

@@ -50,7 +50,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
@@ -88,8 +88,10 @@ _CAND_SCHEMA = "vec_id long, neighbor_id long, sim double"
 _MAX_PLANES = 64  # enough for 16 tables × 4 hyperplanes
 
 
-def _rademacher_planes(n_planes: int, dim: int) -> list[list[int]]:
-    x = 0x9E3779B97F4A7C15
+def _rademacher_planes(
+    n_planes: int, dim: int, seed: int = 0x9E3779B97F4A7C15
+) -> list[list[int]]:
+    x = seed
 
     def step() -> int:
         nonlocal x
@@ -762,3 +764,118 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_norm2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: random projection + scalar (int8) quantization
+# ---------------------------------------------------------------------------
+# The two standard moves before storing / indexing vectors at corpus
+# scale: Johnson–Lindenstrauss signed random projection (d → d', exact
+# integer components on the grid, so the projected table is itself
+# oracle-checkable and joinable), and per-dimension int8 scalar
+# quantization (the vector-DB storage format: 4× smaller than float32,
+# with a measured reconstruction error per element).
+RP_DIM = 16
+_RP_PLANES = _rademacher_planes(RP_DIM, EMB_DIM, seed=0xC2B2AE3D27D4EB4F)
+SQ_LEVELS = 255  # int8-style code range 0..255
+
+
+def _rp_sql() -> str:
+    comps = ",\n           ".join(
+        "CAST(list_sum(list_transform(range(1, %d), i -> q[i] * %s[i])) AS BIGINT) AS p%d"
+        % (
+            EMB_DIM + 1,
+            "[" + ", ".join(str(c) for c in _RP_PLANES[k]) + "]",
+            k,
+        )
+        for k in range(RP_DIM)
+    )
+    return f"""
+    WITH qe AS ({_SQL_QE})
+    SELECT vec_id,
+           {comps}
+    FROM qe
+    """
+
+
+@query("embedding_random_projection", _rp_sql())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Johnson–Lindenstrauss): compress the
+    64-dim embedding to RP_DIM exact integer components — ±1 planes
+    from the seeded LCG, one int64 matmul per Arrow batch, zero
+    shuffle (pure map-side projection at any corpus size). Distances
+    in the projected space approximate the original within the JL
+    bound; the components are exact BIGINTs, so the compressed table
+    is hash-checkable and directly joinable downstream."""
+    pm = np.array(_RP_PLANES, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def project(q: pd.Series) -> pd.Series:
+        mat = np.stack(q.to_numpy()).astype(np.int64)
+        return pd.Series(list(mat @ pm.T))
+
+    qe = quantized_embeddings(spark, sf_dir)
+    return qe.select("vec_id", project(F.col("q")).alias("p")).select(
+        "vec_id",
+        *[F.element_at("p", k + 1).alias(f"p{k}") for k in range(RP_DIM)],
+    )
+
+
+@query(
+    "embedding_scalar_quantize",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(pos AS INT) AS dim, CAST(v AS DOUBLE) AS v
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+    ),
+    stats AS (
+      SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY dim
+    )
+    SELECT e.vec_id, e.dim,
+           CAST(CASE WHEN s.mx = s.mn THEN 0
+                ELSE floor((e.v - s.mn) / (s.mx - s.mn) * {SQ_LEVELS})
+           END AS INT) AS code,
+           CASE WHEN s.mx = s.mn THEN 0.0
+                ELSE abs(e.v - (s.mn + CAST(CASE WHEN s.mx = s.mn THEN 0
+                     ELSE floor((e.v - s.mn) / (s.mx - s.mn) * {SQ_LEVELS})
+                     END AS DOUBLE) / {SQ_LEVELS} * (s.mx - s.mn)))
+           END AS abs_err
+    FROM e JOIN stats s USING (dim)
+    """,
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar quantization to {0..255} codes (the int8
+    storage format every vector store offers) with the per-element
+    reconstruction error. One posexplode + one 64-row stats aggregate
+    broadcast back — shuffle O(n·d) longs, stats relation is |dims|
+    rows at any corpus size. Every arithmetic step (min/max over exact
+    doubles, one divide, one multiply, floor; reconstruction re-runs
+    the same chain) is IEEE-deterministic, so codes AND errors
+    hash-match the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    stats = e.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    degenerate = F.col("mx") == F.col("mn")
+    code = F.when(degenerate, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("v") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * SQ_LEVELS
+        )
+    ).cast("int")
+    joined = e.join(F.broadcast(stats), "dim").withColumn("code", code)
+    recon = F.col("mn") + F.col("code").cast("double") / SQ_LEVELS * (
+        F.col("mx") - F.col("mn")
+    )
+    abs_err = F.when(degenerate, F.lit(0.0)).otherwise(
+        F.abs(F.col("v") - recon)
+    )
+    return joined.select("vec_id", "dim", "code", abs_err.alias("abs_err"))

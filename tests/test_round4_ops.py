@@ -99,6 +99,43 @@ def test_decode_stats_matches_hand_computation(spark, sf_dir):
     assert row.thumb_sum == int(small.astype(np.int64).sum())
 
 
+def test_random_projection_matches_numpy(spark, sf_dir):
+    """Projected components equal an independent numpy matmul of the
+    quantized vectors with the module's RP plane list."""
+    qe = similarity.quantized_embeddings(spark, sf_dir)
+    sample = {r.vec_id: np.array(r.q, dtype=np.int64) for r in qe.limit(10).collect()}
+    proj = {
+        r.vec_id: [r[f"p{k}"] for k in range(similarity.RP_DIM)]
+        for r in similarity.embedding_random_projection(spark, sf_dir)
+        .filter(F_in("vec_id", sample))
+        .collect()
+    }
+    pm = np.array(similarity._RP_PLANES, dtype=np.int64)
+    for vid, q in sample.items():
+        assert proj[vid] == list(pm @ q)
+
+
+def F_in(col, keys):
+    from pyspark.sql import functions as F
+
+    return F.col(col).isin(*[int(k) for k in keys])
+
+
+def test_scalar_quantize_bounds(spark, sf_dir):
+    """Codes stay in {0..SQ_LEVELS}; reconstruction error is bounded by
+    one quantization step of that dimension's range."""
+    rows = similarity.embedding_scalar_quantize(spark, sf_dir).collect()
+    assert len(rows) == 500 * 64
+    by_dim: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.code <= similarity.SQ_LEVELS
+        by_dim.setdefault(r.dim, []).append(r.abs_err)
+    # max error per dim ≤ step = range/SQ_LEVELS; spot-check via the
+    # documents' value range (|v| < 1 → step < 2/255)
+    for dim, errs in by_dim.items():
+        assert max(errs) <= 2.0 / similarity.SQ_LEVELS
+
+
 def test_lsh_buckets_match_plane_signs(spark, sf_dir):
     """Bucket ids equal the sign pattern of exact integer plane dots —
     recomputed independently in numpy from the module's plane list."""
