@@ -6,6 +6,9 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
     multimodal,
@@ -58,6 +61,51 @@ def test_decode_bmp_parses_foreign_topdown_file():
     assert img[0, 1].tolist() == [0, 0, 255]  # blue
     assert img[1, 0].tolist() == [0, 255, 0]  # green
     assert img[1, 1].tolist() == [255, 255, 255]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    raw=st.binary(min_size=0, max_size=400),
+    width=st.integers(min_value=1, max_value=21),
+)
+def test_bmp_round_trip_property(raw, width):
+    """For ANY payload and width, decode(encode(raw)) recovers the
+    zero-padded payload, and the file's row stride honors the 4-byte
+    alignment the format requires."""
+    bmp = multimodal.encode_bmp(raw, width=width)
+    w, h, img = multimodal.decode_bmp(bmp)
+    assert w == width and h == max(1, -(-len(raw) // (3 * width)))
+    flat = bytes(img.reshape(-1))
+    assert flat[: len(raw)] == raw
+    assert all(b == 0 for b in flat[len(raw):])
+    expected_size = 54 + ((3 * width + 3) // 4 * 4) * h
+    assert len(bmp) == expected_size
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_int_sims_matches_direct_cosine(qs):
+    """The kernel's grid cosine equals the scalar expression the SQL
+    oracle evaluates: dot / (sqrt(max(n2a,1)) * sqrt(max(n2b,1)))."""
+    pdf = pd.DataFrame({"q": [np.array(q, dtype=np.int64) for q in qs]})
+    sims = similarity.int_sims(pdf, pdf)
+    for i, a in enumerate(qs):
+        for j, b in enumerate(qs):
+            dot = sum(x * y for x, y in zip(a, b))
+            n2a = max(sum(x * x for x in a), 1)
+            n2b = max(sum(x * x for x in b), 1)
+            expect = float(dot) / (np.sqrt(float(n2a)) * np.sqrt(float(n2b)))
+            assert sims[i, j] == expect
 
 
 def test_resize_nearest_indexing():
