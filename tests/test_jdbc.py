@@ -126,6 +126,51 @@ def test_stream_jdbc_sink_and_sequence_bootstrap(spark, derby_url, workdir):
     assert sorted(r.sales_id for r in back2.collect()) == [1, 2, 3, 4, 5]
 
 
+def test_jdbc_replay_markers_prevent_duplicates(spark, derby_url, workdir):
+    """Redelivery protection (S6 parity): wiping the checkpoint but
+    keeping the batch markers replays the same input as batch 0 again —
+    the marker makes it a no-op, so the live table gains no duplicate
+    rows and no duplicate ids."""
+    cust = spark.createDataFrame(CUSTOMERS, "customer_id long, gender string")
+    prod = spark.createDataFrame(
+        PRODUCTS,
+        "product_id string, product_category string, price decimal(12,2), "
+        "store_id long, supplier_id long",
+    )
+    schema = (
+        "orderID string, Customer_ID string, Product_ID string, "
+        "quantity string, date string"
+    )
+    sink_opts = {"url": derby_url, "table": "sales_replay", "driver": DERBY_DRIVER}
+    in_dir = workdir / "in_replay"
+    in_dir.mkdir()
+    (in_dir / "a.csv").write_text(CSV_A)
+    ckpt = workdir / "ckpt_replay"
+
+    for attempt in range(2):
+        if attempt == 1:
+            # crash-and-restart-without-checkpoint: offsets are gone,
+            # the committed-batch markers (written next to them) remain
+            for child in ckpt.iterdir():
+                if not child.name.startswith("_batch_"):
+                    shutil.rmtree(child, ignore_errors=True)
+        hj.run_stream(
+            spark,
+            str(in_dir),
+            schema,
+            cust,
+            prod,
+            output_dir=str(workdir / "unused2"),
+            checkpoint_dir=str(ckpt),
+            sink_format="jdbc",
+            sink_options=sink_opts,
+        ).awaitTermination()
+        back = read_jdbc_table(
+            spark, derby_url, "sales_replay", driver=DERBY_DRIVER
+        ).collect()
+        assert sorted(r.sales_id for r in back) == [1, 2, 3], f"attempt {attempt}"
+
+
 def test_jdbc_partitioned_read_option_passthrough(spark, derby_url):
     """The partitioned-read quartet reaches the JDBC relation: the scan
     plans numPartitions partitions over the stride."""
