@@ -688,11 +688,19 @@ def _cand_threshold_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
     SELECT vec_a, vec_b, sim FROM escore WHERE sim >= {NEAR_DUP_COSINE}
     """,
 )
-def dedup_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int = DEDUP_LSH_TABLES,
+    bits: int = DEDUP_LSH_BITS,
+) -> DataFrame:
     """Embedding near-dup pairs via LSH candidate generation + exact
     re-verification — the 100 TB path (see the section comment). One
     shuffle on (table, bucket) keys, per-bucket Arrow kernels do the
     bounded quadratic work, exact threshold check inside the kernel.
+    ``bits`` scales bucket count with the corpus (2^bits buckets per
+    table — the registered default is sized for the sf0.01 gate; see
+    SCALE.md for the n=32k measurement).
 
     Persisted per (session, sf): the multimodal component loop and the
     candidate-recall report consume the same pairs."""
@@ -701,9 +709,7 @@ def dedup_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .similarity import lsh_tagged, quantized_embeddings
 
         tagged = lsh_tagged(
-            quantized_embeddings(spark, sf_dir),
-            DEDUP_LSH_TABLES,
-            DEDUP_LSH_BITS,
+            quantized_embeddings(spark, sf_dir), tables, bits
         )
         return (
             tagged.groupBy("tbl", "bucket")
@@ -711,7 +717,7 @@ def dedup_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["vec_a", "vec_b"])
         )
 
-    return _cached(spark, sf_dir, "emb_cand_pairs", build)
+    return _cached(spark, sf_dir, f"emb_cand_pairs_{tables}x{bits}", build)
 
 
 # ---------------------------------------------------------------------------

@@ -84,8 +84,10 @@ _CAND_SCHEMA = "vec_id long, neighbor_id long, sim double"
 # projection of a quantized vector is an exact BIGINT — its sign (the
 # LSH bit) is engine-exact, unlike a float Gaussian dot whose sign can
 # flip with summation order. The same plane list is embedded as plain
-# literals in both the Spark plan and the oracle SQL.
-_MAX_PLANES = 64  # enough for 16 tables × 4 hyperplanes
+# literals in both the Spark plan and the oracle SQL. (The LCG is
+# consumed sequentially, so growing _MAX_PLANES never changes the
+# planes earlier indexes see — oracles stay stable.)
+_MAX_PLANES = 256  # 16 tables × up to 16 hyperplanes
 
 
 def _rademacher_planes(
@@ -339,20 +341,28 @@ def _ann_lsh_sql() -> str:
 
 
 @query("ann_topk_lsh", _ann_lsh_sql())
-def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k. Hyperplane signs are exact
-    integer dots computed JVM-side (codegen folds, no UDF); per-bucket
-    Arrow kernels do the quadratic scoring as int64 matmuls; a final
-    window ranks the deduped candidate union. At 100 TB the buckets
-    shard the quadratic work and each table is one shuffle on a short
+def ann_topk_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_HYPERPLANES,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: per-bucket Arrow kernels do the
+    bounded quadratic scoring as int64 matmuls; a final window ranks
+    the deduped candidate union. At 100 TB the buckets shard the
+    quadratic work and each table is one shuffle on a short
     (table, bucket) key.
+
+    ``bits`` (signature width) is the scale knob: 2^bits buckets per
+    table must grow with the corpus or buckets saturate back to
+    all-pairs — measured at n=32k, bits=4 scores ~n²/16 per table while
+    bits=8 is 5.3× faster end-to-end (see SCALE.md). The registered
+    default (and its oracle) uses bits=4, sized for the sf0.01 gate.
 
     Fully deterministic (grid arithmetic + IEEE division), so the
     DuckDB oracle replays the whole index — recall vs bruteforce stays
     gated in tests (approximate BY DESIGN, exact by construction)."""
-    tagged = lsh_tagged(
-        quantized_embeddings(spark, sf_dir), LSH_TABLES, LSH_HYPERPLANES
-    )
+    tagged = lsh_tagged(quantized_embeddings(spark, sf_dir), tables, bits)
     cands = tagged.groupBy("tbl", "bucket").applyInPandas(
         _bucket_int_topk_kernel, _CAND_SCHEMA
     )
@@ -469,7 +479,12 @@ def _ann_ivf_sql() -> str:
 
 
 @query("ann_topk_ivf", _ann_ivf_sql())
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
     """IVF-Flat approximate top-k with a deterministic coarse quantizer:
     seeds = the k lowest-vec_id vectors (k-means init), one Lloyd
     refinement step with integer-quantized means (floor(Σq/n) per dim —
@@ -483,11 +498,20 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic end-to-end, so the DuckDB oracle replays quantizer
     training, assignment and ranking exactly (full value-hash check);
-    recall vs bruteforce stays gated in tests."""
+    recall vs bruteforce stays gated in tests.
+
+    ``clusters``/``nprobe`` are the scale knobs: search cost scales by
+    nprobe/nclusters, so nclusters must grow with the corpus (the
+    registered default 16/8 is sized for the sf0.01 gate; at n=32k,
+    clusters=180/nprobe=22 measured 4.8× faster — see SCALE.md).
+    IVF's pruning also assumes clusterable data: on isotropic-noise
+    embeddings recall at low nprobe/nclusters ratios degrades, which
+    is why the noise-robust LSH index is the default candidate
+    source."""
     qe = quantized_embeddings(spark, sf_dir)
 
     # quantizer training: two bounded collects (seeds, refined means)
-    seed_rows = qe.orderBy("vec_id").limit(IVF_CLUSTERS).select("q").collect()
+    seed_rows = qe.orderBy("vec_id").limit(clusters).select("q").collect()
     seeds = [
         (j, list(r["q"]), max(sum(x * x for x in r["q"]), 1))
         for j, r in enumerate(seed_rows)
@@ -516,7 +540,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = qe.select(
         "vec_id",
         "q",
-        F.posexplode(_probe_udf(cents, IVF_NPROBE)(F.col("q"))).alias(
+        F.posexplode(_probe_udf(cents, nprobe)(F.col("q"))).alias(
             "pos", "cluster"
         ),
     )
