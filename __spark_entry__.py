@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "embedding_norm_stats",
     "embedding_random_projection",
     "embedding_scalar_quantize",
+    "events_anomaly_zscore",
     # dedup family (multimodal_components depends on these)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -63,7 +64,6 @@ _VERIFY_FIRST = [
     "dedup_components",
     "dedup_component_stats",
     # timeseries + embedding aggregations
-    "events_asof_attribution",
     "ann_topk_bruteforce",
     "embedding_centroids_by_label",
     "ann_centroid_assign",

@@ -163,3 +163,71 @@ def events_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by hours × types, independent of event count."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
     return spark.sql(_GS_BODY.format(tbl="events_gs"))
+
+
+# ---------------------------------------------------------------------------
+# Hourly-count anomaly detection (z-score, integer-exact)
+# ---------------------------------------------------------------------------
+# The monitoring readout a streaming warehouse tracks: which (type,
+# hour) buckets deviate ≥ Z_THRESHOLD population standard deviations
+# from that type's hourly mean. All moments are exact BIGINTs (counts,
+# Σc, Σc²) with the algebraic identity z = (n·c − s)/√(n·ss − s²), so
+# the single float per row is one divide of exact operands — the
+# z-scores themselves hash-match across engines.
+Z_THRESHOLD = 3.0
+
+
+@query(
+    "events_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.window_start, h.c AS n_events,
+           CAST(t.n * h.c - t.s AS DOUBLE)
+             / sqrt(CAST(greatest(t.n * t.ss - t.s * t.s, 1) AS DOUBLE)) AS zscore
+    FROM hourly h JOIN stats t USING (event_type)
+    WHERE abs(CAST(t.n * h.c - t.s AS DOUBLE)
+              / sqrt(CAST(greatest(t.n * t.ss - t.s * t.s, 1) AS DOUBLE)))
+          >= {Z_THRESHOLD}
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomalies per type: buckets whose count sits
+    ≥ 3 population σ from the type's hourly mean. Two aggregations
+    (hour buckets, then per-type moments — the stats relation is
+    |types| rows and broadcasts back), output bounded by anomalous
+    buckets. Exact integer moments make the z-score engine-exact, so
+    the oracle hash-checks the scores, not just the flagged set."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    z = (F.col("n") * F.col("c") - F.col("s")).cast("double") / F.sqrt(
+        F.greatest(
+            F.col("n") * F.col("ss") - F.col("s") * F.col("s"), F.lit(1)
+        ).cast("double")
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= Z_THRESHOLD)
+        .select("event_type", "window_start", F.col("c").alias("n_events"), "zscore")
+    )
