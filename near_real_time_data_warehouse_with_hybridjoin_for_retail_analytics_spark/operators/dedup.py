@@ -22,8 +22,7 @@ block nested-loop) — cosine over millions of pairs is matmul work.
 
 from __future__ import annotations
 
-import functools
-
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -267,22 +266,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + banded LSH (the scale path)
 # ---------------------------------------------------------------------------
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, sig array<long>): k min-hashes per doc in one groupBy —
-    map-side partial min means the shuffle carries k longs per doc."""
+    """(doc_id, sig array<long>): k min-hashes per doc — one
+    collect_list shuffle (map-side combined into per-partition lists),
+    then the affine-min family evaluated in a single Arrow-batched
+    scalar UDF (one (g, k) matrix per doc, thousands of docs per
+    batch). Exactly the oracle's MIN((A·lo + C·hi + B) % P) integer
+    arithmetic — every term < 2^60, so int64 never overflows."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(lh: pd.Series) -> pd.Series:
+        import numpy as np
+
+        abc = np.array(MINHASH_COEFFS, dtype=np.int64)  # (k, 3)
+        out = []
+        for arr in lh:
+            m = np.stack(arr).astype(np.int64)  # (g, 2): lo, hi columns
+            vals = (
+                m[:, 0][:, None] * abc[None, :, 0]
+                + m[:, 1][:, None] * abc[None, :, 1]
+                + abc[None, :, 2]
+            ) % P31
+            out.append(vals.min(axis=0))
+        return pd.Series(out)
+
     hb = sh.select("doc_id", portable_hash60("shingle").alias("h")).select(
         "doc_id", (F.col("h") % M30).alias("lo"), F.shiftright("h", 30).alias("hi")
     )
-    mins = hb.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("lo") + F.lit(c) * F.col("hi") + F.lit(b)) % P31).alias(
-                f"m{i}"
-            )
-            for i, (a, c, b) in enumerate(MINHASH_COEFFS)
-        ]
+    pairs = hb.groupBy("doc_id").agg(
+        F.collect_list(F.array("lo", "hi")).alias("lh")
     )
-    return mins.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
-    )
+    return pairs.select("doc_id", sig_udf("lh").alias("sig"))
 
 
 def _bucket_pairs(keyed: DataFrame, keys: list[str], payload: str) -> DataFrame:
@@ -436,28 +450,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): sign of per-bit vote sums over token
-    hashes. 60 conditional sums in a single groupBy — one shuffle; the
-    60-bit portable base hash keeps the whole signature replayable by
-    the DuckDB oracle."""
+    hashes — one collect_list shuffle, then the 60 vote sums and the
+    bit assembly evaluated in a single Arrow-batched scalar UDF (a
+    (g, 60) ±1 matrix per doc). Same integers as the oracle's 60
+    conditional-SUM columns, without the multi-second codegen those 60
+    aggregate expressions cost (same lesson as minhash_signatures)."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def sim_udf(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        out = []
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.int64)
+            bits = (h[:, None] >> shifts[None, :]) & 1  # (g, 60)
+            votes = (2 * bits - 1).sum(axis=0)
+            out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+        return pd.Series(out, dtype="int64")
+
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
     ).withColumn("h", portable_hash60("token"))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    bit_terms: list[Column] = [
-        F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
-        .otherwise(F.lit(0).cast("long"))
-        for j in range(SIMHASH_BITS)
-    ]
-    # disjoint bits: + is | but stays foldable alongside the SQL twin
-    sig = functools.reduce(lambda x, y: x + y, bit_terms)
-    return votes.select("doc_id", sig.alias("simhash"))
+    hs = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    return hs.select("doc_id", sim_udf("hs").alias("simhash"))
 
 
 _SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
