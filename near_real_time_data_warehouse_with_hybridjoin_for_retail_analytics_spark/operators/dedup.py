@@ -265,38 +265,84 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH (the scale path)
 # ---------------------------------------------------------------------------
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, sig array<long>): k min-hashes per doc — one
-    collect_list shuffle (map-side combined into per-partition lists),
-    then the affine-min family evaluated in a single Arrow-batched
-    scalar UDF (one (g, k) matrix per doc, thousands of docs per
-    batch). Exactly the oracle's MIN((A·lo + C·hi + B) % P) integer
-    arithmetic — every term < 2^60, so int64 never overflows."""
+# Python mirrors of the engine-portable tokenize/shingle/h60 pipeline,
+# used by the shuffle-free signature kernels below. They must agree
+# bit-for-bit with the Spark expressions in ``shingles()`` /
+# ``portable_hash60``: ASCII-only whitespace class (Java and RE2 both
+# read ``\s`` as [ \t\n\x0B\f\r]; Python's would add Unicode spaces),
+# space-only trim (Spark/DuckDB ``trim`` strips 0x20 only), UTF-8 md5.
+_WS_RE = None  # compiled lazily inside executors
+
+
+def _py_tokens(text: str) -> list[str]:
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    return _WS_RE.split(text.strip(" "))
+
+
+def _py_h60_arr(strings) -> "object":
+    import hashlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in strings),
+        dtype=np.int64,
+        count=len(strings),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>): k min-hashes per doc, computed
+    straight from the document text in one Arrow-batched kernel —
+    tokenize → distinct trigram shingles → h60 → affine-min all happen
+    where the document row already lives, so signature computation
+    shuffles NOTHING. (A prior formulation shuffled every shingle hash
+    through a collect_list aggregation: O(corpus tokens) network volume
+    and one unbounded row per doc — a single huge doc could OOM its
+    task. Here per-task memory is one Arrow batch of raw text plus one
+    doc's shingle set at a time.) The arithmetic is exactly the
+    oracle's MIN((A·lo + C·hi + B) % P31) over the md5-based h60
+    (hashlib computes the identical value); every term < 2^60, so
+    int64 never overflows. Docs with < SHINGLE_N tokens have no
+    shingles and — like the exploded formulation — produce no row."""
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(lh: pd.Series) -> pd.Series:
+    def sig_udf(texts: pd.Series) -> pd.Series:
         import numpy as np
 
         abc = np.array(MINHASH_COEFFS, dtype=np.int64)  # (k, 3)
         out = []
-        for arr in lh:
-            m = np.stack(arr).astype(np.int64)  # (g, 2): lo, hi columns
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            w = _py_tokens(t)
+            if len(w) < SHINGLE_N:
+                out.append(None)
+                continue
+            grams = {
+                " ".join(w[i : i + SHINGLE_N])
+                for i in range(len(w) - SHINGLE_N + 1)
+            }
+            h = _py_h60_arr(sorted(grams))
+            lo, hi = h % M30, h >> 30
             vals = (
-                m[:, 0][:, None] * abc[None, :, 0]
-                + m[:, 1][:, None] * abc[None, :, 1]
+                lo[:, None] * abc[None, :, 0]
+                + hi[:, None] * abc[None, :, 1]
                 + abc[None, :, 2]
             ) % P31
             out.append(vals.min(axis=0))
         return pd.Series(out)
 
-    hb = sh.select("doc_id", portable_hash60("shingle").alias("h")).select(
-        "doc_id", (F.col("h") % M30).alias("lo"), F.shiftright("h", 30).alias("hi")
+    return (
+        docs.select("doc_id", sig_udf("text").alias("sig"))
+        .filter(F.col("sig").isNotNull())
     )
-    pairs = hb.groupBy("doc_id").agg(
-        F.collect_list(F.array("lo", "hi")).alias("lh")
-    )
-    return pairs.select("doc_id", sig_udf("lh").alias("sig"))
 
 
 def _bucket_pairs(keyed: DataFrame, keys: list[str], payload: str) -> DataFrame:
@@ -411,7 +457,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # writes of array columns), and a candidate-doc semi-join
     # restriction of the verification was 3× slower than joining the
     # already-persisted shingle relation directly.
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    cands = lsh_candidate_pairs(
+        minhash_signatures(load_table(spark, sf_dir, "documents"))
+    )
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -450,31 +498,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): sign of per-bit vote sums over token
-    hashes — one collect_list shuffle, then the 60 vote sums and the
-    bit assembly evaluated in a single Arrow-batched scalar UDF (a
-    (g, 60) ±1 matrix per doc). Same integers as the oracle's 60
-    conditional-SUM columns, without the multi-second codegen those 60
-    aggregate expressions cost (same lesson as minhash_signatures)."""
+    hashes (with multiplicity), computed straight from the document
+    text in one Arrow-batched kernel — zero shuffle, same rationale as
+    ``minhash_signatures`` (the prior collect_list formulation shuffled
+    every token hash and materialized one unbounded row per doc). Same
+    integers as the oracle's 60 conditional-SUM columns, without the
+    multi-second codegen those 60 aggregate expressions cost."""
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
-    def sim_udf(hs: pd.Series) -> pd.Series:
+    def sim_udf(texts: pd.Series) -> pd.Series:
         import numpy as np
 
         shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
         out = []
-        for arr in hs:
-            h = np.asarray(arr, dtype=np.int64)
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            h = _py_h60_arr(_py_tokens(t))  # all tokens, multiplicity kept
             bits = (h[:, None] >> shifts[None, :]) & 1  # (g, 60)
             votes = (2 * bits - 1).sum(axis=0)
             out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
-        return pd.Series(out, dtype="int64")
+        return pd.Series(out, dtype="Int64")
 
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
-    ).withColumn("h", portable_hash60("token"))
-    hs = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-    return hs.select("doc_id", sim_udf("hs").alias("simhash"))
+    return (
+        docs.select("doc_id", sim_udf("text").alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+    )
 
 
 _SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15

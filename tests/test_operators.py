@@ -183,7 +183,7 @@ def test_minhash_signature_shape(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").limit(5)
-    sigs = dedup.minhash_signatures(dedup.shingles(docs))
+    sigs = dedup.minhash_signatures(docs)
     for r in sigs.collect():
         assert len(r.sig) == dedup.MINHASH_K
 
