@@ -807,11 +807,8 @@ def dedup_embedding_candidates(
       JOIN sizes sb ON doc_b = sb.doc_id
       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NEAR_DUP_JACCARD}
     ),
-    embp AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_COSINE}
-    )
+    {_sql_emb_cand_ctes()},
+    embp AS (SELECT vec_a, vec_b FROM escore WHERE sim >= {NEAR_DUP_COSINE})
     SELECT CASE WHEN t.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 'both'
                 WHEN t.doc_a IS NOT NULL THEN 'text_only'
                 ELSE 'embedding_only' END AS agreement,
@@ -821,15 +818,28 @@ def dedup_embedding_candidates(
     GROUP BY 1
     """,
 )
-def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_crosscheck(
+    spark: SparkSession, sf_dir: str, truth: bool = False
+) -> DataFrame:
     """Agreement report between the two near-dup modalities (trigram
     Jaccard on text vs cosine on embeddings, ids aligned 1:1 in the
     testdata): pairs flagged by both, by text only, by embeddings only.
     The QA readout a curation pipeline uses to tune thresholds — a big
     'embedding_only' bucket means the text threshold is too tight (or
-    the embeddings conflate topics), and vice versa."""
+    the embeddings conflate topics), and vice versa.
+
+    The embedding side defaults to the LSH-candidate path
+    (``dedup_embedding_candidates``: linear shuffle, bounded per-bucket
+    work — runnable at 100 TB), so the report inherits its recall
+    (≈0.96–0.97 vs the exact pair set at the gated scales; precision 1
+    by construction). ``truth=True`` opts into the all-pairs
+    O(n²·d) ``dedup_embedding_cosine`` set for audit-scale runs."""
     t = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    e = dedup_embedding_cosine(spark, sf_dir)
+    e = (
+        dedup_embedding_cosine(spark, sf_dir)
+        if truth
+        else dedup_embedding_candidates(spark, sf_dir).select("vec_a", "vec_b")
+    )
     joined = t.join(
         e,
         (t["doc_a"] == e["vec_a"]) & (t["doc_b"] == e["vec_b"]),
