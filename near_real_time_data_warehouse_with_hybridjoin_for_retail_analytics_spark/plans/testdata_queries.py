@@ -713,11 +713,17 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("partkey"),
         F.to_date("l_shipdate").alias("sale_date"),
     ).agg(F.sum(dec(REV)).alias("daily_dec"))
-    stats = daily.groupBy("partkey").agg(
-        (F.sum("daily_dec").cast("double") / F.count(F.lit(1))).alias("avg_daily")
-    )
+    # Level 2 as a window over `daily` instead of a groupBy+join back:
+    # one exchange to partkey (of already partially-aggregated daily
+    # rows) replaces the stats aggregation AND the join re-shuffle of
+    # daily — two fewer exchanges in the physical plan, same exact
+    # decimal arithmetic.
+    w = Window.partitionBy("partkey")
+    avg_daily = F.sum("daily_dec").over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
     return (
-        daily.join(stats, "partkey")
+        daily.withColumn("avg_daily", avg_daily)
         .withColumn("daily_total", F.col("daily_dec").cast("double"))
         .filter(F.col("daily_total") > 2 * F.col("avg_daily"))
         .select("partkey", "sale_date", "daily_total", "avg_daily")
