@@ -173,11 +173,19 @@ def test_jdbc_replay_markers_prevent_duplicates(spark, derby_url, workdir):
 
 def test_jdbc_partitioned_read_option_passthrough(spark, derby_url):
     """The partitioned-read quartet reaches the JDBC relation: the scan
-    plans numPartitions partitions over the stride."""
+    plans numPartitions partitions over the stride. Seeds its own table
+    so the test runs in isolation (no dependence on the stream-sink
+    tests having populated 'sales')."""
+    seed = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(1, 6)], "sales_id long, payload string"
+    )
+    write_jdbc_table(
+        seed, derby_url, "sales_part_read", mode="overwrite", driver=DERBY_DRIVER
+    )
     back = read_jdbc_table(
         spark,
         derby_url,
-        "sales",
+        "sales_part_read",
         driver=DERBY_DRIVER,
         partitionColumn="sales_id",
         lowerBound="1",
