@@ -40,3 +40,4 @@ def reset_session_caches() -> None:
         df.unpersist()
     clusters._EDGE_CACHE.clear()
     clusters._COMPONENT_CACHE.clear()
+    similarity._N_CACHE.clear()

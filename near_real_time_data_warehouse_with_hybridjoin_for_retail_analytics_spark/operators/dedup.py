@@ -708,17 +708,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disagree with the float all-pairs method only for pairs within ~1e-5
 # of the threshold — the recall test uses the all-pairs set as truth.
 DEDUP_LSH_TABLES = 16
-DEDUP_LSH_BITS = 4
+DEDUP_LSH_BITS = 4  # derived width at the n=500 gate scales
 
 
 def _sql_emb_cand_ctes() -> str:
-    """CTE chain (qe, n2, ebuckets, ecand, escore) shared by the
-    candidate-pair oracle and the multimodal-component oracle."""
-    from .similarity import _SQL_N2, _SQL_QE, _sql_scored, sql_lsh_buckets
+    """CTE chain (qe, n2, params, ebuckets, ecand, escore) shared by
+    the candidate-pair oracle and the multimodal-component oracle. The
+    signature width comes from the params CTE (derived from COUNT(*),
+    same integer formula as ``similarity.derived_lsh_bits``) so the
+    bucket count scales with the corpus instead of saturating."""
+    from .similarity import (
+        _SQL_N2,
+        _SQL_QE,
+        SQL_LSH_PARAMS,
+        _sql_scored,
+        sql_lsh_buckets,
+    )
 
     return f"""qe AS ({_SQL_QE}),
     n2 AS ({_SQL_N2}),
-    ebuckets AS ({sql_lsh_buckets(DEDUP_LSH_TABLES, DEDUP_LSH_BITS)}),
+    params AS ({SQL_LSH_PARAMS}),
+    ebuckets AS ({sql_lsh_buckets(DEDUP_LSH_TABLES)}),
     ecand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
               FROM ebuckets a JOIN ebuckets b
                 ON a.tbl = b.tbl AND a.bucket = b.bucket
@@ -760,18 +770,25 @@ def dedup_embedding_candidates(
     spark: SparkSession,
     sf_dir: str,
     tables: int = DEDUP_LSH_TABLES,
-    bits: int = DEDUP_LSH_BITS,
+    bits: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via LSH candidate generation + exact
     re-verification — the 100 TB path (see the section comment). One
     shuffle on (table, bucket) keys, per-bucket Arrow kernels do the
     bounded quadratic work, exact threshold check inside the kernel.
     ``bits`` scales bucket count with the corpus (2^bits buckets per
-    table — the registered default is sized for the sf0.01 gate; see
-    SCALE.md for the n=32k measurement).
+    table) and is DERIVED from the corpus count by default
+    (``similarity.derived_lsh_bits``, mirrored by the oracle's params
+    CTE — bits=4 at the n=500 gate scales; see SCALE.md for the n=32k
+    measurement).
 
     Persisted per (session, sf): the multimodal component loop and the
     candidate-recall report consume the same pairs."""
+
+    if bits is None:
+        from .similarity import corpus_count, derived_lsh_bits
+
+        bits = derived_lsh_bits(corpus_count(spark, sf_dir))
 
     def build() -> DataFrame:
         from .similarity import lsh_tagged, quantized_embeddings

@@ -63,12 +63,47 @@ TOP_K = 3
 ANN_BLOCKS = 8
 # Random-hyperplane LSH: L tables × h hyperplanes (2^h buckets/table).
 # Tuned for noisy low-cosine neighbors (testdata tops out ≈0.46): short
-# 4-bit signatures keep per-table collision probability usable, more
-# tables recover recall. Real corpora with tighter clusters would use
-# longer signatures and fewer tables.
+# signatures keep per-table collision probability usable, more tables
+# recover recall. The signature width is DERIVED from the corpus count
+# (bits ≈ log2(n / target bucket size), the SCALE.md sizing rule) so
+# buckets stay ~LSH_TARGET_BUCKET vectors at any n instead of
+# saturating back toward all-pairs; at the n=500 gate scales the
+# derivation lands on LSH_HYPERPLANES=4, the measured-good width.
 LSH_TABLES = 8
-LSH_HYPERPLANES = 4
+LSH_HYPERPLANES = 4  # derived width at the n=500 gate scales
+LSH_TARGET_BUCKET = 32
+LSH_MIN_BITS = 2
+LSH_MAX_BITS = 12
 EMB_DIM = 64
+
+
+def derived_lsh_bits(n: int) -> int:
+    """Signature width for an n-vector corpus: the smallest b with
+    2^b · target ≥ n, clamped — pure integer arithmetic so the SQL
+    params CTE (see ``SQL_LSH_PARAMS``) computes the identical value."""
+    b = 0
+    while (1 << b) * LSH_TARGET_BUCKET < n:
+        b += 1
+    return max(LSH_MIN_BITS, min(LSH_MAX_BITS, b))
+
+
+# The same derivation in DuckDB (MIN over k with 2^k·target ≥ COUNT(*)):
+SQL_LSH_PARAMS = f"""SELECT LEAST({LSH_MAX_BITS}, GREATEST({LSH_MIN_BITS},
+      (SELECT MIN(range) FROM range(0, 31)
+       WHERE (CAST(1 AS BIGINT) << range) * {LSH_TARGET_BUCKET}
+             >= (SELECT COUNT(*) FROM embeddings)))) AS bits"""
+
+# Bounded driver-side corpus counts, one per (session, sf): the "how
+# big is this table" statistic every production index build reads from
+# table metadata before sizing its knobs.
+_N_CACHE: dict[tuple[str, str], int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _N_CACHE:
+        _N_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _N_CACHE[key]
 
 # 6-decimal fixed-point grid shared by every deterministic embedding op
 # in this module (see the centroid section for the full rationale).
@@ -140,17 +175,28 @@ def _sql_plane_dot(coefs: list[int]) -> str:
     )
 
 
-def sql_lsh_buckets(tables: int, bits: int) -> str:
-    """UNION ALL of per-table bucket assignments over the ``qe`` CTE."""
-    selects = []
-    for t in range(tables):
-        expr = "\n             + ".join(
-            f"(CASE WHEN {_sql_plane_dot(_PLANES[t * bits + h])} > 0"
-            f" THEN {1 << h} ELSE 0 END)"
-            for h in range(bits)
-        )
-        selects.append(f"SELECT vec_id, {t} AS tbl, {expr} AS bucket FROM qe")
-    return "\n      UNION ALL ".join(selects)
+def sql_lsh_buckets(tables: int) -> str:
+    """Per-table bucket assignment over the ``qe`` CTE with the
+    signature width read from a ``params`` CTE (``SQL_LSH_PARAMS``) —
+    the SQL stays structurally static while the knob scales with the
+    corpus. Every vector's dots against the first tables·LSH_MAX_BITS
+    planes are computed once as a list; table t's bucket folds the
+    sign bits of planes [t·bits, t·bits+bits), exactly the contiguous
+    assignment ``_bucket_udf`` evaluates (so at any derived width both
+    engines see identical buckets)."""
+    dots = ",\n               ".join(
+        _sql_plane_dot(_PLANES[i]) for i in range(tables * LSH_MAX_BITS)
+    )
+    return f"""
+      SELECT vec_id, t AS tbl,
+             SUM(CASE WHEN pd[t * (SELECT bits FROM params) + h + 1] > 0
+                      THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS bucket
+      FROM (SELECT vec_id, [{dots}] AS pd FROM qe)
+      CROSS JOIN range(0, {tables}) tt(t)
+      JOIN range(0, {LSH_MAX_BITS}) hh(h)
+        ON h < (SELECT bits FROM params)
+      GROUP BY vec_id, t
+    """
 
 
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +371,8 @@ def _ann_lsh_sql() -> str:
     return f"""
     WITH qe AS ({_SQL_QE}),
     n2 AS ({_SQL_N2}),
-    buckets AS ({sql_lsh_buckets(LSH_TABLES, LSH_HYPERPLANES)}),
+    params AS ({SQL_LSH_PARAMS}),
+    buckets AS ({sql_lsh_buckets(LSH_TABLES)}),
     cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
              FROM buckets a JOIN buckets b
                ON a.tbl = b.tbl AND a.bucket = b.bucket
@@ -345,7 +392,7 @@ def ann_topk_lsh(
     spark: SparkSession,
     sf_dir: str,
     tables: int = LSH_TABLES,
-    bits: int = LSH_HYPERPLANES,
+    bits: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: per-bucket Arrow kernels do the
     bounded quadratic scoring as int64 matmuls; a final window ranks
@@ -357,11 +404,16 @@ def ann_topk_lsh(
     table must grow with the corpus or buckets saturate back to
     all-pairs — measured at n=32k, bits=4 scores ~n²/16 per table while
     bits=8 is 5.3× faster end-to-end (see SCALE.md). The registered
-    default (and its oracle) uses bits=4, sized for the sf0.01 gate.
+    entry therefore DERIVES bits from the corpus count (smallest b
+    with 2^b·target ≥ n — ``derived_lsh_bits``), and the oracle's
+    params CTE computes the identical integer, so the two engines
+    agree at every scale (bits=4 at the n=500 gate scales).
 
     Fully deterministic (grid arithmetic + IEEE division), so the
     DuckDB oracle replays the whole index — recall vs bruteforce stays
     gated in tests (approximate BY DESIGN, exact by construction)."""
+    if bits is None:
+        bits = derived_lsh_bits(corpus_count(spark, sf_dir))
     tagged = lsh_tagged(quantized_embeddings(spark, sf_dir), tables, bits)
     cands = tagged.groupBy("tbl", "bucket").applyInPandas(
         _bucket_int_topk_kernel, _CAND_SCHEMA
@@ -372,8 +424,43 @@ def ann_topk_lsh(
 # ---------------------------------------------------------------------------
 # IVF-Flat: deterministic coarse quantizer + inverted lists + nprobe search
 # ---------------------------------------------------------------------------
-IVF_CLUSTERS = 16
+IVF_CLUSTERS = 16  # historical gate-scale values; registered entry derives
 IVF_NPROBE = 8
+IVF_MIN_CLUSTERS, IVF_MAX_CLUSTERS = 16, 256
+IVF_CAND_BUDGET = 250  # ~candidates scored per query vector
+IVF_MIN_NPROBE = 4
+
+
+def derived_ivf_params(n: int) -> tuple[int, int]:
+    """(nclusters, nprobe) for an n-vector corpus: nclusters = the
+    largest power of two ≤ √n (the SCALE.md rule — list size ≈ √n
+    balances probe cost vs list scans; power-of-two so the quantizer
+    grows in discrete, cache-friendly steps), nprobe sized for a
+    constant per-query candidate budget (ceil(budget · nclusters / n),
+    i.e. probes · listsize ≈ budget). Pure integer arithmetic,
+    mirrored by ``SQL_IVF_PARAMS``. At the n=500 gate scales this
+    lands on (16, 8) — the measured-good dense-probing values (noise
+    embeddings need a high probed fraction for recall; see the
+    ann_topk_ivf docstring) — while n=2000 gives (32, 4) and n=32k
+    gives (128, 4): a 32× candidate reduction."""
+    p = 1
+    while (2 * p) * (2 * p) <= n:
+        p *= 2
+    ncl = max(IVF_MIN_CLUSTERS, min(IVF_MAX_CLUSTERS, p))
+    npr = max(IVF_MIN_NPROBE, min(ncl, (IVF_CAND_BUDGET * ncl + n - 1) // n))
+    return ncl, npr
+
+
+# Same derivation in DuckDB: the largest 2^k with (2^k)² ≤ n, then the
+# ceil-division nprobe.
+SQL_IVF_PARAMS = f"""SELECT nclusters,
+      LEAST(nclusters, GREATEST({IVF_MIN_NPROBE},
+            ({IVF_CAND_BUDGET} * nclusters + n - 1) // n)) AS nprobe
+      FROM (SELECT n, LEAST({IVF_MAX_CLUSTERS}, GREATEST({IVF_MIN_CLUSTERS},
+                   (SELECT MAX(CAST(1 AS BIGINT) << range) FROM range(0, 17)
+                    WHERE (CAST(1 AS BIGINT) << range)
+                          * (CAST(1 AS BIGINT) << range) <= n))) AS nclusters
+            FROM (SELECT (SELECT COUNT(*) FROM embeddings) AS n))"""
 
 
 def _ivf_int_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -419,10 +506,12 @@ def _ann_ivf_sql() -> str:
     return f"""
     WITH qe AS ({_SQL_QE}),
     n2 AS ({_SQL_N2}),
+    params AS ({SQL_IVF_PARAMS}),
     seeds AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, q, n2
-      FROM (SELECT qe.vec_id, q, n2 FROM qe JOIN n2 USING (vec_id)
-            ORDER BY vec_id LIMIT {IVF_CLUSTERS})
+      SELECT j, q, n2 FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, q, n2
+        FROM (SELECT qe.vec_id, q, n2 FROM qe JOIN n2 USING (vec_id)))
+      WHERE j < (SELECT nclusters FROM params)
     ),
     d0 AS (
       SELECT v.vec_id, s.j,
@@ -461,7 +550,7 @@ def _ann_ivf_sql() -> str:
       SELECT vec_id, j, rk - 1 AS pos FROM (
         SELECT vec_id, j, ROW_NUMBER() OVER (
           PARTITION BY vec_id ORDER BY cos DESC, j) AS rk FROM d1)
-      WHERE rk <= {IVF_NPROBE}
+      WHERE rk <= (SELECT nprobe FROM params)
     ),
     mem AS (SELECT vec_id, j FROM pr WHERE pos = 0),
     cand AS (
@@ -482,8 +571,8 @@ def _ann_ivf_sql() -> str:
 def ann_topk_ivf(
     spark: SparkSession,
     sf_dir: str,
-    clusters: int = IVF_CLUSTERS,
-    nprobe: int = IVF_NPROBE,
+    clusters: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k with a deterministic coarse quantizer:
     seeds = the k lowest-vec_id vectors (k-means init), one Lloyd
@@ -501,13 +590,19 @@ def ann_topk_ivf(
     recall vs bruteforce stays gated in tests.
 
     ``clusters``/``nprobe`` are the scale knobs: search cost scales by
-    nprobe/nclusters, so nclusters must grow with the corpus (the
-    registered default 16/8 is sized for the sf0.01 gate; at n=32k,
-    clusters=180/nprobe=22 measured 4.8× faster — see SCALE.md).
+    nprobe/nclusters, so nclusters must grow with the corpus. The
+    registered entry DERIVES them from the corpus count (nclusters ≈
+    √n, nprobe from a constant candidate budget — ``derived_ivf_params``,
+    mirrored integer-exactly by the oracle's params CTE; (22, 11) at
+    the n=500 gate scales, (178, 4) at n=32k — see SCALE.md).
     IVF's pruning also assumes clusterable data: on isotropic-noise
     embeddings recall at low nprobe/nclusters ratios degrades, which
     is why the noise-robust LSH index is the default candidate
     source."""
+    if clusters is None or nprobe is None:
+        dncl, dnpr = derived_ivf_params(corpus_count(spark, sf_dir))
+        clusters = dncl if clusters is None else clusters
+        nprobe = dnpr if nprobe is None else nprobe
     qe = quantized_embeddings(spark, sf_dir)
 
     # quantizer training: two bounded collects (seeds, refined means)
