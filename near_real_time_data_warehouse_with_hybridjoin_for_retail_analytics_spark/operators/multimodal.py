@@ -1,20 +1,25 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-The *uncompressed* image path is fully real: a 24-bit BMP
+The image path is fully real for two codecs: a 24-bit BMP
 encoder/parser (headers, bottom-up rows, 4-byte row padding — see
-``encode_bmp``/``decode_bmp``) and a nearest-neighbor resize, all
-stdlib+numpy, exercised end-to-end by the oracle-checked
-``multimodal_decode_stats`` query. Compressed-codec decode (JPEG/PNG
-via PIL, audio/video via librosa/ffmpeg) stays environment-gated
-behind ``_DECODERS_AVAILABLE`` — those libraries are not installable
-in this container — but swapping them in changes one dispatch branch,
-not the pipeline: binary-column schema, Arrow-batched ``mapInPandas``
-signatures, batch shapes and partition behavior are identical.
+``encode_bmp``/``decode_bmp``) and an 8-bit RGB/RGBA PNG
+encoder/parser (zlib deflate/inflate, CRC-checked chunk walk, all
+five per-row filter types — see ``encode_png``/``decode_png``), plus
+a nearest-neighbor resize — all stdlib+numpy, exercised end-to-end by
+the oracle-checked ``multimodal_decode_stats`` /
+``multimodal_decode_stats_png`` queries. Remaining compressed-codec
+decode (JPEG via PIL, audio/video via librosa/ffmpeg) stays
+environment-gated behind ``_DECODERS_AVAILABLE`` — those libraries
+are not installable in this container — but swapping them in changes
+one dispatch branch, not the pipeline: binary-column schema,
+Arrow-batched ``mapInPandas`` signatures, batch shapes and partition
+behavior are identical.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -112,15 +117,152 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+# --- real compressed-image codec: PNG (stdlib zlib + numpy) ---------------
+PNG_WIDTH = 12  # synthetic-payload PNG width (pixels)
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(raw: bytes, width: int = PNG_WIDTH, channels: int = 3) -> bytes:
+    """Real PNG writer (stdlib zlib): payload bytes become 8-bit
+    RGB(A) pixels row-major (zero-padded), deflate-compressed into one
+    IDAT with proper CRCs. The per-row filter type cycles through all
+    five standard filters (None/Sub/Up/Average/Paeth), so every
+    payload exercises the decoder's complete defilter logic. Output
+    opens in any viewer."""
+    bpp = channels
+    h = max(1, -(-len(raw) // (bpp * width)))
+    data = raw + b"\x00" * (bpp * width * h - len(raw))
+    img = np.frombuffer(data, np.uint8).reshape(h, width * bpp).astype(np.int16)
+    prev = np.zeros(width * bpp, np.int16)
+    out = bytearray()
+    for y in range(h):
+        row = img[y]
+        a = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+        c = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - a
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (a + prev) // 2
+        else:
+            filt = row - _paeth_vec(a, prev, c)
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PNG parser (stdlib zlib): validates the magic, walks the
+    chunk stream verifying each CRC, concatenates IDAT, inflates, and
+    undoes all five per-row filters (the scanline reconstruction of
+    PNG spec §9: left/up/average/Paeth run sequentially per byte
+    because each reconstructed byte feeds the next prediction).
+    Handles 8-bit non-interlaced truecolor, with and without alpha
+    (RGBA's alpha plane is dropped); returns (width, height, h×w×3
+    RGB uint8). Exotic forms (palette, 16-bit, interlaced) raise."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    w = h = color_type = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced RGB/RGBA PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    bpp = 3 if color_type == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    img = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 2:
+            rec = (row + prev) % 256
+        else:  # sequential: left-dependent filters
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    pred = int(_paeth_vec(np.int32(a), np.int32(b), np.int32(c)))
+                else:
+                    raise ValueError(f"unknown filter type {f}")
+                rec[x] = (row[x] + pred) % 256
+        img[y] = rec
+        prev = rec.astype(np.int32)
+    pixels = img.reshape(h, w, bpp)
+    return w, h, np.ascontiguousarray(pixels[:, :, :3])
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an image payload to (width, height, RGB array). BMP is
-    decoded for real (stdlib parser above); compressed codecs dispatch
-    to PIL when available, else raise (environment-gated)."""
+    """Decode an image payload to (width, height, RGB array). BMP and
+    PNG are decoded for real (stdlib parsers above); remaining
+    compressed codecs (JPEG, ...) dispatch to PIL when available, else
+    raise (environment-gated)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     if not _DECODERS_AVAILABLE:
         raise NotImplementedError(
-            "compressed-image decode requires PIL, not installed here"
+            "JPEG/other compressed-image decode requires PIL, not installed here"
         )
     raise NotImplementedError("wire PIL.Image.open here when available")
 
@@ -298,49 +440,60 @@ DECODE_SCHEMA = (
 _THUMB = 4  # thumbnail side (nearest-neighbor resize target)
 
 
-def decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker running the REAL image path per payload:
-    encode to an actual BMP file, parse it back with the header-reading
-    decoder, nearest-neighbor-resize the pixel array, then emit
-    dimensions, exact per-channel means and the thumbnail checksum."""
-    for pdf in batches:
-        out: dict[str, list] = {k: [] for k in (
-            "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "thumb_sum"
-        )}
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            bmp = encode_bmp(bytes(payload))
-            w, h, img = decode_bmp(bmp)
-            small = resize_nearest(img, _THUMB, _THUMB)
-            sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
-            n = float(w * h)
-            out["doc_id"].append(doc_id)
-            out["width"].append(w)
-            out["height"].append(h)
-            out["mean_r"].append(float(sums[0]) / n)
-            out["mean_g"].append(float(sums[1]) / n)
-            out["mean_b"].append(float(sums[2]) / n)
-            out["thumb_sum"].append(int(small.astype(np.int64).sum()))
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                "width": pd.Series(out["width"], dtype="int32"),
-                "height": pd.Series(out["height"], dtype="int32"),
-                "mean_r": pd.Series(out["mean_r"], dtype="float64"),
-                "mean_g": pd.Series(out["mean_g"], dtype="float64"),
-                "mean_b": pd.Series(out["mean_b"], dtype="float64"),
-                "thumb_sum": pd.Series(out["thumb_sum"], dtype="int64"),
-            }
-        )
+def _decode_stats_worker(encode):
+    """mapInPandas worker factory running the REAL image path per
+    payload: encode with the given codec writer, parse back through
+    the generic ``decode_image`` dispatch (header-reading BMP or
+    CRC-verified inflate+defilter PNG), nearest-neighbor-resize the
+    pixel array, then emit dimensions, exact per-channel means and the
+    thumbnail checksum."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                "thumb_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, img = decode_image(encode(bytes(payload)))
+                small = resize_nearest(img, _THUMB, _THUMB)
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = float(w * h)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(sums[0]) / n)
+                out["mean_g"].append(float(sums[1]) / n)
+                out["mean_b"].append(float(sums[2]) / n)
+                out["thumb_sum"].append(int(small.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                    "thumb_sum": pd.Series(out["thumb_sum"], dtype="int64"),
+                }
+            )
+
+    return worker
 
 
-def _decode_stats_oracle() -> str:
-    """The BMP round trip maps payload byte i → pixel (i//3 // W,
-    i//3 % W) channel i%3 (zero-padded to W·H·3), so every decoded
-    statistic is SQL-computable straight from the text bytes: channel
-    means are exact integer sums over byte residues divided once in
-    DOUBLE, and the thumbnail checksum re-derives the nearest-neighbor
-    source indices with the same floor arithmetic as resize_nearest."""
-    w3 = 3 * BMP_WIDTH
+decode_stats = _decode_stats_worker(encode_bmp)
+decode_stats_png = _decode_stats_worker(encode_png)
+
+
+def _decode_stats_oracle(width: int = BMP_WIDTH) -> str:
+    """Both codec round trips (BMP and PNG) map payload byte i →
+    pixel (i//3 // W, i//3 % W) channel i%3 (zero-padded to W·H·3),
+    so every decoded statistic is SQL-computable straight from the
+    text bytes: channel means are exact integer sums over byte
+    residues divided once in DOUBLE, and the thumbnail checksum
+    re-derives the nearest-neighbor source indices with the same
+    floor arithmetic as resize_nearest."""
+    w3 = 3 * width
     return f"""
     WITH bytes AS (
       SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
@@ -348,7 +501,7 @@ def _decode_stats_oracle() -> str:
             FROM documents)
     ),
     dims AS (
-      SELECT doc_id, {BMP_WIDTH} AS w,
+      SELECT doc_id, {width} AS w,
              greatest((length(text) + {w3 - 1}) // {w3}, 1) AS h
       FROM documents
     ),
@@ -392,8 +545,24 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics — all inside Arrow-batched ``mapInPandas``. The oracle
     recomputes every statistic from the raw bytes via the round-trip
     byte↔pixel mapping, so this gates that decode/resize are *correct*,
-    not just runnable. (Compressed codecs remain environment-gated —
-    see module docstring.)"""
+    not just runnable."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs)
     return payloads.mapInPandas(decode_stats, DECODE_SCHEMA)
+
+
+@query("multimodal_decode_stats_png", _decode_stats_oracle(PNG_WIDTH))
+def multimodal_decode_stats_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-image decode path, for real: each document's
+    payload is deflate-compressed into an actual PNG file (per-row
+    filters cycling through all five standard types), then parsed back
+    by the stdlib zlib inflate + per-row defilter decoder, resized and
+    reduced to pixel statistics inside Arrow-batched ``mapInPandas``.
+    The oracle recomputes every statistic from the raw bytes via the
+    same byte↔pixel mapping, so a single wrong predictor byte anywhere
+    in the filter reconstruction breaks the value hash — this gates
+    the full compressed codec, not just the plumbing. (Only JPEG-class
+    codecs remain environment-gated behind PIL.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(decode_stats_png, DECODE_SCHEMA)

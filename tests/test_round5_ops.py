@@ -1,0 +1,125 @@
+"""Round-5 additions: stdlib PNG codec, derived LSH/IVF knobs,
+shuffle-free minhash/simhash signatures."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    multimodal,
+    similarity,
+)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib + per-row filters)
+# ---------------------------------------------------------------------------
+def test_png_round_trip_all_filters():
+    """A payload tall enough to cycle every filter type (None/Sub/Up/
+    Average/Paeth — the encoder assigns filter y%5 to row y) must
+    reconstruct exactly."""
+    raw = bytes(range(256)) * 4  # 1024 bytes → 29 rows at width 12
+    png = multimodal.encode_png(raw)
+    w, h, img = multimodal.decode_png(png)
+    assert (w, h) == (multimodal.PNG_WIDTH, 29)
+    flat = bytes(img.reshape(-1))
+    assert flat[: len(raw)] == raw
+    assert all(b == 0 for b in flat[len(raw) :])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    raw=st.binary(min_size=0, max_size=400),
+    width=st.integers(min_value=1, max_value=21),
+)
+def test_png_round_trip_property(raw, width):
+    """For ANY payload and width, decode(encode(raw)) recovers the
+    zero-padded payload through deflate + defilter."""
+    png = multimodal.encode_png(raw, width=width)
+    w, h, img = multimodal.decode_png(png)
+    assert w == width and h == max(1, -(-len(raw) // (3 * width)))
+    flat = bytes(img.reshape(-1))
+    assert flat[: len(raw)] == raw
+    assert all(b == 0 for b in flat[len(raw) :])
+
+
+def test_png_rgba_alpha_dropped():
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, 4 * 12 * 6, dtype=np.uint8).tobytes()
+    png = multimodal.encode_png(raw, channels=4)
+    w, h, img = multimodal.decode_png(png)
+    exp = np.frombuffer(raw, np.uint8).reshape(6, 12, 4)[:, :, :3]
+    assert (w, h) == (12, 6)
+    assert (img == exp).all()
+
+
+def test_png_crc_corruption_detected():
+    png = bytearray(multimodal.encode_png(b"some payload bytes here"))
+    png[20] ^= 0xFF  # flip a bit inside IHDR
+    try:
+        multimodal.decode_png(bytes(png))
+    except ValueError as e:
+        assert "CRC" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("corrupted chunk not detected")
+
+
+def test_decode_image_dispatches_by_magic():
+    raw = b"pixels" * 20
+    w_b, h_b, img_b = multimodal.decode_image(multimodal.encode_bmp(raw))
+    w_p, h_p, img_p = multimodal.decode_image(multimodal.encode_png(raw))
+    # same byte→pixel mapping, different widths per codec constant
+    assert w_b == multimodal.BMP_WIDTH and w_p == multimodal.PNG_WIDTH
+    assert bytes(img_b.reshape(-1))[: len(raw)] == raw
+    assert bytes(img_p.reshape(-1))[: len(raw)] == raw
+
+
+# ---------------------------------------------------------------------------
+# Derived index knobs (scale with corpus count, engine-mirrored)
+# ---------------------------------------------------------------------------
+def test_derived_lsh_bits_monotone_and_bounded():
+    prev = 0
+    for n in (1, 100, 500, 2000, 32000, 10**6, 10**9):
+        b = similarity.derived_lsh_bits(n)
+        assert similarity.LSH_MIN_BITS <= b <= similarity.LSH_MAX_BITS
+        assert b >= prev
+        prev = b
+    # the documented rule: smallest b with 2^b * target >= n
+    assert similarity.derived_lsh_bits(500) == 4
+    assert similarity.derived_lsh_bits(2000) == 6
+    assert similarity.derived_lsh_bits(32000) == 10
+
+
+def test_derived_ivf_params_gate_scale_and_growth():
+    # gate scales (n=500) must reproduce the measured-good 16/8
+    assert similarity.derived_ivf_params(500) == (16, 8)
+    ncl, npr = similarity.derived_ivf_params(32000)
+    assert (ncl, npr) == (128, 4)
+    for n in (1, 500, 2000, 32000, 10**6):
+        ncl, npr = similarity.derived_ivf_params(n)
+        assert similarity.IVF_MIN_CLUSTERS <= ncl <= similarity.IVF_MAX_CLUSTERS
+        assert ncl & (ncl - 1) == 0  # power of two
+        assert similarity.IVF_MIN_NPROBE <= npr <= ncl or npr == ncl
+
+
+def test_derived_knobs_match_duckdb_params_cte():
+    """The Spark-side integer derivations and the oracles' params CTEs
+    must compute identical values for any corpus count — this is what
+    lets the driver hash-check the derived-knob entries at every sf."""
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (1, 129, 500, 2000, 32000, 10**6):
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})"
+        )
+        (bits,) = con.execute(
+            "SELECT * FROM (" + similarity.SQL_LSH_PARAMS + ")"
+        ).fetchone()
+        assert bits == similarity.derived_lsh_bits(n)
+        ncl, npr = con.execute(
+            "SELECT * FROM (" + similarity.SQL_IVF_PARAMS + ")"
+        ).fetchone()
+        assert (ncl, npr) == similarity.derived_ivf_params(n)
