@@ -8,7 +8,10 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,52 +33,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry holds more than 50, so ordering decides what gets a fresh
 # CORRECTNESS row. Policy (documented in COVERAGE.md): the reference's
 # 20-query OLAP surface + the ETL queries lead every round, then entries
-# that are new/changed this round or at the verification margin; the
-# remainder rotates so nothing goes more than 2 rounds unverified.
-_VERIFY_FIRST = [
+# whose OUTPUT changed this round (_FORCE_VERIFY) or that have never
+# been driver-verified, then everything else ordered oldest-verified
+# first. The staleness ordering is computed from the committed
+# CORRECTNESS_r*.json artifacts — not a hand-edited list — so the
+# "nothing goes more than 2 rounds unverified" guarantee is enforced
+# by code as long as the stale backlog fits the window.
+_PINNED = [
     *[n for n in registry.QUERIES if n.startswith("q")],  # q01..q20 in order
     "etl_enrich_events",
     "etl_events_by_type",
-    # new or reworked this round
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "dedup_embedding_candidates",
-    "dedup_multimodal_components",
-    # streaming ETL surface
-    "etl_events_hourly",
-    "etl_user_sessions",
-    "etl_stream_dedup",
-    "etl_click_attribution",
-    # round-3 additions that sat at the 50-entry margin
-    "events_funnel",
-    "events_retention",
-    "curation_temperature_mix",
-    "embedding_norm_stats",
-    "embedding_random_projection",
-    "embedding_scalar_quantize",
-    "events_anomaly_zscore",
-    # dedup family (multimodal_components depends on these)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_crosscheck",
-    "dedup_components",
-    "dedup_component_stats",
-    # timeseries + embedding aggregations
-    "ann_topk_bruteforce",
-    "embedding_centroids_by_label",
-    "ann_centroid_assign",
-    "multimodal_features",
-    "multimodal_decode_stats",
 ]
+
+# Entries whose results changed this round (code rework or new oracle)
+# and therefore need a fresh driver row even though they verified
+# recently. Review per round.
+_FORCE_VERIFY = [
+    "dedup_crosscheck",  # embedding side switched to the LSH candidate path
+]
+
+_REPO = Path(__file__).resolve().parent
+
+
+def _last_verified() -> dict[str, int]:
+    """name → latest round with a passing driver CORRECTNESS row
+    (rows+schema matched, no error; hash too when an oracle exists)."""
+    last: dict[str, int] = {}
+    for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and not row.get("err")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered(names: dict) -> list[str]:
-    first = [n for n in _VERIFY_FIRST if n in names]
-    rest = [n for n in names if n not in set(first)]
-    return first + rest
+    pinned = [n for n in _PINNED if n in names]
+    head = set(pinned)
+    forced = [n for n in _FORCE_VERIFY if n in names and n not in head]
+    head |= set(forced)
+    last = _last_verified()
+    pos = {n: i for i, n in enumerate(names)}
+    rest = sorted(
+        (n for n in names if n not in head),
+        key=lambda n: (last.get(n, 0), pos[n]),
+    )
+    return pinned + forced + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
