@@ -13,6 +13,11 @@ Each query is timed ``BENCH_RUNS`` times (default 2) and the minimum is
 reported: this host shows multi-second noisy-neighbor CPU bursts, and
 min-of-N measures the engine rather than the neighbor. Set
 ``SPARK_GRAFT_BENCH_RUNS=1`` for a single-pass run.
+
+Set ``SPARK_GRAFT_BENCH_DETAIL=/path.json`` to additionally dump the
+raw per-pass timings plus per-query min/median/max/spread — the input
+for the variance study recorded in SCALE.md. The one-line stdout
+contract is unchanged.
 """
 
 from __future__ import annotations
@@ -68,6 +73,7 @@ def main() -> None:
     dedup.cached_shingles(spark, sf_dir).count()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    passes: list[dict[str, float]] = []
     timings: dict[str, float] = {}
     for p in range(runs):
         if p > 0:
@@ -78,9 +84,30 @@ def main() -> None:
             # uncounted, exactly like the pass-0 warm-up above.
             near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.reset_session_caches()
             dedup.cached_shingles(spark, sf_dir).count()
+        this_pass: dict[str, float] = {}
         for name in names:
             t = round(run_query(registry.QUERIES[name], spark, sf_dir), 3)
+            this_pass[name] = t
             timings[name] = min(timings.get(name, t), t)
+        passes.append(this_pass)
+
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if detail_path:
+        import statistics
+
+        stats = {
+            name: {
+                "min": min(ts),
+                "median": round(statistics.median(ts), 3),
+                "max": max(ts),
+                "spread": round(max(ts) - min(ts), 3),
+            }
+            for name, ts in (
+                (n, [ps[n] for ps in passes]) for n in names
+            )
+        }
+        with open(detail_path, "w") as fh:
+            json.dump({"runs": runs, "passes": passes, "stats": stats}, fh, indent=1)
 
     total = round(sum(timings.values()), 3)
     print(
