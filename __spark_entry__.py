@@ -33,12 +33,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry holds more than 50, so ordering decides what gets a fresh
 # CORRECTNESS row. Policy (documented in COVERAGE.md): the reference's
 # 20-query OLAP surface + the ETL queries lead every round, then entries
-# whose OUTPUT changed this round (_FORCE_VERIFY) or that have never
-# been driver-verified, then everything else ordered oldest-verified
-# first. The staleness ordering is computed from the committed
-# CORRECTNESS_r*.json artifacts — not a hand-edited list — so the
-# "nothing goes more than 2 rounds unverified" guarantee is enforced
-# by code as long as the stale backlog fits the window.
+# whose OUTPUT changed this round (_FORCE_VERIFY), then everything else
+# ordered oldest-verified first. Never-driver-verified entries are the
+# LEAST stale (they were created this round — zero rounds since their
+# code existed), so they sort last and take leftover slots; they get
+# their first driver row within one round, while entries already 2
+# rounds stale keep priority. The staleness ordering is computed from
+# the committed CORRECTNESS_r*.json artifacts — not a hand-edited list —
+# so the "nothing verified goes more than 2 rounds without a fresh row"
+# guarantee is enforced by code as long as the stale backlog fits the
+# window.
 _PINNED = [
     *[n for n in registry.QUERIES if n.startswith("q")],  # q01..q20 in order
     "etl_enrich_events",
@@ -86,9 +90,10 @@ def _ordered(names: dict) -> list[str]:
     head |= set(forced)
     last = _last_verified()
     pos = {n: i for i, n in enumerate(names)}
+    never_verified = 10**9  # new this round → least stale → sorts last
     rest = sorted(
         (n for n in names if n not in head),
-        key=lambda n: (last.get(n, 0), pos[n]),
+        key=lambda n: (last.get(n, never_verified), pos[n]),
     )
     return pinned + forced + rest
 

@@ -19,6 +19,12 @@ Prints one JSON line:
     {"metric": "warehouse_total_query_sec", "value": N, "unit": "sec",
      "etl": {"rows": N, "sec": N, "rows_per_sec": N},
      "queries": {q1...: sec}, "sf": 0.1}
+
+With ``--stream`` it additionally replays the transactions through the
+near-real-time path (``run_stream``: readStream CSV micro-batches →
+normalize → HYBRIDJOIN enrich → id-assign → parquet fact with commit
+markers) and reports ingest throughput under a "stream" key — the
+reference's headline capability (hybridjoin.py's streaming loop).
 """
 
 from __future__ import annotations
@@ -117,6 +123,57 @@ def synthesize_master_csvs(spark: SparkSession, sf_dir: str, out_dir: str) -> in
     return tx.count()
 
 
+TX_DDL = "orderID string, Customer_ID string, Product_ID string, quantity string, date string"
+
+
+def bench_stream(
+    spark: SparkSession,
+    work: str,
+    customer: DataFrame,
+    product: DataFrame,
+    n_rows: int,
+    files: int = 16,
+    max_files_per_trigger: int = 4,
+) -> dict:
+    """Replay the synthesized transactions through the streaming path
+    (files/maxFilesPerTrigger micro-batches) and measure ingest rate."""
+    stream_in = os.path.join(work, "stream_in")
+    # Re-shard the one-file CSV into `files` arrival units (each with a
+    # header row, as a feed would land them — run_stream reads csv with
+    # header=True).
+    (
+        spark.read.option("header", True)
+        .csv(os.path.join(work, "tx.csv"))
+        .repartition(files)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(stream_in)
+    )
+    out = os.path.join(work, "stream_sales")
+    ckpt = os.path.join(work, "stream_ckpt")
+    t0 = time.time()
+    q = hj.run_stream(
+        spark,
+        stream_in,
+        TX_DDL,
+        customer,
+        product,
+        output_dir=out,
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )
+    q.awaitTermination()
+    sec = time.time() - t0
+    loaded = spark.read.parquet(out).count()
+    return {
+        "rows": loaded,
+        "sec": round(sec, 3),
+        "rows_per_sec": int(loaded / sec),
+        "micro_batches": -(-files // max_files_per_trigger),
+    }
+
+
 def run_query(spark: SparkSession, name: str) -> float:
     t0 = time.time()
     wq.run_query(spark, name).write.format("noop").mode("overwrite").save()
@@ -127,6 +184,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--stream", action="store_true", help="also bench streaming ingest")
+    ap.add_argument("--stream-files", type=int, default=16)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -176,6 +235,12 @@ def main() -> None:
                 t = round(run_query(spark, name), 3)
                 timings[name] = min(timings.get(name, t), t)
 
+        stream_stats = None
+        if args.stream:
+            stream_stats = bench_stream(
+                spark, work, customer, product, n_tx, files=args.stream_files
+            )
+
         result = {
             "metric": "warehouse_total_query_sec",
             "value": round(sum(timings.values()), 3),
@@ -188,6 +253,8 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
         }
+        if stream_stats:
+            result["stream"] = stream_stats
         print(json.dumps(result))
         if args.out:
             with open(args.out, "w") as fh:
