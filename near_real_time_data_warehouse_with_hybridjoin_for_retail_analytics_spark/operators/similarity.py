@@ -46,6 +46,8 @@ value-hash check on both approximate paths, not rows-only).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -998,3 +1000,176 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("v") - recon)
     )
     return joined.select("vec_id", "dim", "code", abs_err.alias("abs_err"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the memory format behind IVF-PQ — the index family
+# that actually fits a 100 TB embedding corpus in RAM (a 64-dim float32
+# vector becomes PQ_M 4-bit codes = 4 bytes, a 64× compression).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace → 4-bit codes
+
+
+def _pq_dists(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(B, M, K) exact-int64 squared L2 distances between each vector's
+    subvectors (mat: B×M×SD) and the codebook (cb: M×K×SD), computed as
+    ||x||² − 2·x·c + ||c||² to avoid materializing the B×M×K×SD diff."""
+    x2 = (mat * mat).sum(axis=2)  # (B, M)
+    dots = np.einsum("bmd,mkd->bmk", mat, cb)  # (B, M, K)
+    c2 = (cb * cb).sum(axis=2)  # (M, K)
+    return x2[:, :, None] - 2 * dots + c2[None, :, :]
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Train the deterministic PQ codebook (shape M×K×SD, int64 grid):
+    seeds = the PQ_K lowest-vec_id vectors' subvectors (bounded 16-row
+    collect, same recipe as the IVF coarse quantizer), then ONE Lloyd
+    step — assign every subvector to its nearest seed (exact integer
+    L2, ties → lowest codeword) and recenter each codeword at the
+    floor-mean of its members (empty codewords keep their seed). The
+    assignment scan is a map-side pandas kernel; the recenter is one
+    groupBy with ≤ M·K·SD = 1024 output cells (partial aggregation
+    makes the shuffle O(cells·partitions), not O(n·d), at any corpus
+    size). At 100 TB the same code trains on a sampled slice — the
+    codebook is M·K·SD ints regardless of n."""
+    qe = quantized_embeddings(spark, sf_dir)
+    seeds = qe.orderBy("vec_id").limit(PQ_K).collect()
+    c0 = (
+        np.array([r["q"] for r in seeds], dtype=np.int64)
+        .reshape(len(seeds), PQ_M, PQ_SUBDIM)
+        .transpose(1, 0, 2)
+        .copy()
+    )  # (M, K, SD)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign0(q: pd.Series) -> pd.Series:
+        mat = np.stack(q.to_numpy()).astype(np.int64).reshape(-1, PQ_M, PQ_SUBDIM)
+        codes = _pq_dists(mat, c0).argmin(axis=2)  # first min = lowest k
+        return pd.Series(list(codes.astype(np.int32)))
+
+    m_col = F.floor(F.col("pos") / PQ_SUBDIM).cast("int")
+    ex = (
+        qe.withColumn("a", assign0(F.col("q")))
+        .select("a", F.posexplode("q").alias("pos", "x"))
+        .select(
+            m_col.alias("m"),
+            (F.col("pos") % PQ_SUBDIM).cast("int").alias("d"),
+            F.element_at("a", m_col + 1).alias("k"),
+            "x",
+        )
+    )
+    agg = ex.groupBy("m", "k", "d").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()  # bounded: ≤ M·K·SD rows
+    c1 = c0.copy()
+    for r in agg:
+        # floor of the IEEE-double quotient — bit-identical to the
+        # oracle's floor(CAST(SUM AS DOUBLE) / COUNT(*)).
+        c1[r["m"], r["k"], r["d"]] = math.floor(float(r["s"]) / r["c"])
+    return c1
+
+
+def _pq_sql() -> str:
+    sd, k, m = PQ_SUBDIM, PQ_K, PQ_M
+    return f"""
+    WITH qe AS ({_SQL_QE}),
+    sx AS (
+      SELECT vec_id, CAST((pos - 1) // {sd} AS INT) AS m,
+             CAST((pos - 1) % {sd} AS INT) AS d, x
+      FROM (SELECT vec_id, unnest(q) AS x,
+                   generate_subscripts(q, 1) AS pos FROM qe)
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, vec_id
+      FROM qe ORDER BY vec_id LIMIT {k}
+    ),
+    sc0 AS (
+      SELECT s.k, sx.m, sx.d, sx.x AS c
+      FROM seeds s JOIN sx ON sx.vec_id = s.vec_id
+    ),
+    d0 AS (
+      SELECT sx.vec_id, sx.m, c.k,
+             SUM((sx.x - c.c) * (sx.x - c.c)) AS dist
+      FROM sx JOIN sc0 c ON c.m = sx.m AND c.d = sx.d
+      GROUP BY 1, 2, 3
+    ),
+    a0 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, m ORDER BY dist, k) AS rk FROM d0)
+      WHERE rk = 1
+    ),
+    upd AS (
+      SELECT a0.m, a0.k, sx.d,
+             CAST(floor(CAST(SUM(sx.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM a0 JOIN sx ON sx.vec_id = a0.vec_id AND sx.m = a0.m
+      GROUP BY 1, 2, 3
+    ),
+    cb AS (
+      SELECT sc0.m, sc0.k, sc0.d, COALESCE(upd.c, sc0.c) AS c
+      FROM sc0 LEFT JOIN upd
+        ON upd.m = sc0.m AND upd.k = sc0.k AND upd.d = sc0.d
+    ),
+    d1 AS (
+      SELECT sx.vec_id, sx.m, c.k,
+             SUM((sx.x - c.c) * (sx.x - c.c)) AS dist
+      FROM sx JOIN cb c ON c.m = sx.m AND c.d = sx.d
+      GROUP BY 1, 2, 3
+    ),
+    a1 AS (
+      SELECT vec_id, m, k, dist FROM (
+        SELECT vec_id, m, k, dist, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, m ORDER BY dist, k) AS rk FROM d1)
+      WHERE rk = 1
+    )
+    SELECT vec_id,
+           CAST(SUM(k * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT) AS pq_code,
+           CAST(SUM(dist) AS BIGINT) AS err2
+    FROM a1 GROUP BY vec_id
+    """
+
+
+@query("embedding_pq", _pq_sql())
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize every embedding: split the 64-dim grid vector
+    into PQ_M=8 subspaces of 8 dims, learn PQ_K=16 codewords per
+    subspace (deterministic seeded init + one Lloyd step, exact
+    integer L2 throughout — see ``_pq_codebook``), and emit each
+    vector's packed 32-bit code plus its exact integer squared
+    reconstruction error:
+
+        vec_id, pq_code = Σ_m k_m·16^m, err2 = Σ_dims (x − codeword)²
+
+    The encode pass is pure map-side work (one Arrow kernel, zero
+    shuffle) against a broadcast 1024-int codebook, so it scales to
+    any corpus size; with 4-bit codes a 100 TB float32 corpus becomes
+    ~1.6 TB of codes — the memory format IVF-PQ serves from RAM.
+    All arithmetic is int64-exact except the floor-mean recenter
+    (one correctly-rounded IEEE divide), so codes AND errors
+    hash-match the DuckDB oracle, which replays seeding, assignment,
+    recenter and encode from the same grid."""
+    cb = _pq_codebook(spark, sf_dir)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def encode(q: pd.Series) -> pd.Series:
+        mat = np.stack(q.to_numpy()).astype(np.int64).reshape(-1, PQ_M, PQ_SUBDIM)
+        dist = _pq_dists(mat, cb)
+        codes = dist.argmin(axis=2)  # (B, M), ties → lowest k
+        err2 = np.take_along_axis(dist, codes[:, :, None], axis=2)[:, :, 0].sum(
+            axis=1
+        )
+        packed = (codes.astype(np.int64) << (4 * np.arange(PQ_M, dtype=np.int64))).sum(
+            axis=1
+        )
+        return pd.Series(list(np.stack([packed, err2], axis=1)))
+
+    qe = quantized_embeddings(spark, sf_dir)
+    enc = qe.select("vec_id", encode(F.col("q")).alias("e"))
+    return enc.select(
+        "vec_id",
+        F.element_at("e", 1).alias("pq_code"),
+        F.element_at("e", 2).alias("err2"),
+    )
