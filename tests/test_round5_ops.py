@@ -217,3 +217,25 @@ def test_ivfpq_output_contract(spark, sf_dir):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= similarity.TOP_K
+
+
+def test_bench_warehouse_csv_synthesis(spark, sf_dir, tmp_path):
+    """The reference-native bench tool's master-CSV synthesis: three
+    files in the reference's header shapes, transaction count equal to
+    lineitem count, and keys that join (every tx product exists in the
+    product master, every tx customer in the customer master)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_warehouse import synthesize_master_csvs
+
+    n = synthesize_master_csvs(spark, sf_dir, str(tmp_path))
+    cust = spark.read.option("header", True).csv(str(tmp_path / "customer.csv"))
+    prod = spark.read.option("header", True).csv(str(tmp_path / "product.csv"))
+    tx = spark.read.option("header", True).csv(str(tmp_path / "tx.csv"))
+    assert cust.columns[:3] == ["index", "Customer_ID", "Gender"]
+    assert "price$" in prod.columns and "supplierName" in prod.columns
+    assert tx.columns == ["orderID", "Customer_ID", "Product_ID", "quantity", "date"]
+    assert tx.count() == n > 0
+    assert tx.join(prod, "Product_ID", "left_anti").count() == 0
+    assert tx.join(cust, "Customer_ID", "left_anti").count() == 0
