@@ -299,3 +299,10 @@ def test_partitioned_fact_layout(spark, dims, workdir, stream_result):
     assert only_2017.count() == flat.filter(
         (F.col("date_id") >= 20170000) & (F.col("date_id") < 20180000)
     ).count()
+    # the year predicate must reach the scan as a PARTITION filter
+    # (directory-level pruning — the property that makes cold years
+    # free at 100 TB), not a post-scan data filter
+    plan = only_2017._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    start = plan.index("PartitionFilters")
+    assert "sale_year" in plan[start : plan.index("]", start) + 1]
