@@ -400,7 +400,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql() -> str:
+def _sql_minhash_bands() -> str:
+    """The signature/banding CTE chain shared by the within-corpus LSH
+    oracle and the incremental (new-vs-indexed) oracle. Expects ``sh``
+    in scope; ends with ``bands`` (doc_id, band, bh)."""
     sig_cols = ",\n             ".join(
         f"MIN(({a} * lo + {c} * hi + {b}) % {P31}) AS m{i}"
         for i, (a, c, b) in enumerate(MINHASH_COEFFS)
@@ -411,12 +414,16 @@ def _minhash_lsh_sql() -> str:
         for i in range(LSH_BANDS)
     )
     h60 = _SQL_H60.format(x="shingle")
-    return f"""
-    WITH sh AS ({_SQL_SHINGLES}),
-    hv AS (SELECT doc_id, {h60} AS h FROM sh),
+    return f"""hv AS (SELECT doc_id, {h60} AS h FROM sh),
     hb AS (SELECT doc_id, h % {M30} AS lo, h >> 30 AS hi FROM hv),
     sig AS (SELECT doc_id, {sig_cols} FROM hb GROUP BY doc_id),
-    bands AS ({band_selects}),
+    bands AS ({band_selects})"""
+
+
+def _minhash_lsh_sql() -> str:
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    {_sql_minhash_bands()},
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -869,4 +876,201 @@ def dedup_crosscheck(
     )
     return joined.groupBy(agreement.alias("agreement")).agg(
         F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs the already-indexed corpus — the daily-
+# ingest shape. A production pipeline never re-runs all-pairs over the
+# full history; it checks today's documents against yesterday's index.
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT_FRAC = 0.8  # doc_id < floor(max_id·0.8) plays the indexed corpus
+
+
+def _incr_split(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic indexed/incoming boundary: floor(max_doc_id · 0.8)
+    (one bounded driver scalar — the 'where did yesterday's ingest
+    stop' watermark every incremental pipeline reads)."""
+    import math
+
+    mx = load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    return math.floor(float(mx) * INCR_SPLIT_FRAC)
+
+
+def _incremental_sql() -> str:
+    return f"""
+    WITH params AS (
+      SELECT CAST(floor(CAST(MAX(doc_id) AS DOUBLE) * {INCR_SPLIT_FRAC}) AS BIGINT)
+             AS split
+      FROM documents
+    ),
+    fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+    old_min AS (
+      SELECT fp, MIN(doc_id) AS match_id FROM fp
+      WHERE doc_id < (SELECT split FROM params) GROUP BY 1
+    ),
+    exact AS (
+      SELECT f.doc_id, o.match_id
+      FROM fp f JOIN old_min o USING (fp)
+      WHERE f.doc_id >= (SELECT split FROM params)
+    ),
+    sh AS ({_SQL_SHINGLES}),
+    {_sql_minhash_bands()},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bands n JOIN bands o ON n.band = o.band AND n.bh = o.bh
+      WHERE n.doc_id >= (SELECT split FROM params)
+        AND o.doc_id < (SELECT split FROM params)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.new_id, c.old_id, COUNT(*) AS common_shingles
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    near_all AS (
+      SELECT new_id, old_id,
+             CAST(common_shingles AS DOUBLE)
+               / (sa.n + sb.n - common_shingles) AS jaccard
+      FROM common
+      JOIN sizes sa ON new_id = sa.doc_id
+      JOIN sizes sb ON old_id = sb.doc_id
+      WHERE CAST(common_shingles AS DOUBLE)
+              / (sa.n + sb.n - common_shingles) >= {NEAR_DUP_JACCARD}
+    ),
+    near AS (
+      SELECT new_id AS doc_id, old_id AS match_id, jaccard FROM (
+        SELECT new_id, old_id, jaccard, ROW_NUMBER() OVER (
+          PARTITION BY new_id ORDER BY old_id) AS rk FROM near_all)
+      WHERE rk = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.match_id IS NOT NULL THEN 'exact'
+                WHEN nr.match_id IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS verdict,
+           COALESCE(e.match_id, nr.match_id) AS match_id,
+           CASE WHEN e.match_id IS NULL THEN nr.jaccard END AS jaccard
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id >= (SELECT split FROM params)) d
+    LEFT JOIN exact e USING (doc_id)
+    LEFT JOIN near nr USING (doc_id)
+    """
+
+
+@query("dedup_incremental", _incremental_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each incoming document against the indexed corpus only:
+    ``verdict`` ∈ {exact, near, novel}, ``match_id`` = the lowest
+    matching indexed doc (NULL for novel), ``jaccard`` = the match's
+    verified Jaccard for near-dups.
+
+    Exact pass: fingerprint equi-join incoming × per-fingerprint
+    indexed minima — one shuffle on the fingerprint, never on text.
+    Near pass: the shared minhash signatures band-bucket join ACROSS
+    the boundary only (incoming bands × indexed bands — no
+    incoming×incoming or indexed×indexed pairs are ever generated),
+    then exact-Jaccard verification of candidates. At 100 TB this is
+    the shape that keeps daily dedup linear in the increment: the
+    indexed side's signatures/fingerprints are yesterday's persisted
+    tables, the incoming side is today's batch, and nothing rescans
+    history beyond the bucket join.
+
+    Same engine-portable hash family as ``dedup_minhash_lsh``, so the
+    oracle replays the boundary, banding, candidates and verification
+    exactly (full value-hash check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = _incr_split(spark, sf_dir)
+
+    fp = docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+    old_min = (
+        fp.filter(F.col("doc_id") < split)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_match_id"))
+    )
+    exact = (
+        fp.filter(F.col("doc_id") >= split)
+        .join(old_min, "fp")
+        .select("doc_id", "exact_match_id")
+    )
+
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        _fold_cols(
+                            [
+                                F.element_at("sig", i * LSH_ROWS + j + 1)
+                                for j in range(LSH_ROWS)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    bn = bands.filter(F.col("doc_id") >= split).select(
+        F.col("doc_id").alias("new_id"), "band", "bh"
+    )
+    bo = bands.filter(F.col("doc_id") < split).select(
+        F.col("doc_id").alias("old_id"), "band", "bh"
+    )
+    cand = bn.join(bo, ["band", "bh"]).select("new_id", "old_id").dropDuplicates()
+
+    sh = cached_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("old_id"), "shingle")
+    common = (
+        F.broadcast(F.broadcast(cand).join(a, "new_id"))
+        .join(b, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("old_id"), F.col("n").alias("nb"))
+    jac = F.col("common_shingles").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common_shingles")
+    )
+    from pyspark.sql.window import Window
+
+    near_all = (
+        common.join(F.broadcast(sa), "new_id")
+        .join(F.broadcast(sb), "old_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+    )
+    w = Window.partitionBy("new_id").orderBy("old_id")
+    near = (
+        near_all.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("near_match_id"),
+            "jaccard",
+        )
+    )
+
+    incoming = docs.filter(F.col("doc_id") >= split).select("doc_id")
+    return (
+        incoming.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match_id").isNotNull(), "exact")
+            .when(F.col("near_match_id").isNotNull(), "near")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.coalesce("exact_match_id", "near_match_id").alias("match_id"),
+            F.when(F.col("exact_match_id").isNull(), F.col("jaccard")).alias(
+                "jaccard"
+            ),
+        )
     )
