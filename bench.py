@@ -77,6 +77,7 @@ def main() -> None:
             "dedup_minhash_lsh",
             "dedup_simhash",
             "dedup_components",
+            "dedup_incremental",
         ):
             run_query(registry.QUERIES[warm_name], spark, warm_sf)
     from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
