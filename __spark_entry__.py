@@ -78,6 +78,12 @@ def _last_verified() -> dict[str, int]:
                 and row.get("rows_match")
                 and row.get("schema_match")
                 and not row.get("err")
+                # hash_match is absent/None for rows-only (no-oracle)
+                # entries — only an explicit False is a value failure,
+                # and a failed round must NOT count as verified (it
+                # would deprioritize exactly the entry that needs a
+                # fresh driver row).
+                and row.get("hash_match") is not False
             ):
                 last[name] = max(last.get(name, 0), rnd)
     return last

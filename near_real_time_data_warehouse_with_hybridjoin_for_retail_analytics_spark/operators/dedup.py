@@ -371,12 +371,14 @@ def _bucket_pairs(keyed: DataFrame, keys: list[str], payload: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Banded LSH: docs colliding in any band become candidate pairs.
-    Band keys are the polynomial fold of the band's signature rows —
-    the same arithmetic the oracle SQL runs, so the candidate sets are
-    identical across engines (no engine-private hash in the plan)."""
-    bands = sigs.select(
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): banded LSH keys — the polynomial fold of each
+    band's signature rows, the same arithmetic the oracle SQL runs
+    (``_sql_minhash_bands``), so band keys are identical across engines
+    (no engine-private hash in the plan). Shared by the within-corpus
+    pair generator and the incremental cross-boundary join — ONE copy
+    of the banding scheme, because it is the cross-engine contract."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -395,7 +397,11 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
-    return _bucket_pairs(bands, ["band", "bh"], "doc_id").select(
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: docs colliding in any band become candidate pairs."""
+    return _bucket_pairs(minhash_bands(sigs), ["band", "bh"], "doc_id").select(
         F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
     )
 
@@ -895,6 +901,8 @@ def _incr_split(spark: SparkSession, sf_dir: str) -> int:
     import math
 
     mx = load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    if mx is None:  # empty corpus → empty result, same as the oracle's NULL split
+        return 0
     return math.floor(float(mx) * INCR_SPLIT_FRAC)
 
 
@@ -996,26 +1004,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "exact_match_id")
     )
 
-    sigs = minhash_signatures(docs)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        _fold_cols(
-                            [
-                                F.element_at("sig", i * LSH_ROWS + j + 1)
-                                for j in range(LSH_ROWS)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    bands = minhash_bands(minhash_signatures(docs))
     bn = bands.filter(F.col("doc_id") >= split).select(
         F.col("doc_id").alias("new_id"), "band", "bh"
     )

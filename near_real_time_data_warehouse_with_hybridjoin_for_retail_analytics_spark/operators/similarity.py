@@ -558,6 +558,42 @@ def _sql_ivf_coarse() -> str:
     mem AS (SELECT vec_id, j FROM pr WHERE pos = 0)"""
 
 
+def _train_coarse_quantizer(
+    qe: DataFrame, clusters: int
+) -> list[tuple[int, list[int], int]]:
+    """The deterministic IVF coarse quantizer, shared by the IVF-Flat
+    and IVF-PQ indexes (ONE copy — the quantizer is part of the
+    cross-engine oracle contract): seeds = the ``clusters`` lowest-
+    vec_id vectors, one Lloyd step with integer-quantized floor-means.
+    Two bounded driver collects (seeds, refined means). Returns
+    (idx, centroid ints, norm²≥1) tuples for ``_probe_udf``."""
+    seed_rows = qe.orderBy("vec_id").limit(clusters).select("q").collect()
+    seeds = [
+        (j, list(r["q"]), max(sum(x * x for x in r["q"]), 1))
+        for j, r in enumerate(seed_rows)
+    ]
+    home0 = F.element_at(_probe_udf(seeds, 1)(F.col("q")), 1)
+    cm_rows = (
+        qe.withColumn("home0", home0)
+        .select("home0", F.posexplode("q").alias("dim", "qv"))
+        .groupBy("home0", "dim")
+        .agg(
+            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cq")
+        )
+        .collect()
+    )
+    by_j: dict[int, dict[int, int]] = {}
+    for r in cm_rows:
+        by_j.setdefault(r["home0"], {})[r["dim"]] = r["cq"]
+    return [
+        (j, arr, max(sum(x * x for x in arr), 1))
+        for j, dims in sorted(by_j.items())
+        for arr in [[dims[d] for d in range(EMB_DIM)]]
+    ]
+
+
 def _ann_ivf_sql() -> str:
     return f"""
     WITH qe AS ({_SQL_QE}),
@@ -614,33 +650,7 @@ def ann_topk_ivf(
         clusters = dncl if clusters is None else clusters
         nprobe = dnpr if nprobe is None else nprobe
     qe = quantized_embeddings(spark, sf_dir)
-
-    # quantizer training: two bounded collects (seeds, refined means)
-    seed_rows = qe.orderBy("vec_id").limit(clusters).select("q").collect()
-    seeds = [
-        (j, list(r["q"]), max(sum(x * x for x in r["q"]), 1))
-        for j, r in enumerate(seed_rows)
-    ]
-    home0 = F.element_at(_probe_udf(seeds, 1)(F.col("q")), 1)
-    cm_rows = (
-        qe.withColumn("home0", home0)
-        .select("home0", F.posexplode("q").alias("dim", "qv"))
-        .groupBy("home0", "dim")
-        .agg(
-            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cq")
-        )
-        .collect()
-    )
-    by_j: dict[int, dict[int, int]] = {}
-    for r in cm_rows:
-        by_j.setdefault(r["home0"], {})[r["dim"]] = r["cq"]
-    cents = [
-        (j, arr, max(sum(x * x for x in arr), 1))
-        for j, dims in sorted(by_j.items())
-        for arr in [[dims[d] for d in range(EMB_DIM)]]
-    ]
+    cents = _train_coarse_quantizer(qe, clusters)
 
     tagged = qe.select(
         "vec_id",
@@ -1301,32 +1311,7 @@ def ann_topk_ivfpq(
         )
         return pd.Series(list(np.concatenate([codes, rn2[:, None]], axis=1)))
 
-    # Coarse quantizer: same two bounded collects as ann_topk_ivf.
-    seed_rows = qe.orderBy("vec_id").limit(clusters).select("q").collect()
-    seeds = [
-        (j, list(r["q"]), max(sum(x * x for x in r["q"]), 1))
-        for j, r in enumerate(seed_rows)
-    ]
-    home0 = F.element_at(_probe_udf(seeds, 1)(F.col("q")), 1)
-    cm_rows = (
-        qe.withColumn("home0", home0)
-        .select("home0", F.posexplode("q").alias("dim", "qv"))
-        .groupBy("home0", "dim")
-        .agg(
-            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cq")
-        )
-        .collect()
-    )
-    by_j: dict[int, dict[int, int]] = {}
-    for r in cm_rows:
-        by_j.setdefault(r["home0"], {})[r["dim"]] = r["cq"]
-    cents = [
-        (j, arr, max(sum(x * x for x in arr), 1))
-        for j, dims in sorted(by_j.items())
-        for arr in [[dims[d] for d in range(EMB_DIM)]]
-    ]
+    cents = _train_coarse_quantizer(qe, clusters)
 
     tagged = qe.select(
         "vec_id",
