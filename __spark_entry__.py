@@ -40,9 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # their first driver row within one round, while entries already 2
 # rounds stale keep priority. The staleness ordering is computed from
 # the committed CORRECTNESS_r*.json artifacts — not a hand-edited list —
-# so the "nothing verified goes more than 2 rounds without a fresh row"
-# guarantee is enforced by code as long as the stale backlog fits the
-# window.
+# so every non-pinned entry gets a fresh row at least every
+# ceil((N-P)/(50-P)) rounds (3 at the current N=80, P=22), oldest
+# first: nothing starves, and the in-repo gate still covers all
+# entries every round.
 _PINNED = [
     *[n for n in registry.QUERIES if n.startswith("q")],  # q01..q20 in order
     "etl_enrich_events",
