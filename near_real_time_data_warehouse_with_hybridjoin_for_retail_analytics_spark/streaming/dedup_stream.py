@@ -106,3 +106,53 @@ def run_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCS_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    indexed_fps: DataFrame,
+    query_name: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the exact tier of
+    ``operators.dedup.dedup_incremental``: documents arrive as
+    micro-batched parquet files and are classified against the indexed
+    corpus's fingerprint table (``indexed_fps``: fp → match_id, i.e.
+    yesterday's persisted `dedup_exact` output restricted to the
+    index) by a stream–static broadcast left join — 'exact' with the
+    indexed match, else 'novel'.
+
+    This is the ingest-time dedup gate a training-data pipeline runs
+    on the live feed: stateless (no watermark, no state store — the
+    static side IS the state, refreshed per micro-batch like the
+    HYBRIDJOIN dimensions), so memory is bounded by the batch size and
+    the broadcast. The near-dup tier intentionally stays in the batch
+    layer (`dedup_incremental`): LSH banding + verification is a
+    multi-join analytic pass, and the standard lambda shape is
+    exact-gate in the stream, near-dup sweep in the daily batch."""
+    raw = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    fp = raw.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp")
+    )
+    classified = fp.join(F.broadcast(indexed_fps), "fp", "left").select(
+        "doc_id",
+        F.when(F.col("match_id").isNotNull(), "exact")
+        .otherwise("novel")
+        .alias("verdict"),
+        "match_id",
+    )
+    return (
+        classified.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

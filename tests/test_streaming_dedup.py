@@ -98,3 +98,50 @@ def test_batch_dedup_counts_replays(spark, sf_dir, replay_with_dups):
     total = spark.read.parquet(replay_with_dups).count()
     kept = batch.count()
     assert total - kept >= 100  # every resend collapsed
+
+
+def test_incremental_dedup_stream_matches_batch_exact_tier(spark, sf_dir, tmp_path):
+    """The streaming ingest gate (stream-static fp join) must classify
+    exactly like the batch operator's exact tier on the same feed."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = dedup._incr_split(spark, sf_dir)
+    fp = docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+    indexed_fps = (
+        fp.filter(F.col("doc_id") < split)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("match_id"))
+    )
+
+    # the incoming feed lands as multiple files -> multiple micro-batches
+    feed_dir = str(tmp_path / "feed")
+    docs.filter(F.col("doc_id") >= split).select("doc_id", "text").repartition(
+        3
+    ).write.parquet(feed_dir)
+
+    q = sd.run_incremental_dedup_stream(
+        spark, feed_dir, indexed_fps, query_name="incr_gate"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in spark.sql("select * from incr_gate").collect()
+    }
+
+    batch = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in dedup.dedup_incremental(spark, sf_dir).collect()
+    }
+    assert set(streamed) == set(batch)
+    for d, (verdict, match) in streamed.items():
+        if verdict == "exact":
+            assert batch[d] == ("exact", match)  # identical exact tier
+        else:
+            # stream gate has no near tier: batch refines some novels to near
+            assert batch[d][0] in ("near", "novel")
