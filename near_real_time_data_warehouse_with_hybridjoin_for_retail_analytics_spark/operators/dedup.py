@@ -245,8 +245,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shingles_a") + F.col("shingles_b") - F.col("common_shingles")
         )
         return (
-            common.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
+            common.join(sa, "doc_a")
+            .join(sb, "doc_b")
             .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
             .select(
@@ -498,8 +498,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles_a") + F.col("shingles_b") - F.col("common_shingles")
     )
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
         .select("doc_a", "doc_b", "jaccard")
@@ -1031,8 +1031,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     near_all = (
-        common.join(F.broadcast(sa), "new_id")
-        .join(F.broadcast(sb), "old_id")
+        common.join(sa, "new_id")
+        .join(sb, "old_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
     )
