@@ -129,11 +129,16 @@ def run_incremental_dedup_stream(
     This is the ingest-time dedup gate a training-data pipeline runs
     on the live feed: stateless (no watermark, no state store — the
     static side IS the state, refreshed per micro-batch like the
-    HYBRIDJOIN dimensions), so memory is bounded by the batch size and
-    the broadcast. The near-dup tier intentionally stays in the batch
-    layer (`dedup_incremental`): LSH banding + verification is a
-    multi-join analytic pass, and the standard lambda shape is
-    exact-gate in the stream, near-dup sweep in the daily batch."""
+    HYBRIDJOIN dimensions), so memory is bounded by the batch size.
+    The fingerprint table carries no broadcast hint — it is O(index)
+    rows, so AQE broadcasts it while small and shuffle-joins when it
+    is not (at 100 TB the standard refinement is a broadcast Bloom
+    filter over the fingerprints to pre-drop definite novels, then
+    this join on the survivors). The near-dup tier intentionally stays
+    in the batch layer (`dedup_incremental`): LSH banding +
+    verification is a multi-join analytic pass, and the standard
+    lambda shape is exact-gate in the stream, near-dup sweep in the
+    daily batch."""
     raw = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -142,7 +147,7 @@ def run_incremental_dedup_stream(
     fp = raw.select(
         "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp")
     )
-    classified = fp.join(F.broadcast(indexed_fps), "fp", "left").select(
+    classified = fp.join(indexed_fps, "fp", "left").select(
         "doc_id",
         F.when(F.col("match_id").isNotNull(), "exact")
         .otherwise("novel")
