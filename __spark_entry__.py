@@ -31,30 +31,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 entries of queries() each round; the
 # registry holds more than 50, so ordering decides what gets a fresh
-# CORRECTNESS row. Policy (documented in COVERAGE.md): the reference's
-# 20-query OLAP surface + the ETL queries lead every round, then entries
-# whose OUTPUT changed this round (_FORCE_VERIFY), then everything else
-# ordered oldest-verified first. Never-driver-verified entries are the
-# LEAST stale (they were created this round — zero rounds since their
-# code existed), so they sort last and take leftover slots; they get
-# their first driver row within one round, while entries already 2
-# rounds stale keep priority. The staleness ordering is computed from
-# the committed CORRECTNESS_r*.json artifacts — not a hand-edited list —
-# so every non-pinned entry gets a fresh row at least every
-# ceil((N-P)/(50-P)) rounds (3 at the current N=80, P=22), oldest
-# first: nothing starves, and the in-repo gate still covers all
-# entries every round.
+# CORRECTNESS row. Policy (documented in COVERAGE.md):
+#   1. the reference's 20-query OLAP surface + the ETL queries lead
+#      every round (_PINNED, 22 entries);
+#   2. then entries whose registered callable source or oracle SQL has
+#      CHANGED since the driver row that last verified them — detected
+#      mechanically by diffing a sha256 of (source, oracle) against the
+#      committed VERIFY_MANIFEST.json (refreshed at the start of each
+#      round from the previous round's CORRECTNESS file by
+#      ``tools/update_verify_manifest.py``), plus any hand-listed
+#      _FORCE_VERIFY names. A brand-new entry has no manifest row, so
+#      it is forced in its first round — never-verified entries CANNOT
+#      starve (the round-5 rotation keyed them as least-stale, which
+#      starved them forever; fixed here, belt-and-braces);
+#   3. then everything else oldest-driver-verified first, where an
+#      entry with no passing driver row ever sorts MOST stale (key 0).
+# The ordering is computed from committed artifacts — not a hand-edited
+# list — so every non-pinned entry gets a fresh row at least every
+# ceil((N-P)/(50-P)) rounds (3 at N=81, P=22) provided pinned+forced
+# fits the window (tests/test_rotation.py simulates multi-round
+# rotation, including entries added mid-simulation, and asserts the
+# bound; it also asserts the window budget).
 _PINNED = [
     *[n for n in registry.QUERIES if n.startswith("q")],  # q01..q20 in order
     "etl_enrich_events",
     "etl_events_by_type",
 ]
 
-# Entries whose results changed this round (code rework or new oracle)
-# and therefore need a fresh driver row even though they verified
-# recently. Review per round.
+# Hand-forced entries beyond the mechanical manifest diff. Review per
+# round. Round 6: the three operators whose knobs became corpus-derived
+# in round 5 (output changed at fixed sf, but their r4 manifest hash
+# predates the manifest's introduction, so the diff can't see it).
 _FORCE_VERIFY = [
-    "dedup_crosscheck",  # embedding side switched to the LSH candidate path
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "dedup_embedding_candidates",
 ]
 
 _REPO = Path(__file__).resolve().parent
@@ -90,17 +101,77 @@ def _last_verified() -> dict[str, int]:
     return last
 
 
-def _ordered(names: dict) -> list[str]:
-    pinned = [n for n in _PINNED if n in names]
+def entry_hash(name: str) -> str:
+    """sha256 over (registered callable source, oracle SQL) — the
+    mechanical change detector behind forced re-verification. Source is
+    read via inspect, so any edit to the callable's body (or a
+    decorator-visible oracle rewrite) changes the hash."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(registry.QUERIES[name])
+    oracle = registry.ORACLES.get(name, "")
+    return hashlib.sha256(
+        (src + "\x00" + oracle).encode("utf-8")
+    ).hexdigest()
+
+
+def _manifest() -> dict[str, dict]:
+    """VERIFY_MANIFEST.json: name → {hash, round} recorded when the
+    entry last earned a passing driver row (refreshed at round start by
+    tools/update_verify_manifest.py, BEFORE any code changes, so the
+    recorded hash is exactly the code that driver row verified)."""
+    p = _REPO / "VERIFY_MANIFEST.json"
+    try:
+        return json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _hash_forced(names: dict) -> list[str]:
+    """Entries whose current (source, oracle) hash differs from the
+    manifest — i.e. code or oracle changed since their last driver row,
+    or they never had one. Registry order."""
+    man = _manifest()
+    out = []
+    for n in names:
+        rec = man.get(n)
+        if rec is None or rec.get("hash") != entry_hash(n):
+            out.append(n)
+    return out
+
+
+def _ordered(
+    names: dict,
+    last: dict[str, int] | None = None,
+    extra_forced: list[str] | None = None,
+    pinned_names: list[str] | None = None,
+) -> list[str]:
+    """Pinned, then forced (manifest-diff + hand list), then the rest
+    oldest-verified first (never-verified = most stale). ``last``,
+    ``extra_forced`` and ``pinned_names`` are injectable for the
+    rotation simulation test; production callers pass only ``names``."""
+    if pinned_names is None:
+        pinned_names = _PINNED
+    pinned = [n for n in pinned_names if n in names]
     head = set(pinned)
-    forced = [n for n in _FORCE_VERIFY if n in names and n not in head]
-    head |= set(forced)
-    last = _last_verified()
+    if extra_forced is None:
+        extra_forced = _FORCE_VERIFY + _hash_forced(names)
+    forced = []
+    for n in extra_forced:
+        if n in names and n not in head:
+            forced.append(n)
+            head.add(n)
+    if last is None:
+        last = _last_verified()
     pos = {n: i for i, n in enumerate(names)}
-    never_verified = 10**9  # new this round → least stale → sorts last
+    # Never-verified → key 0 → MOST stale → first in line. (The prior
+    # 10**9 "least stale" key permanently starved new entries: the
+    # finite-key pool always outnumbered the leftover window slots, so
+    # a never-verified entry could never acquire a finite key.)
     rest = sorted(
         (n for n in names if n not in head),
-        key=lambda n: (last.get(n, never_verified), pos[n]),
+        key=lambda n: (last.get(n, 0), pos[n]),
     )
     return pinned + forced + rest
 

@@ -1,0 +1,116 @@
+"""Multi-round simulation of the driver-verification rotation.
+
+The round-5 verdict found that never-driver-verified entries starved
+forever (keyed as least-stale, they always sorted behind every
+finite-key entry and never entered the 50-slot window). The fix keys
+them most-stale and additionally force-verifies any entry whose
+(source, oracle) hash differs from VERIFY_MANIFEST.json. These tests
+simulate the rotation itself — no Spark — and assert the documented
+staleness bound holds for every entry, including entries added
+mid-simulation, plus the window-budget invariant for the real registry.
+"""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as e
+
+WINDOW = 50
+
+
+def _simulate(n_start: int, n_pinned: int, rounds: int, add_at: dict[int, int]):
+    """Run ``rounds`` rounds of the rotation over a synthetic registry.
+
+    ``add_at``: round → number of brand-new entries created that round
+    (mirrors new operators landing mid-build). Returns
+    (worst_staleness, creation_round, last) for post-hoc assertions.
+    """
+    pinned = [f"pin{i:02d}" for i in range(n_pinned)]
+    floating = [f"op{i:03d}" for i in range(n_start - n_pinned)]
+    created = {n: 0 for n in pinned + floating}
+    last: dict[str, int] = {}
+    worst = 0
+    counter = len(floating)
+    for rnd in range(1, rounds + 1):
+        for _ in range(add_at.get(rnd, 0)):
+            floating.append(f"op{counter:03d}")
+            created[floating[-1]] = rnd
+            counter += 1
+        names = {n: None for n in pinned + floating}
+        # A new entry has no manifest record → mechanically forced.
+        forced = [n for n in names if created[n] == rnd and n not in pinned]
+        order = e._ordered(
+            names, last=last, extra_forced=forced, pinned_names=pinned
+        )
+        assert sorted(order) == sorted(names), "rotation must be a permutation"
+        for name in order[:WINDOW]:
+            last[name] = rnd
+        for name in names:
+            stale = rnd - last.get(name, created[name])
+            worst = max(worst, stale)
+    return worst, created, last
+
+
+def test_no_starvation_steady_state():
+    """80 entries, 22 pinned: every floating entry re-verifies at least
+    every ceil((80-22)/(50-22)) = 3 rounds, forever."""
+    n, p = 80, 22
+    bound = math.ceil((n - p) / (WINDOW - p))
+    worst, _, last = _simulate(n, p, rounds=12, add_at={})
+    assert worst <= bound, f"staleness {worst} exceeds bound {bound}"
+    assert len(last) == n, "every entry must eventually get a driver row"
+
+
+def test_new_entries_verify_first_round():
+    """Entries created mid-simulation are forced into their first
+    round's window — the exact failure mode of round 5 (four new
+    operators permanently outside the window)."""
+    worst, created, last = _simulate(
+        78, 22, rounds=10, add_at={4: 4, 7: 3}
+    )
+    for name, born in created.items():
+        assert name in last, f"{name} (created r{born}) never verified"
+        if born > 0:
+            assert last[name] >= born, name
+    n_final, p = 78 + 7, 22
+    bound = math.ceil((n_final - p) / (WINDOW - p))
+    assert worst <= bound
+
+
+def test_never_verified_sorts_most_stale():
+    names = {n: None for n in ["a", "b", "c"]}
+    order = e._ordered(
+        names, last={"a": 3, "b": 1}, extra_forced=[], pinned_names=[]
+    )
+    assert order[0] == "c", "never-verified must lead the stale queue"
+    assert order == ["c", "b", "a"]
+
+
+def test_real_registry_window_budget():
+    """pinned + forced must fit the 50-slot window, or forced entries
+    silently wait — stage the changes across rounds instead."""
+    names = e.registry.QUERIES
+    pinned = [n for n in e._PINNED if n in names]
+    forced = [
+        n
+        for n in e._FORCE_VERIFY + e._hash_forced(names)
+        if n in names and n not in pinned
+    ]
+    assert len(pinned) + len(set(forced)) <= WINDOW, (
+        f"window overflow: {len(pinned)} pinned + {len(set(forced))} forced"
+    )
+
+
+def test_real_registry_head_contains_new_r5_entries():
+    """The four operators starved by the round-5 rotation must be in
+    the round-6 window."""
+    order = list(e.queries())
+    head = set(order[:WINDOW])
+    for name in [
+        "embedding_pq",
+        "ann_topk_ivfpq",
+        "dedup_incremental",
+        "multimodal_decode_stats_png",
+    ]:
+        assert name in head, f"{name} still outside the driver window"

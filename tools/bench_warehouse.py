@@ -30,7 +30,6 @@ reference's headline capability (hybridjoin.py's streaming loop).
 from __future__ import annotations
 
 import argparse
-import datetime as dt
 import json
 import os
 import shutil
