@@ -345,6 +345,86 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def _identity_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical texts before any signature/banding work.
+
+    Returns ``(reps, members)``: ``reps`` (doc_id, text) keeps one
+    representative (the group-min doc_id) per distinct text; ``members``
+    (doc_id, rep, group_size) maps every doc to its representative.
+
+    Why: identical texts produce identical signatures, so every member
+    of a large exact-duplicate class lands in the SAME LSH bucket and
+    the within-bucket pair generator emits b(b-1)/2 pairs in one task —
+    a single-task quadratic bomb on duplicate-heavy corpora (the common
+    case in web-scale dedup). Collapsing first means LSH/banding only
+    ever sees distinct texts: bucket sizes are bounded by distinct
+    near-dups, candidate verification runs once per distinct pair, and
+    the identical-doc pairs are reconstructed afterwards from the
+    groups with their exact score (Jaccard 1.0 / Hamming 0) — no
+    verification join needed. Output is unchanged, so the oracles need
+    no mirror: members share their rep's bands, hence its collisions
+    and its verified scores, bit-for-bit.
+
+    Null texts are excluded entirely — they produce no signature in any
+    tier, exactly as the uncollapsed pipelines dropped them."""
+    fp = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", F.md5("text").alias("fp")
+    )
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("group_size")
+    )
+    joined = fp.join(groups, "fp")
+    members = joined.select("doc_id", "rep", "group_size")
+    reps = joined.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "text"
+    )
+    return reps, members
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, score: str
+) -> DataFrame:
+    """Map verified representative-level pairs back to all member
+    pairs: (rep_a, rep_b, score) × members² → (doc_a, doc_b, score)
+    with the canonical least/greatest ordering. The two member joins
+    are on rep ids; AQE broadcasts the (small) verified pair set."""
+    ma = members.select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("m_a")
+    )
+    mb = members.select(
+        F.col("rep").alias("doc_b"), F.col("doc_id").alias("m_b")
+    )
+    return (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            score,
+        )
+    )
+
+
+def _within_group_pairs(members: DataFrame, score: Column) -> DataFrame:
+    """All pairs inside each exact-duplicate class, scored with the
+    identity score (Jaccard 1.0 / Hamming 0) — the pairs the collapsed
+    LSH never generates. Self-join on the rep key; a hot group still
+    emits its (inherent, output-sized) b(b-1)/2 rows, but without any
+    signature or verification work behind them."""
+    dup = members.filter(F.col("group_size") >= 2)
+    wa = dup.select("rep", F.col("doc_id").alias("m_a"))
+    wb = dup.select("rep", F.col("doc_id").alias("m_b"))
+    return (
+        wa.join(wb, "rep")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("doc_a"),
+            F.col("m_b").alias("doc_b"),
+            score,
+        )
+    )
+
+
 def _bucket_pairs(keyed: DataFrame, keys: list[str], payload: str) -> DataFrame:
     """All unordered within-bucket pairs of ``payload`` values: groupBy
     bucket → collect → emit combinations with an array comprehension.
@@ -455,14 +535,22 @@ def _minhash_lsh_sql() -> str:
 @query("dedup_minhash_lsh", _minhash_lsh_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection with exact-Jaccard verification of
-    candidates only. At 100 TB: signatures are one linear pass, bucket
-    joins shuffle only (band, hash) keys, and the quadratic verification
-    touches candidate pairs instead of all pairs.
+    candidates only. At 100 TB: identical texts collapse to one
+    representative BEFORE any signature work (``_identity_groups`` —
+    kills the skewed-bucket quadratic bomb a large exact-duplicate
+    class would otherwise detonate inside one LSH bucket task), then
+    signatures are one linear pass over distinct texts, bucket joins
+    shuffle only (band, hash) keys, and the quadratic verification
+    touches distinct candidate pairs. Identical-doc pairs are
+    reconstructed from the groups with Jaccard exactly 1.0; the oracle
+    is unchanged because the output is (members share their rep's
+    bands, collisions and verified score bit-for-bit).
 
     The whole pipeline runs on the engine-portable hash family, so the
     oracle replays it exactly (full value-hash check, not rows-only) —
     LSH recall vs exact ngram Jaccard stays gated in tests."""
     sh = cached_shingles(spark, sf_dir)
+    reps, members = _identity_groups(load_table(spark, sf_dir, "documents"))
     # One straight DAG: with bucket-grouped pair generation every
     # subtree (signatures, candidates) is referenced exactly once, so
     # nothing needs persisting — measured at sf0.1, persist()ing the
@@ -470,24 +558,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # writes of array columns), and a candidate-doc semi-join
     # restriction of the verification was 3× slower than joining the
     # already-persisted shingle relation directly.
-    cands = lsh_candidate_pairs(
-        minhash_signatures(load_table(spark, sf_dir, "documents"))
-    )
+    cands = lsh_candidate_pairs(minhash_signatures(reps))
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # Verification as two BROADCAST joins (the runtime-filter pattern):
-    # the candidate frame is tiny relative to the corpus (LSH emits
-    # O(near-dups), not O(pairs)), so broadcasting it — and then the
-    # (pair × doc_a-shingle) expansion, bounded by pairs · shingles/doc
-    # — keeps the 260k-row shingle relation entirely map-side: zero
-    # shuffles of sh in the verification (measured ~2 s saved at
-    # sf0.1). At a scale where the candidate set outgrew the broadcast
-    # threshold, dropping the two hints degrades to shuffle joins with
-    # no other change.
+    # Verification joins carry no manual broadcast hints: AQE sees the
+    # candidate side's runtime size and broadcasts it when small (it
+    # is — LSH emits O(near-dups), not O(pairs)), and degrades to a
+    # shuffle join past the threshold without a human flipping a
+    # switch. (Round-5 carried explicit nested F.broadcast hints here;
+    # they bypassed AQE's size check — a planner-driven choice is the
+    # self-tuning 100 TB behavior.)
     common = (
-        F.broadcast(F.broadcast(cands).join(a, "doc_a"))
+        cands.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
@@ -497,13 +581,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("common_shingles").cast("double") / (
         F.col("shingles_a") + F.col("shingles_b") - F.col("common_shingles")
     )
-    return (
+    rep_pairs = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
         .select("doc_a", "doc_b", "jaccard")
     )
+    cross = _expand_rep_pairs(rep_pairs, members, "jaccard")
+    # Within-group pairs exist only where the text shingles at all
+    # (docs under SHINGLE_N tokens never signed, hence never paired):
+    # the sizes relation has a row exactly for docs with ≥1 shingle.
+    dup_members = members.join(
+        sizes.select(F.col("doc_id").alias("rep")), "rep", "left_semi"
+    )
+    within = _within_group_pairs(
+        dup_members, F.lit(1.0).alias("jaccard")
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -588,10 +683,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks), verified with bit_count(xor). Portable hash family → the
     oracle replays the full pipeline (value-hash-checked).
 
+    Identical texts collapse to one representative before signing
+    (``_identity_groups``): an exact-duplicate class shares one simhash
+    and would otherwise pile into a single chunk bucket and emit its
+    quadratic pairs in one task. Within-group pairs come back with
+    Hamming exactly 0; every non-null text signs, so every duplicate
+    group qualifies. Output — and therefore the oracle — is unchanged.
+
     Straight DAG, nothing persisted: the signature relation feeds the
     bucket pair generator once, and the Hamming verification rides on
     the signatures carried through the buckets (no join back)."""
-    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    reps, members = _identity_groups(load_table(spark, sf_dir, "documents"))
+    sigs = simhash_signatures(reps)
     chunks = sigs.select(
         F.struct("doc_id", "simhash").alias("ds"),
         F.explode(
@@ -611,7 +714,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # struct comparison is doc_id-first, so least/greatest inside the
     # bucket pair generator orders each pair exactly like the
     # a.doc_id < b.doc_id join condition in the oracle SQL.
-    return (
+    rep_pairs = (
         _bucket_pairs(chunks, ["band", "chunk"], "ds")
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -622,6 +725,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+    cross = _expand_rep_pairs(rep_pairs, members, "hamming")
+    within = _within_group_pairs(
+        members, F.lit(0).cast("int").alias("hamming")
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -986,6 +1094,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables, the incoming side is today's batch, and nothing rescans
     history beyond the bucket join.
 
+    Identical texts collapse per side before banding
+    (``_identity_groups`` on the indexed and incoming partitions
+    separately — separately, because a group spanning the boundary
+    would hide incoming members behind an indexed representative):
+    signatures, the cross-boundary band join and verification all run
+    on distinct texts only, so a duplicate-heavy ingest (the normal
+    case) can't detonate a hot band bucket. Near verdicts computed for
+    an incoming representative broadcast back to its identical members;
+    matching against indexed representatives only is lossless for the
+    output because the set of qualifying indexed docs is closed under
+    identity groups and the reported match_id is the minimum qualifying
+    indexed id — which is always a representative (group min). Output,
+    and therefore the oracle, is unchanged.
+
     Same engine-portable hash family as ``dedup_minhash_lsh``, so the
     oracle replays the boundary, banding, candidates and verification
     exactly (full value-hash check)."""
@@ -1004,11 +1126,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "exact_match_id")
     )
 
-    bands = minhash_bands(minhash_signatures(docs))
-    bn = bands.filter(F.col("doc_id") >= split).select(
+    reps_o, _mem_o = _identity_groups(docs.filter(F.col("doc_id") < split))
+    reps_n, mem_n = _identity_groups(docs.filter(F.col("doc_id") >= split))
+    bn = minhash_bands(minhash_signatures(reps_n)).select(
         F.col("doc_id").alias("new_id"), "band", "bh"
     )
-    bo = bands.filter(F.col("doc_id") < split).select(
+    bo = minhash_bands(minhash_signatures(reps_o)).select(
         F.col("doc_id").alias("old_id"), "band", "bh"
     )
     cand = bn.join(bo, ["band", "bh"]).select("new_id", "old_id").dropDuplicates()
@@ -1017,8 +1140,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("old_id"), "shingle")
+    # No manual broadcast hints: AQE broadcasts the candidate side when
+    # its runtime size allows and falls back to a shuffle join past the
+    # threshold — the planner, not a human, operates the scale switch
+    # (round-5 advice; the streaming twin in dedup_stream.py already
+    # worked this way).
     common = (
-        F.broadcast(F.broadcast(cand).join(a, "new_id"))
+        cand.join(a, "new_id")
         .join(b, ["old_id", "shingle"])
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
@@ -1037,15 +1165,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
     )
     w = Window.partitionBy("new_id").orderBy("old_id")
-    near = (
+    near_rep = (
         near_all.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select(
-            F.col("new_id").alias("doc_id"),
-            F.col("old_id").alias("near_match_id"),
-            "jaccard",
-        )
+        .select("new_id", F.col("old_id").alias("near_match_id"), "jaccard")
     )
+    # Fan the rep-level verdict back out to every identical incoming
+    # member: same text → same bands → same qualifying indexed docs →
+    # same rk=1 match and jaccard, bit-for-bit.
+    near = mem_n.join(
+        near_rep, mem_n["rep"] == near_rep["new_id"]
+    ).select("doc_id", "near_match_id", "jaccard")
 
     incoming = docs.filter(F.col("doc_id") >= split).select("doc_id")
     return (
