@@ -105,25 +105,46 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
         passes.append(this_pass)
 
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
-    if detail_path:
-        import statistics
+    # Full, untruncated per-entry artifact: the driver's BENCH_r{N}.json
+    # stores only a tail of stdout and has truncated away entries in
+    # past rounds, so the complete picture is committed from here every
+    # run (round-5 verdict item 5). Round number = newest committed
+    # BENCH_r* + 1; SPARK_GRAFT_BENCH_DETAIL overrides the path.
+    import re
+    import statistics
 
-        stats = {
-            name: {
-                "min": min(ts),
-                "median": round(statistics.median(ts), 3),
-                "max": max(ts),
-                "spread": round(max(ts) - min(ts), 3),
-            }
-            for name, ts in (
-                (n, [ps[n] for ps in passes]) for n in names
-            )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        repo, f"BENCH_FULL_r{(max(rounds, default=0) + 1):02d}.json"
+    )
+    stats = {
+        name: {
+            "min": min(ts),
+            "median": round(statistics.median(ts), 3),
+            "max": max(ts),
+            "spread": round(max(ts) - min(ts), 3),
         }
-        with open(detail_path, "w") as fh:
-            json.dump({"runs": runs, "passes": passes, "stats": stats}, fh, indent=1)
-
+        for name, ts in ((n, [ps[n] for ps in passes]) for n in names)
+    }
     total = round(sum(timings.values()), 3)
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "runs": runs,
+                "total_min_sec": total,
+                "entries": len(names),
+                "passes": passes,
+                "stats": stats,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {

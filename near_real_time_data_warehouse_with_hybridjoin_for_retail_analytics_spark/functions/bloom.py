@@ -1,0 +1,124 @@
+"""Broadcast Bloom filter over document fingerprints — the pre-join
+gate for the streaming ingest dedup path.
+
+Shape at 100 TB: the indexed corpus's fingerprint table is O(corpus)
+rows, far too big to broadcast, so the stream-static exact-dup join
+must shuffle — unless definite novels (the overwhelming majority of a
+healthy ingest) are dropped before the join ever sees them. A Bloom
+filter over the indexed fingerprints is the standard refinement: ~10
+bits per indexed key at 1 % false-positive rate (≈1.2 GB for 10⁹ keys —
+a legitimate executor broadcast; beyond that, shard by fingerprint
+prefix and probe the matching shard). Only the ≤1 % false positives
+plus the true duplicates reach the join.
+
+The build is distributed: every partition folds its fingerprints into a
+local bitmap, bitmaps OR-merge pairwise via ``treeReduce`` (driver
+receives O(log partitions) bitmaps, never the keys), and the merged
+bitmap broadcasts to the probe kernel. The probe is an Arrow-batched
+pandas UDF (one md5 per value, Kirsch–Mitzenmacher double hashing — no
+per-hash rehash). This is one of the rare justified RDD uses in this
+repo: per-partition imperative bitmap building has no DataFrame
+equivalent that avoids materializing one row per (key, hash-position).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LN2 = math.log(2.0)
+
+
+def _h12(value: str) -> tuple[int, int]:
+    """Two independent 60-bit hashes from one md5 (h2 forced odd so the
+    double-hash sequence cycles through all positions)."""
+    d = hashlib.md5(value.encode("utf-8")).hexdigest()
+    return int(d[:15], 16), int(d[15:30], 16) | 1
+
+
+@dataclass(frozen=True)
+class FingerprintBloom:
+    """Immutable bitmap + parameters; safe to capture in UDF closures
+    (Spark ships it once per task via the closure broadcast)."""
+
+    bits: np.ndarray  # uint8, length m // 8
+    m: int  # number of bits (multiple of 8)
+    k: int  # hash count
+
+    def might_contain(self, value: str | None) -> bool:
+        if value is None or self.m == 0:
+            return False
+        h1, h2 = _h12(value)
+        for i in range(self.k):
+            pos = (h1 + i * h2) % self.m
+            if not (self.bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+
+    def might_contain_udf(self) -> Column:
+        """Arrow-batched probe: fp column → boolean (False = definitely
+        not indexed)."""
+        bits, m, k = self.bits, self.m, self.k
+
+        @F.pandas_udf("boolean")
+        def probe(values: pd.Series) -> pd.Series:
+            out = np.zeros(len(values), dtype=bool)
+            if m:
+                for j, v in enumerate(values):
+                    if v is None:
+                        continue
+                    h1, h2 = _h12(v)
+                    hit = True
+                    for i in range(k):
+                        pos = (h1 + i * h2) % m
+                        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                            hit = False
+                            break
+                    out[j] = hit
+            return pd.Series(out)
+
+        return probe
+
+    @property
+    def n_set_bits(self) -> int:
+        return int(np.unpackbits(self.bits).sum())
+
+
+def build_bloom(
+    keys: DataFrame, column: str = "fp", fpp: float = 0.01, n: int | None = None
+) -> FingerprintBloom:
+    """Build a Bloom filter over ``keys[column]`` with target
+    false-positive rate ``fpp``. ``n`` overrides the sizing count (pass
+    it when the caller already knows the cardinality — saves a pass)."""
+    if n is None:
+        n = keys.count()
+    if n == 0:
+        return FingerprintBloom(np.zeros(0, dtype=np.uint8), 0, 1)
+    m = math.ceil(-(n * math.log(fpp)) / (_LN2 * _LN2))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round(m / n * _LN2))
+
+    def fold(rows):
+        local = np.zeros(m // 8, dtype=np.uint8)
+        for row in rows:
+            v = row[0]
+            if v is None:
+                continue
+            h1, h2 = _h12(v)
+            for i in range(k):
+                pos = (h1 + i * h2) % m
+                local[pos >> 3] |= np.uint8(1 << (pos & 7))
+        yield local
+
+    bits = (
+        keys.select(column)
+        .rdd.mapPartitions(fold)
+        .treeReduce(np.bitwise_or)
+    )
+    return FingerprintBloom(bits, m, k)

@@ -111,12 +111,53 @@ def run_dedup_stream(
 DOCS_STREAM_SCHEMA = "doc_id long, text string"
 
 
+def classify_exact(
+    fp: DataFrame, indexed_fps: DataFrame, bloom=None
+) -> tuple[DataFrame, DataFrame]:
+    """Classify fingerprinted docs (doc_id, fp) against the index
+    (fp → match_id): 'exact' with the indexed match, else 'novel'.
+
+    With a ``FingerprintBloom`` over the indexed fingerprints, definite
+    novels are classified WITHOUT touching the join — only Bloom
+    maybes (true duplicates + ≤fpp false positives) reach it, which is
+    what keeps a novel-heavy 100 TB ingest from shuffling every row
+    against the index. The Bloom can only produce false POSITIVES, so
+    the join result on survivors is identical to the unfiltered join;
+    classifications are bit-identical with and without the filter.
+
+    Returns ``(classified, join_input)`` — the second frame is exactly
+    the rows that reach the join, exposed so tests (and ops counters)
+    can assert the pre-gate's selectivity instead of trusting it."""
+    if bloom is None:
+        survivors = fp
+        definite = None
+    else:
+        flagged = fp.withColumn("__maybe", bloom.might_contain_udf()("fp"))
+        survivors = flagged.filter(F.col("__maybe")).drop("__maybe")
+        match_type = dict(indexed_fps.dtypes)["match_id"]
+        definite = flagged.filter(~F.col("__maybe")).select(
+            "doc_id",
+            F.lit("novel").alias("verdict"),
+            F.lit(None).cast(match_type).alias("match_id"),
+        )
+    joined = survivors.join(indexed_fps, "fp", "left").select(
+        "doc_id",
+        F.when(F.col("match_id").isNotNull(), "exact")
+        .otherwise("novel")
+        .alias("verdict"),
+        "match_id",
+    )
+    classified = joined if definite is None else joined.unionByName(definite)
+    return classified, survivors
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     input_dir: str,
     indexed_fps: DataFrame,
     query_name: str,
     max_files_per_trigger: int = 1,
+    bloom=None,
 ) -> StreamingQuery:
     """Streaming twin of the exact tier of
     ``operators.dedup.dedup_incremental``: documents arrive as
@@ -132,13 +173,16 @@ def run_incremental_dedup_stream(
     HYBRIDJOIN dimensions), so memory is bounded by the batch size.
     The fingerprint table carries no broadcast hint — it is O(index)
     rows, so AQE broadcasts it while small and shuffle-joins when it
-    is not (at 100 TB the standard refinement is a broadcast Bloom
-    filter over the fingerprints to pre-drop definite novels, then
-    this join on the survivors). The near-dup tier intentionally stays
-    in the batch layer (`dedup_incremental`): LSH banding +
-    verification is a multi-join analytic pass, and the standard
-    lambda shape is exact-gate in the stream, near-dup sweep in the
-    daily batch."""
+    is not. Pass ``bloom`` (a ``functions.bloom.FingerprintBloom``
+    built over the indexed fingerprints) to pre-drop definite novels
+    before the join — the 100 TB refinement: only true duplicates plus
+    ≤fpp false positives reach the stream-static join, and the filter
+    is ~10 bits per indexed key. Classifications are identical with
+    and without it (the Bloom has no false negatives). The near-dup
+    tier intentionally stays in the batch layer (`dedup_incremental`):
+    LSH banding + verification is a multi-join analytic pass, and the
+    standard lambda shape is exact-gate in the stream, near-dup sweep
+    in the daily batch."""
     raw = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -147,13 +191,7 @@ def run_incremental_dedup_stream(
     fp = raw.select(
         "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp")
     )
-    classified = fp.join(indexed_fps, "fp", "left").select(
-        "doc_id",
-        F.when(F.col("match_id").isNotNull(), "exact")
-        .otherwise("novel")
-        .alias("verdict"),
-        "match_id",
-    )
+    classified, _ = classify_exact(fp, indexed_fps, bloom=bloom)
     return (
         classified.writeStream.format("memory")
         .queryName(query_name)
