@@ -512,7 +512,9 @@ def _sql_ivf_coarse() -> str:
     return f"""params AS ({SQL_IVF_PARAMS}),
     seeds AS (
       SELECT j, q, n2 FROM (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, q, n2
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+               q, n2
         FROM (SELECT qe.vec_id, q, n2 FROM qe JOIN n2 USING (vec_id)))
       WHERE j < (SELECT nclusters FROM params)
     ),
@@ -563,11 +565,20 @@ def _train_coarse_quantizer(
 ) -> list[tuple[int, list[int], int]]:
     """The deterministic IVF coarse quantizer, shared by the IVF-Flat
     and IVF-PQ indexes (ONE copy — the quantizer is part of the
-    cross-engine oracle contract): seeds = the ``clusters`` lowest-
-    vec_id vectors, one Lloyd step with integer-quantized floor-means.
-    Two bounded driver collects (seeds, refined means). Returns
-    (idx, centroid ints, norm²≥1) tuples for ``_probe_udf``."""
-    seed_rows = qe.orderBy("vec_id").limit(clusters).select("q").collect()
+    cross-engine oracle contract): seeds = the ``clusters`` vectors
+    with the lowest md5(vec_id) — a deterministic hash-ordered sample,
+    so training sees a representative slice even when ids encode the
+    ingest order (the lowest-id recipe trained on whatever shard was
+    loaded first; round-5 verdict item 7). One Lloyd step with
+    integer-quantized floor-means. Two bounded driver collects (seeds,
+    refined means). Returns (idx, centroid ints, norm²≥1) tuples for
+    ``_probe_udf``."""
+    seed_rows = (
+        qe.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(clusters)
+        .select("q")
+        .collect()
+    )
     seeds = [
         (j, list(r["q"]), max(sum(x * x for x in r["q"]), 1))
         for j, r in enumerate(seed_rows)
@@ -1043,7 +1054,9 @@ def _pq_dists(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
 
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """Train the deterministic PQ codebook (shape M×K×SD, int64 grid):
-    seeds = the PQ_K lowest-vec_id vectors' subvectors (bounded 16-row
+    seeds = the PQ_K lowest-md5(vec_id) vectors' subvectors (a
+    deterministic hash-ordered sample — id-order seeding would train on
+    one ingest shard of a source-sorted corpus; bounded 16-row
     collect, same recipe as the IVF coarse quantizer), then ONE Lloyd
     step — assign every subvector to its nearest seed (exact integer
     L2, ties → lowest codeword) and recenter each codeword at the
@@ -1054,7 +1067,11 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> np.ndarray:
     size). At 100 TB the same code trains on a sampled slice — the
     codebook is M·K·SD ints regardless of n."""
     qe = quantized_embeddings(spark, sf_dir)
-    seeds = qe.orderBy("vec_id").limit(PQ_K).collect()
+    seeds = (
+        qe.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
     c0 = (
         np.array([r["q"] for r in seeds], dtype=np.int64)
         .reshape(len(seeds), PQ_M, PQ_SUBDIM)
@@ -1104,8 +1121,10 @@ def _sql_pq_block(p: str = "") -> str:
                    generate_subscripts(q, 1) AS pos FROM qe)
     ),
     {p}seeds AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, vec_id
-      FROM qe ORDER BY vec_id LIMIT {k}
+      SELECT ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+             vec_id
+      FROM qe ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
     ),
     {p}sc0 AS (
       SELECT s.k, sx.m, sx.d, sx.x AS c

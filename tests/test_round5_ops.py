@@ -130,8 +130,10 @@ def test_derived_knobs_match_duckdb_params_cte():
 # ---------------------------------------------------------------------------
 def _pq_reference(vectors):
     """Independent numpy re-implementation of the PQ spec: seeded
-    codebook (lowest-vec_id subvectors), one Lloyd step with floor-mean
-    recenter, final integer-L2 encode."""
+    codebook (the K lowest-md5(vec_id) subvectors — the hash-ordered
+    deterministic sample), one Lloyd step with floor-mean recenter,
+    final integer-L2 encode."""
+    import hashlib
     import math
 
     M, SD, K = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_K
@@ -139,7 +141,11 @@ def _pq_reference(vectors):
     mat = np.array([vectors[i] for i in ids], dtype=np.int64).reshape(
         len(ids), M, SD
     )
-    cb = mat[:K].transpose(1, 0, 2).copy()  # seeds: (M, K, SD)
+    seed_ids = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:K]
+    seed_rows = [ids.index(i) for i in seed_ids]
+    cb = mat[seed_rows].transpose(1, 0, 2).copy()  # seeds: (M, K, SD)
 
     def dists(cb_):
         x2 = (mat * mat).sum(axis=2)
