@@ -1,0 +1,399 @@
+"""Clean-room baseline JPEG codec (stdlib + numpy) — closes the last
+compressed-image gap in the multimodal decode path.
+
+Scope: baseline sequential DCT, 8-bit, single-component (grayscale),
+no subsampling, no restart intervals — the JPEG profile every decoder
+must support (ITU-T T.81 Annex F baseline process). The decoder is
+GENERAL for that profile: it walks the marker stream, reads the
+quantization and Huffman tables from the file (DQT/DHT — so it decodes
+any conforming single-component baseline file, not just this
+encoder's output), entropy-decodes DC-difference + AC run-length
+coefficients through a canonical-code bit reader with 0xFF00
+byte-unstuffing, dequantizes, applies the float IDCT and reassembles
+blocks. Progressive, arithmetic-coded, subsampled and multi-component
+scans raise NotImplementedError.
+
+Losslessness note (why the oracle can check a lossy codec exactly):
+``encode_jpeg_blocks`` maps each payload byte to a CONSTANT 8×8 block.
+A constant block's DCT is a single DC coefficient 8·(v−128) — an exact
+integer in IEEE arithmetic — and all ACs are mathematically zero, so
+with unit quantization tables the round trip reconstructs every pixel
+bit-exactly, through the full real pipeline (DCT → quantize → Huffman
+→ bitstream → Huffman decode → dequantize → IDCT → level shift). The
+general (non-constant, genuinely lossy) path is verified separately in
+tests against an independent numpy reconstruction of the same
+quantized coefficients.
+
+Tables follow the standard Annex K layout (DC/AC luminance); the
+decoder never assumes them — it builds codes from the DHT segment.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Standard luminance Huffman table layout (ITU-T T.81 Annex K).
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal DCT-II basis: B[u, x] = C(u)/2 · cos((2x+1)uπ/16);
+# forward S = B s Bᵀ, inverse s = Bᵀ S B.
+_BASIS = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) via the canonical algorithm of T.81 §C."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _dht_segment(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Real baseline JPEG writer for an 8-bit grayscale image whose
+    dimensions are multiples of 8: per-block float DCT, quantization
+    (default unit table — the lossless-for-constant-blocks setting),
+    DC-difference + AC run-length Huffman coding with byte stuffing,
+    full marker stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI)."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else quant
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    # Block-batched DCT + quantization: one einsum over every block at
+    # once (the per-block Python matmul was ~60 ms/KB of payload).
+    blocks = (
+        img.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs = _BASIS @ blocks @ _BASIS.T
+    zq_all = np.rint(coeffs / q[None, :, :]).astype(np.int64).reshape(-1, 64)[
+        :, _ZIGZAG
+    ]
+    dcs = zq_all[:, 0]
+    diffs = np.diff(np.concatenate([[0], dcs]))
+    nonzero_ac = [np.nonzero(row)[0] for row in zq_all[:, 1:]]
+
+    bw = _BitWriter()
+    eob_code, eob_len = ac_codes[0x00]
+    zrl_code, zrl_len = ac_codes[0xF0]
+    for n in range(zq_all.shape[0]):
+        s, bits = _magnitude(int(diffs[n]))
+        code, ln = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(bits, s)
+        prev_k = 0  # 1-based AC position of the previous nonzero
+        for idx in nonzero_ac[n]:
+            k = int(idx) + 1
+            run = k - prev_k - 1
+            while run > 15:
+                bw.put(zrl_code, zrl_len)
+                run -= 16
+            s, bits = _magnitude(int(zq_all[n, k]))
+            code, ln = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(bits, s)
+            prev_k = k
+        if prev_k < 63:
+            bw.put(eob_code, eob_len)
+
+    qz = q.reshape(-1)[_ZIGZAG]
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in qz)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# 16-bit prefix lookup tables per Huffman table (sym, length), cached
+# across calls keyed by the raw (bits, vals) spec — every file from the
+# same encoder shares tables, so the 64 K fill runs once per worker.
+_LUT_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _build_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    key = bytes(bits) + bytes(vals)
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for s, (code, length) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    _LUT_CACHE[key] = (sym, ln)
+    return sym, ln
+
+
+def _extend(bits: int, s: int) -> int:
+    """T.81 §F.2.2.1 EXTEND: map s raw bits back to a signed value."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG parser for the single-component profile:
+    marker walk, DQT/DHT read FROM THE FILE, canonical Huffman decode
+    with unstuffing, dequantize, float IDCT, level shift + clip.
+    Returns the h×w uint8 image. Multi-component, progressive,
+    subsampled, arithmetic and restart-interval streams raise."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    h = w = None
+    dc_tid = ac_tid = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(seg, np.uint8, 64, i + 1)
+                quant[tid] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = (bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            depth, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if depth != 8:
+                raise NotImplementedError("non-8-bit depth")
+            if ncomp != 1:
+                raise NotImplementedError("only single-component (grayscale)")
+            if seg[7] != 0x11:  # seg[6] is the component id
+                raise NotImplementedError("subsampled component")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise NotImplementedError("non-baseline-sequential JPEG")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS → entropy data follows
+            ncomp_s = seg[0]
+            if ncomp_s != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
+            pos = pos + 2 + seg_len
+            return _decode_scan(
+                payload, pos, h, w, quant, huff, dc_tid, ac_tid
+            )
+        pos += 2 + seg_len
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(payload, pos, h, w, quant, huff, dc_tid, ac_tid) -> np.ndarray:
+    if h is None or not quant or (0, dc_tid) not in huff:
+        raise ValueError("scan before SOF/DQT/DHT")
+    q = quant[min(quant)].astype(np.float64)
+    dc_sym, dc_len = _build_lut(*huff[(0, dc_tid)])
+    ac_sym, ac_len = _build_lut(*huff[(1, ac_tid)])
+
+    # Unstuff the entropy-coded segment (0xFF00 → 0xFF) up to the first
+    # real marker, then precompute every 16-bit window of the bitstream
+    # so each Huffman decode and magnitude read is one array index.
+    arr = np.frombuffer(payload, np.uint8, len(payload) - pos, pos)
+    keep = np.ones(len(arr), dtype=bool)
+    end = len(arr)
+    for i in np.flatnonzero(arr == 0xFF):
+        if i + 1 >= len(arr) or arr[i + 1] != 0x00:
+            end = int(i)
+            break
+        keep[i + 1] = False
+    clean = arr[:end][keep[:end]]
+    bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
+    powers = (1 << np.arange(15, -1, -1)).astype(np.int64)
+    v16 = np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
+
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    nb = bh * bw_
+    zq = np.zeros((nb, 64), dtype=np.int64)
+    p = 0
+    prev_dc = 0
+    limit = len(v16)
+    for n in range(nb):
+        if p >= limit:
+            raise ValueError("entropy data exhausted")
+        code = v16[p]
+        s = int(dc_sym[code])
+        if s < 0:
+            raise ValueError("invalid Huffman code")
+        p += int(dc_len[code])
+        if s:
+            prev_dc += _extend(int(v16[p]) >> (16 - s), s)
+            p += s
+        zq[n, 0] = prev_dc
+        k = 1
+        while k < 64:
+            code = v16[p]
+            rs = int(ac_sym[code])
+            if rs < 0:
+                raise ValueError("invalid Huffman code")
+            p += int(ac_len[code])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 0x0F
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zq[n, k] = _extend(int(v16[p]) >> (16 - s), s)
+            p += s
+            k += 1
+
+    coeffs = np.zeros((nb, 64), dtype=np.float64)
+    coeffs[:, _ZIGZAG] = zq
+    deq = coeffs.reshape(nb, 8, 8) * q[None, :, :]
+    blocks = _BASIS.T @ deq @ _BASIS
+    px = np.clip(np.rint(blocks + 128.0), 0, 255).astype(np.uint8)
+    img = (
+        px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+    )
+    return img[:h, :w]
+
+
+# --- payload mapping used by the oracle-checked query ---------------------
+JPEG_BLOCKS_W = 4  # blocks per row → image width 32 px
+
+
+def encode_jpeg_blocks(raw: bytes, blocks_w: int = JPEG_BLOCKS_W) -> bytes:
+    """Payload bytes → one constant 8×8 tile per byte (row-major,
+    zero-padded to fill the last block row), encoded as a real
+    baseline JPEG. Constant tiles + unit quantization make the lossy
+    pipeline exactly invertible (module docstring), so the decoded
+    statistics are SQL-recomputable from the raw bytes."""
+    n = max(1, len(raw))
+    bh = -(-n // blocks_w)
+    vals = np.zeros(bh * blocks_w, dtype=np.uint8)
+    vals[: len(raw)] = np.frombuffer(raw, np.uint8)
+    tiles = vals.reshape(bh, blocks_w)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    return encode_jpeg_gray(img)

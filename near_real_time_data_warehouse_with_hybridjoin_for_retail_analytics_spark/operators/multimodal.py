@@ -252,17 +252,29 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an image payload to (width, height, RGB array). BMP and
-    PNG are decoded for real (stdlib parsers above); remaining
-    compressed codecs (JPEG, ...) dispatch to PIL when available, else
-    raise (environment-gated)."""
+    """Decode an image payload to (width, height, RGB array). BMP, PNG
+    and baseline grayscale JPEG are decoded for real (stdlib parsers —
+    see ``jpeg.py`` for the Huffman+IDCT path); the remaining JPEG
+    variants (progressive, subsampled color) dispatch to PIL when
+    available, else raise (environment-gated)."""
+    from .jpeg import decode_jpeg_gray
+
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        try:
+            gray = decode_jpeg_gray(payload)
+        except NotImplementedError:
+            if not _DECODERS_AVAILABLE:
+                raise
+            raise NotImplementedError("wire PIL.Image.open here when available")
+        h, w = gray.shape
+        return w, h, np.repeat(gray[:, :, None], 3, axis=2)
     if not _DECODERS_AVAILABLE:
         raise NotImplementedError(
-            "JPEG/other compressed-image decode requires PIL, not installed here"
+            "non-BMP/PNG/JPEG image decode requires PIL, not installed here"
         )
     raise NotImplementedError("wire PIL.Image.open here when available")
 
@@ -481,8 +493,15 @@ def _decode_stats_worker(encode):
     return worker
 
 
+def _encode_jpeg_payload(raw: bytes) -> bytes:
+    from .jpeg import encode_jpeg_blocks
+
+    return encode_jpeg_blocks(raw)
+
+
 decode_stats = _decode_stats_worker(encode_bmp)
 decode_stats_png = _decode_stats_worker(encode_png)
+decode_stats_jpeg = _decode_stats_worker(_encode_jpeg_payload)
 
 
 def _decode_stats_oracle(width: int = BMP_WIDTH) -> str:
@@ -537,6 +556,56 @@ def _decode_stats_oracle(width: int = BMP_WIDTH) -> str:
     """
 
 
+def _decode_stats_jpeg_oracle() -> str:
+    """The JPEG round trip maps payload byte i → a constant 8×8 tile at
+    (i // BW, i % BW) of a grayscale image (BW = JPEG_BLOCKS_W blocks
+    per row, zero-padded), and constant tiles + unit quantization make
+    baseline JPEG exactly invertible (see jpeg.py). So: each channel
+    mean is Σv/(BW·bh) — the 64×-pixel replication and the 256·bh pixel
+    count are both powers of two, so the single DOUBLE division is
+    bit-identical to the worker's — and the thumbnail checksum is 3×
+    the byte sum at the nearest-neighbor tile indices."""
+    from .jpeg import JPEG_BLOCKS_W as bw
+
+    return f"""
+    WITH bytes AS (
+      SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
+      FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i
+            FROM documents)
+    ),
+    dims AS (
+      SELECT doc_id,
+             greatest((length(text) + {bw - 1}) // {bw}, 1) AS bh
+      FROM documents
+    ),
+    means AS (
+      SELECT dm.doc_id, dm.bh,
+             CAST(coalesce(SUM(b.v), 0) AS DOUBLE) / ({bw} * dm.bh) AS mean
+      FROM dims dm LEFT JOIN bytes b USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    thumbidx AS (
+      SELECT dm.doc_id,
+             ((r.r * dm.bh) // {_THUMB}) * {bw}
+               + ((c.c * {bw}) // {_THUMB}) AS i
+      FROM dims dm
+      CROSS JOIN range(0, {_THUMB}) r(r)
+      CROSS JOIN range(0, {_THUMB}) c(c)
+    ),
+    thumb AS (
+      SELECT t.doc_id, CAST(3 * SUM(coalesce(b.v, 0)) AS BIGINT) AS thumb_sum
+      FROM thumbidx t
+      LEFT JOIN bytes b ON b.doc_id = t.doc_id AND b.i = t.i
+      GROUP BY 1
+    )
+    SELECT m.doc_id, CAST({8 * bw} AS INT) AS width,
+           CAST(8 * m.bh AS INT) AS height,
+           m.mean AS mean_r, m.mean AS mean_g, m.mean AS mean_b,
+           t.thumb_sum
+    FROM means m JOIN thumb t USING (doc_id)
+    """
+
+
 @query("multimodal_decode_stats", _decode_stats_oracle())
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode in the pipeline: each document's payload is
@@ -566,3 +635,23 @@ def multimodal_decode_stats_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs)
     return payloads.mapInPandas(decode_stats_png, DECODE_SCHEMA)
+
+
+@query("multimodal_decode_stats_jpeg", _decode_stats_jpeg_oracle())
+def multimodal_decode_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY-codec decode path, for real: each document's payload
+    becomes a baseline grayscale JPEG (one constant 8×8 tile per byte,
+    unit quantization — the setting where baseline JPEG is exactly
+    invertible, see jpeg.py), then runs the full real decode — marker
+    walk, DQT/DHT from the file, canonical Huffman decode with byte
+    unstuffing, dequantize, float IDCT — plus resize and pixel stats
+    inside Arrow-batched ``mapInPandas``. The oracle recomputes every
+    statistic from the raw bytes via the tile mapping, so a single
+    wrong Huffman bit or IDCT coefficient anywhere breaks the value
+    hash. The genuinely lossy path (non-constant blocks, real quant
+    tables) is gated separately in tests against an independent numpy
+    reconstruction. (Progressive/subsampled-color JPEG remains
+    environment-gated behind PIL.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(decode_stats_jpeg, DECODE_SCHEMA)

@@ -1,0 +1,128 @@
+"""Round-6 additions: the clean-room baseline JPEG codec and its
+oracle-checked decode-stats entry.
+
+The exactly-invertible constant-tile setting is what the DuckDB oracle
+checks (see jpeg.py's losslessness note); these tests additionally pin
+the GENERAL codec path — non-constant blocks, real quantization
+tables, Huffman corner cases — against an independent numpy
+reconstruction of the same quantized coefficients.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    jpeg,
+    multimodal,
+)
+
+
+def _reference_roundtrip(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Independent from-the-spec reconstruction: float DCT → quantize →
+    dequantize → IDCT, per block, no shared code with the codec's
+    batched path."""
+    B = jpeg._BASIS
+    out = np.zeros_like(x)
+    h, w = x.shape
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            blk = x[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            c = np.rint((B @ blk @ B.T) / q)
+            r = B.T @ (c * q) @ B
+            out[by : by + 8, bx : bx + 8] = np.clip(
+                np.rint(r + 128.0), 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+def test_constant_tiles_roundtrip_bit_exact():
+    raw = bytes(range(256)) * 2 + b"hello world"
+    img = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_blocks(raw))
+    bw = jpeg.JPEG_BLOCKS_W
+    bh = -(-len(raw) // bw)
+    vals = np.zeros(bh * bw, np.uint8)
+    vals[: len(raw)] = np.frombuffer(raw, np.uint8)
+    want = np.repeat(np.repeat(vals.reshape(bh, bw), 8, 0), 8, 1)
+    assert np.array_equal(img, want)
+
+
+def test_general_image_matches_independent_reconstruction():
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+    got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(x))
+    assert np.array_equal(got, _reference_roundtrip(x, np.ones((8, 8))))
+
+
+def test_lossy_quant_table_roundtrip_and_compression():
+    q = np.full((8, 8), 16, np.int64)
+    q[0, 0] = 8
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(noisy, q))
+    assert np.array_equal(got, _reference_roundtrip(noisy, q.astype(float)))
+    # a smooth image must actually compress below raw size
+    smooth = np.tile(np.linspace(60, 200, 32).astype(np.uint8), (24, 1))
+    enc = jpeg.encode_jpeg_gray(smooth, q)
+    assert len(enc) < smooth.size
+    dec = jpeg.decode_jpeg_gray(enc)
+    assert int(np.abs(dec.astype(int) - smooth.astype(int)).max()) <= 4
+
+
+def test_zrl_and_high_frequency_blocks():
+    """A block with one lone high-frequency coefficient forces ZRL
+    (16-zero-run) codes through both sides."""
+    x = np.zeros((8, 8), dtype=np.uint8)
+    x[7, 7] = 255
+    got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(x))
+    assert np.array_equal(got, _reference_roundtrip(x, np.ones((8, 8))))
+
+
+def test_decoder_rejects_malformed_streams():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(b"\x00\x01not a jpeg")
+    good = jpeg.encode_jpeg_blocks(b"abcdef")
+    with pytest.raises(NotImplementedError):
+        # flip SOF0 → SOF2 (progressive)
+        jpeg.decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(good[:2] + b"\xff\xd9")  # no scan
+
+
+def test_decode_image_dispatches_jpeg_to_rgb():
+    raw = b"spark"
+    w, h, img = multimodal.decode_image(jpeg.encode_jpeg_blocks(raw))
+    assert (w, h) == (8 * jpeg.JPEG_BLOCKS_W, 8 * -(-len(raw) // jpeg.JPEG_BLOCKS_W))
+    assert img.shape == (h, w, 3)
+    # grayscale replicated across channels
+    assert np.array_equal(img[:, :, 0], img[:, :, 1])
+    assert np.array_equal(img[:, :, 0], img[:, :, 2])
+    assert img[0, 0, 0] == raw[0]
+
+
+def test_jpeg_entry_matches_oracle_at_smoke_scale(spark, sf_dir):
+    """Belt-and-braces beyond the parameterized all-entries gate: run
+    the new entry's Spark and DuckDB sides explicitly and compare."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    got = {
+        r.doc_id: (r.width, r.height, r.mean_r, r.thumb_sum)
+        for r in e.queries()["multimodal_decode_stats_jpeg"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[6])
+        for r in con.execute(
+            e.oracle_sql()["multimodal_decode_stats_jpeg"]
+        ).fetchall()
+    }
+    assert got == want
