@@ -1110,49 +1110,104 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same engine-portable hash family as ``dedup_minhash_lsh``, so the
     oracle replays the boundary, banding, candidates and verification
-    exactly (full value-hash check)."""
+    exactly (full value-hash check).
+
+    Implemented as ``build_near_index`` (the indexed side's persisted
+    tables) + ``classify_incremental`` (the increment pass) — the same
+    classify function the streaming near-dup gate drives per
+    micro-batch, so batch and stream share ONE copy of the semantics."""
     docs = load_table(spark, sf_dir, "documents")
     split = _incr_split(spark, sf_dir)
+    sh = cached_shingles(spark, sf_dir)
+    index = build_near_index(
+        docs.filter(F.col("doc_id") < split),
+        sh=sh.filter(F.col("doc_id") < split),
+    )
+    return classify_incremental(
+        docs.filter(F.col("doc_id") >= split),
+        index,
+        sh_new=sh.filter(F.col("doc_id") >= split),
+    )
 
-    fp = docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
-    old_min = (
-        fp.filter(F.col("doc_id") < split)
+
+class NearDupIndex:
+    """The indexed corpus's dedup index — four frames that, at 100 TB,
+    are yesterday's persisted tables (one linear build pass each):
+    canonical fingerprint minima, collapsed-representative minhash
+    bands, shingles and shingle counts."""
+
+    __slots__ = ("fps", "bands", "sh", "sizes")
+
+    def __init__(self, fps, bands, sh, sizes) -> None:
+        self.fps = fps  # (fp, match_id)
+        self.bands = bands  # (old_id, band, bh) — identity-collapsed
+        self.sh = sh  # (old_id, shingle)
+        self.sizes = sizes  # (old_id, nb)
+
+
+def build_near_index(docs: DataFrame, sh: DataFrame | None = None) -> NearDupIndex:
+    """Build the near-dup index over the indexed corpus. ``sh``
+    (doc_id, shingle) overrides the shingle source — pass a slice of
+    the session-cached corpus relation to avoid recomputing it."""
+    fps = (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("exact_match_id"))
+        .agg(F.min("doc_id").alias("match_id"))
     )
-    exact = (
-        fp.filter(F.col("doc_id") >= split)
-        .join(old_min, "fp")
-        .select("doc_id", "exact_match_id")
+    reps_o, _ = _identity_groups(docs)
+    bands = minhash_bands(minhash_signatures(reps_o)).select(
+        F.col("doc_id").alias("old_id"), "band", "bh"
+    )
+    if sh is None:
+        sh = shingles(docs)
+    sh_o = sh.select(F.col("doc_id").alias("old_id"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("doc_id").alias("old_id"), F.col("n").alias("nb")
+    )
+    return NearDupIndex(fps, bands, sh_o, sizes)
+
+
+def classify_incremental(
+    new_docs: DataFrame, index: NearDupIndex, sh_new: DataFrame | None = None
+) -> DataFrame:
+    """Classify an increment (doc_id, text) against a prebuilt
+    ``NearDupIndex``: exact tier (canonical-fingerprint equi-join),
+    then the collapsed cross-boundary band join + exact-Jaccard
+    verification. Shared verbatim by the batch operator and the
+    streaming near-dup gate's foreachBatch — linear in the increment,
+    never in history."""
+    fp = new_docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+    exact = fp.join(index.fps, "fp").select(
+        "doc_id", F.col("match_id").alias("exact_match_id")
     )
 
-    reps_o, _mem_o = _identity_groups(docs.filter(F.col("doc_id") < split))
-    reps_n, mem_n = _identity_groups(docs.filter(F.col("doc_id") >= split))
+    reps_n, mem_n = _identity_groups(new_docs)
     bn = minhash_bands(minhash_signatures(reps_n)).select(
         F.col("doc_id").alias("new_id"), "band", "bh"
     )
-    bo = minhash_bands(minhash_signatures(reps_o)).select(
-        F.col("doc_id").alias("old_id"), "band", "bh"
+    cand = (
+        bn.join(index.bands, ["band", "bh"])
+        .select("new_id", "old_id")
+        .dropDuplicates()
     )
-    cand = bn.join(bo, ["band", "bh"]).select("new_id", "old_id").dropDuplicates()
 
-    sh = cached_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("old_id"), "shingle")
+    if sh_new is None:
+        sh_new = shingles(new_docs)
+    a = sh_new.select(F.col("doc_id").alias("new_id"), "shingle")
     # No manual broadcast hints: AQE broadcasts the candidate side when
     # its runtime size allows and falls back to a shuffle join past the
-    # threshold — the planner, not a human, operates the scale switch
-    # (round-5 advice; the streaming twin in dedup_stream.py already
-    # worked this way).
+    # threshold — the planner, not a human, operates the scale switch.
     common = (
         cand.join(a, "new_id")
-        .join(b, ["old_id", "shingle"])
+        .join(index.sh, ["old_id", "shingle"])
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
     )
-    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("old_id"), F.col("n").alias("nb"))
+    sa = (
+        sh_new.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("doc_id").alias("new_id"), F.col("n").alias("na"))
+    )
     jac = F.col("common_shingles").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common_shingles")
     )
@@ -1160,7 +1215,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     near_all = (
         common.join(sa, "new_id")
-        .join(sb, "old_id")
+        .join(index.sizes, "old_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
     )
@@ -1177,7 +1232,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_rep, mem_n["rep"] == near_rep["new_id"]
     ).select("doc_id", "near_match_id", "jaccard")
 
-    incoming = docs.filter(F.col("doc_id") >= split).select("doc_id")
+    incoming = new_docs.select("doc_id")
     return (
         incoming.join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")

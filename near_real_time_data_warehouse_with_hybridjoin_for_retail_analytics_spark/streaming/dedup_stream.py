@@ -199,3 +199,47 @@ def run_incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_near_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the FULL ``dedup_incremental`` — exact AND
+    near tiers — completing the lambda the round-5 gate left half-open
+    (it classified exact/novel only; near-dups waited for the daily
+    batch).
+
+    Each micro-batch runs ``operators.dedup.classify_incremental``
+    against a prebuilt ``NearDupIndex`` (``build_near_index`` over the
+    indexed corpus — at 100 TB, yesterday's persisted fingerprint/
+    band/shingle tables) via ``foreachBatch``: the near tier is a
+    multi-join + per-key rank analytic, which is exactly what
+    foreachBatch exists for — full batch Catalyst planning (AQE join
+    sizing included) per micro-batch, while the stream stays stateless
+    (no watermark, no state store; the static index IS the state).
+    Results append to ``out_dir`` as parquet — the audit-log sink an
+    ingest gate feeds. One copy of the semantics: the pytest gate
+    asserts stream output equals the batch operator row-for-row,
+    near tier included."""
+    from ..operators import dedup as _dedup
+
+    raw = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _classify(batch_df: DataFrame, _batch_id: int) -> None:
+        _dedup.classify_incremental(batch_df, index).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        raw.writeStream.foreachBatch(_classify)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,96 @@
+"""Index-build / classify split of incremental dedup, plus the
+streaming near-dup gate (round 6).
+
+``build_near_index`` materializes the per-corpus index frames
+(canonical fingerprints, collapsed minhash bands, shingles, sizes) —
+"yesterday's persisted tables" in the daily-ingest story — and
+``classify_incremental`` classifies any increment against them. The
+batch operator `dedup_incremental` and the streaming
+`run_near_dedup_stream` gate are two drivers of the SAME classify
+function, so stream results must equal the batch operator exactly —
+including the near tier, which the round-5 stream gate lacked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+    load_table,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    dedup,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+    dedup_stream as sd,
+)
+
+
+def _rows(df):
+    return {
+        r.doc_id: (r.verdict, r.match_id, r.jaccard) for r in df.collect()
+    }
+
+
+def test_classify_against_index_equals_incremental_operator(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    split = dedup._incr_split(spark, sf_dir)
+    index = dedup.build_near_index(docs.filter(F.col("doc_id") < split))
+    got = _rows(
+        dedup.classify_incremental(
+            docs.filter(F.col("doc_id") >= split), index
+        )
+    )
+    want = _rows(dedup.dedup_incremental(spark, sf_dir))
+    assert got == want
+    assert any(v[0] == "near" for v in want.values()), "near tier unexercised"
+    # (sf0.001 has no cross-boundary byte-identical pair, so the exact
+    # tier is exercised by the synthetic-corpus test below instead)
+
+
+def test_exact_tier_via_synthetic_boundary_dup(spark):
+    old = spark.createDataFrame(
+        [(i, f"indexed body of document number {i} with words") for i in range(40)]
+        + [(40, "a duplicated document body that repeats verbatim later on")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "a duplicated document body that repeats verbatim later on"),
+         (101, "an entirely novel incoming document body")],
+        "doc_id long, text string",
+    )
+    index = dedup.build_near_index(old)
+    got = _rows(dedup.classify_incremental(new, index))
+    assert got[100] == ("exact", 40, None)
+    assert got[101][0] == "novel"
+
+
+def test_streaming_near_gate_matches_batch_both_tiers(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    split = dedup._incr_split(spark, sf_dir)
+    index = dedup.build_near_index(docs.filter(F.col("doc_id") < split))
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    docs.filter(F.col("doc_id") >= split).select("doc_id", "text").repartition(
+        3
+    ).write.parquet(feed)
+
+    q = sd.run_near_dedup_stream(spark, feed, index, out)
+    q.awaitTermination(180)
+
+    got = _rows(spark.read.parquet(out))
+    want = _rows(dedup.dedup_incremental(spark, sf_dir))
+    assert got == want  # exact AND near tiers identical to batch
+
+
+def test_index_bands_are_collapsed(spark, sf_dir):
+    """The index must never carry duplicate band rows for identical
+    indexed texts — that is the skew-bomb guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = dedup._incr_split(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < split)
+    index = dedup.build_near_index(old)
+    n_band_docs = index.bands.select("old_id").distinct().count()
+    n_reps = dedup._identity_groups(old)[0].count()
+    assert n_band_docs <= n_reps
