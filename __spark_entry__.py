@@ -105,7 +105,12 @@ def entry_hash(name: str) -> str:
     """sha256 over (registered callable source, oracle SQL) — the
     mechanical change detector behind forced re-verification. Source is
     read via inspect, so any edit to the callable's body (or a
-    decorator-visible oracle rewrite) changes the hash."""
+    decorator-visible oracle rewrite) changes the hash. Known limit: a
+    helper-only edit that changes an entry's output WITHOUT touching
+    its callable source or its (generated) oracle text is invisible —
+    but such an edit would break the oracle diff itself, so it cannot
+    silently pass; in practice every round-6 helper rework (collapse,
+    hash-ordered seeds) was caught via the regenerated oracle text."""
     import hashlib
     import inspect
 

@@ -126,3 +126,44 @@ def test_jpeg_entry_matches_oracle_at_smoke_scale(spark, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+# --- hypothesis property tests (no Spark in the loop) ---------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+)
+def test_constant_tile_roundtrip_property(data):
+    """Any payload round-trips bit-exactly through the full real JPEG
+    pipeline in the constant-tile setting."""
+    img = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_blocks(data))
+    bw = jpeg.JPEG_BLOCKS_W
+    n = max(1, len(data))
+    bh = -(-n // bw)
+    vals = np.zeros(bh * bw, np.uint8)
+    vals[: len(data)] = np.frombuffer(data, np.uint8)
+    want = np.repeat(np.repeat(vals.reshape(bh, bw), 8, 0), 8, 1)
+    assert np.array_equal(img, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    bh=st.integers(1, 4),
+    bw=st.integers(1, 4),
+    qval=st.integers(1, 64),
+)
+def test_general_roundtrip_matches_reference_property(seed, bh, bw, qval):
+    """Random images × random uniform quant tables: decode(encode(x))
+    must equal the independent spec reconstruction exactly — this
+    drives nonzero ACs, ZRL runs, DC-difference chains and byte
+    stuffing through both codec sides."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, (8 * bh, 8 * bw), dtype=np.uint8)
+    q = np.full((8, 8), qval, np.int64)
+    got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(x, q))
+    assert np.array_equal(got, _reference_roundtrip(x, q.astype(float)))
