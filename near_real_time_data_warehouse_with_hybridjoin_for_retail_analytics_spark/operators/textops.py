@@ -553,3 +553,62 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_bpe_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better", arXiv:2107.06499): whole-document
+# dedup misses the boilerplate SPANS repeated across otherwise-distinct
+# pages. Winnowed fingerprints give a span-granular signal: every
+# fingerprint names a local k-gram window, so a fingerprint occurring in
+# ≥2 documents marks a cross-document duplicated span.
+# ---------------------------------------------------------------------------
+@query(
+    "text_duplicate_spans",
+    f"""
+    WITH fp AS ({_WINNOW_SQL}),
+    df AS (SELECT fingerprint, COUNT(*) AS nd FROM fp GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_share
+    FROM fp JOIN df USING (fingerprint)
+    GROUP BY doc_id
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document substring-duplication report: of a doc's winnowed
+    fingerprints, how many also occur in at least one OTHER document
+    (``n_shared``), and what share of the doc that is (``dup_share`` —
+    the filter key for span-level dedup: docs above a threshold get
+    their boilerplate cut or are dropped).
+
+    Scale shape: the fingerprint document-frequency relation is the
+    classic inverted index — ONE shuffle on the fingerprint key with
+    map-side partial counts; the join back to the per-doc fingerprints
+    is fingerprint-keyed with no possible blow-up (one df row per
+    fingerprint), and a boilerplate fingerprint shared by millions of
+    docs is just a high count, not a hot task. Everything before the
+    shuffle is per-row higher-order functions (rolling md5 grams +
+    window minima) inside codegen. One IEEE divide per doc at the end;
+    the oracle replays the identical pipeline, so the driver
+    hash-checks every value."""
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    df_counts = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        fps.join(df_counts, "fingerprint")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            shared.cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "dup_share",
+            F.col("n_shared").cast("double") / F.col("n_fingerprints"),
+        )
+    )

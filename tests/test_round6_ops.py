@@ -167,3 +167,31 @@ def test_general_roundtrip_matches_reference_property(seed, bh, bw, qval):
     q = np.full((8, 8), qval, np.int64)
     got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(x, q))
     assert np.array_equal(got, _reference_roundtrip(x, q.astype(float)))
+
+
+def test_duplicate_spans_flags_shared_boilerplate(spark, tmp_path):
+    """Two docs sharing a long verbatim span must show nonzero
+    dup_share; a fully distinct doc must show zero."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        textops,
+    )
+
+    boiler = "subscribe to our newsletter for updates and offers today"
+    rows = [
+        (1, f"first article body text here. {boiler}"),
+        (2, f"{boiler} second article, totally different body."),
+        (3, "an entirely unrelated document with no repeated span at all"),
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in textops.text_duplicate_spans(spark, d).collect()
+    }
+    assert out[1].n_shared > 0 and out[2].n_shared > 0
+    assert out[3].n_shared == 0 and out[3].dup_share == 0.0
+    for r in out.values():
+        assert 0.0 <= r.dup_share <= 1.0
+        assert r.n_shared <= r.n_fingerprints
