@@ -1248,3 +1248,26 @@ def classify_incremental(
             ),
         )
     )
+
+
+_INDEX_PARTS = ("fps", "bands", "sh", "sizes")
+
+
+def save_near_index(index: NearDupIndex, path: str) -> None:
+    """Persist the near-dup index as four parquet tables — the literal
+    'yesterday's tables' of the daily-ingest story. Each frame is one
+    linear pass; bands/shingles are written partitioned by their join
+    key's hash bucket via the writer's default layout (the consumers
+    join on fp/band/shingle, so co-location comes from AQE at read
+    time, not from a fixed bucketing that would pin the cluster
+    topology)."""
+    for name in _INDEX_PARTS:
+        getattr(index, name).write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def load_near_index(spark: SparkSession, path: str) -> NearDupIndex:
+    """Reopen a persisted index; classify_incremental consumes it
+    unchanged, so tonight's build serves tomorrow's increments."""
+    return NearDupIndex(
+        *(spark.read.parquet(f"{path}/{name}") for name in _INDEX_PARTS)
+    )

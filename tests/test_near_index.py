@@ -94,3 +94,18 @@ def test_index_bands_are_collapsed(spark, sf_dir):
     n_band_docs = index.bands.select("old_id").distinct().count()
     n_reps = dedup._identity_groups(old)[0].count()
     assert n_band_docs <= n_reps
+
+
+def test_persisted_index_round_trip(spark, sf_dir, tmp_path):
+    """build → save → load → classify must equal classify against the
+    in-memory index (the daily-ingest persistence contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = dedup._incr_split(spark, sf_dir)
+    index = dedup.build_near_index(docs.filter(F.col("doc_id") < split))
+    path = str(tmp_path / "near_index")
+    dedup.save_near_index(index, path)
+    reopened = dedup.load_near_index(spark, path)
+    new = docs.filter(F.col("doc_id") >= split)
+    got = _rows(dedup.classify_incremental(new, reopened))
+    want = _rows(dedup.classify_incremental(new, index))
+    assert got == want
