@@ -170,3 +170,51 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each testdata table as a temp view (for spark.sql plans)."""
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed fact layout: the co-located-join path.
+# ---------------------------------------------------------------------------
+_BUCKET_ROOT = "/tmp/sparkgraft_bucketed"
+_BUCKET_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
+def bucketed_table_name(sf_dir: str, name: str, buckets: int) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{name}_b{buckets}_{tag}"
+
+
+def ingest_bucketed(
+    spark: SparkSession, sf_dir: str, name: str, buckets: int = 32
+) -> str:
+    """Write one fact table bucketed (and sorted) by its join key and
+    register it in the session catalog; returns the table name.
+
+    This is the layout decision that deletes shuffles at 100 TB: a
+    bucketed+sorted table's join on the bucket key needs NO Exchange
+    and NO Sort on that side — orders⋈lineitem co-locate when both are
+    bucketed by orderkey with the same bucket count, and a lineitem
+    self-join (the q16 affinity shape) runs with zero exchanges.
+    Bucket count is the knob that keeps each bucket executor-sized as
+    the corpus grows (buckets ≈ data / target-partition-size; must
+    match across co-joined tables). Data lands as external parquet
+    under /tmp (session-independent); the catalog entry is per-session
+    (in-memory catalog) and is recreated idempotently by this call."""
+    key = _BUCKET_KEYS[name]
+    table = bucketed_table_name(sf_dir, name, buckets)
+    if spark.catalog.tableExists(table):
+        return table
+    df = load_table(spark, sf_dir, name)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", f"{_BUCKET_ROOT}/{table}")
+        .saveAsTable(table)
+    )
+    return table
