@@ -207,6 +207,7 @@ def run_near_dedup_stream(
     index,
     out_dir: str,
     max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
 ) -> StreamingQuery:
     """Streaming twin of the FULL ``dedup_incremental`` — exact AND
     near tiers — completing the lambda the round-5 gate left half-open
@@ -238,8 +239,13 @@ def run_near_dedup_stream(
             "append"
         ).parquet(out_dir)
 
-    return (
-        raw.writeStream.foreachBatch(_classify)
-        .trigger(availableNow=True)
-        .start()
+    writer = raw.writeStream.foreachBatch(_classify).trigger(
+        availableNow=True
     )
+    if checkpoint is not None:
+        # Exactly-once across restarts: the checkpoint records which
+        # source files each committed batch consumed, so a rerun (or a
+        # crash-recovery) replays nothing already appended to out_dir —
+        # the production setting; tests pin the no-duplicates contract.
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

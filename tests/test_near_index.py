@@ -109,3 +109,27 @@ def test_persisted_index_round_trip(spark, sf_dir, tmp_path):
     got = _rows(dedup.classify_incremental(new, reopened))
     want = _rows(dedup.classify_incremental(new, index))
     assert got == want
+
+
+def test_near_gate_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting the gate with the same checkpoint must append
+    nothing: committed batches are remembered, so crash-recovery and
+    replays cannot duplicate the audit log."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = dedup._incr_split(spark, sf_dir)
+    index = dedup.build_near_index(docs.filter(F.col("doc_id") < split))
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") >= split).select("doc_id", "text").repartition(
+        2
+    ).write.parquet(feed)
+
+    q = sd.run_near_dedup_stream(spark, feed, index, out, checkpoint=ckpt)
+    q.awaitTermination(180)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+
+    q2 = sd.run_near_dedup_stream(spark, feed, index, out, checkpoint=ckpt)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == first  # nothing re-appended
