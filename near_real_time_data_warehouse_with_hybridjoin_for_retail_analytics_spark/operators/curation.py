@@ -535,3 +535,111 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         mix_w.alias("mix_weight"),
         F.floor(mix_w * MIX_TOKEN_BUDGET).cast("long").alias("budget_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus dedup data card: one row per dedup modality
+# ---------------------------------------------------------------------------
+SPAN_DUP_SHARE = 0.25  # doc counts as span-duplicated above this share
+
+
+def _dedup_report_sql() -> str:
+    from .dedup import _simhash_sql
+    from .textops import _WINNOW_SQL
+
+    return f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    exact_g AS (
+      SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS c
+      FROM documents GROUP BY 1
+    ),
+    exact_r AS (
+      SELECT 'exact' AS modality,
+             CAST(coalesce(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+               AS n_affected
+      FROM exact_g
+    ),
+    sim AS (SELECT * FROM ({_simhash_sql()})),
+    near_r AS (
+      SELECT 'near_simhash' AS modality,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_affected
+      FROM (SELECT doc_a AS d FROM sim UNION ALL SELECT doc_b FROM sim)
+    ),
+    fp_w AS (SELECT * FROM ({_WINNOW_SQL})),
+    df_w AS (SELECT fingerprint, COUNT(*) AS nd FROM fp_w GROUP BY 1),
+    span_doc AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS share
+      FROM fp_w JOIN df_w USING (fingerprint) GROUP BY 1
+    ),
+    span_r AS (
+      SELECT 'span' AS modality,
+             CAST(coalesce(SUM(CASE WHEN share >= {SPAN_DUP_SHARE} THEN 1 END),
+                           0) AS BIGINT) AS n_affected
+      FROM span_doc
+    )
+    SELECT modality, n_affected,
+           CAST(n_affected AS DOUBLE) / (SELECT n_docs FROM n) AS affected_rate
+    FROM (SELECT * FROM exact_r UNION ALL
+          SELECT * FROM near_r UNION ALL
+          SELECT * FROM span_r)
+    """
+
+
+@query("curation_dedup_report", _dedup_report_sql())
+def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup section of a corpus data card: per modality, how many
+    documents are duplication-affected and the corpus rate —
+    'exact' (member of a byte/canonical-identical group of ≥2),
+    'near_simhash' (endpoint of a Hamming≤3 pair), 'span' (≥25 % of
+    winnowed fingerprints shared with other docs). Composes the
+    registered operators rather than re-deriving them: each rate is one
+    aggregate over an existing pipeline, so the numbers in the report
+    are exactly the numbers the dedup operators would act on. All three
+    sub-pipelines are linear-shuffle (fingerprint groupBy, collapsed
+    simhash banding, fingerprint inverted index)."""
+    from .dedup import dedup_simhash
+    from .textops import text_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one bounded driver scalar
+
+    exact_groups = (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = exact_groups.agg(
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("n_affected")
+    ).select(F.lit("exact").alias("modality"), "n_affected")
+
+    sim = dedup_simhash(spark, sf_dir)
+    near = (
+        sim.select(F.col("doc_a").alias("d"))
+        .unionAll(sim.select(F.col("doc_b").alias("d")))
+        .agg(F.countDistinct("d").cast("long").alias("n_affected"))
+        .select(F.lit("near_simhash").alias("modality"), "n_affected")
+    )
+
+    span = (
+        text_duplicate_spans(spark, sf_dir)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dup_share") >= SPAN_DUP_SHARE, 1)),
+                F.lit(0),
+            ).cast("long").alias("n_affected")
+        )
+        .select(F.lit("span").alias("modality"), "n_affected")
+    )
+
+    return (
+        exact.unionByName(near)
+        .unionByName(span)
+        .withColumn(
+            "affected_rate",
+            F.col("n_affected").cast("double") / F.lit(float(n_docs)),
+        )
+    )
