@@ -2,16 +2,18 @@
 compressed-image gap in the multimodal decode path.
 
 Scope: baseline sequential DCT, 8-bit, single-component (grayscale),
-no subsampling, no restart intervals — the JPEG profile every decoder
-must support (ITU-T T.81 Annex F baseline process). The decoder is
+no subsampling, with restart-interval (DRI/RST0–7) support — the JPEG
+profile every decoder must support (ITU-T T.81 Annex F baseline
+process) plus the resync mechanism real-world encoders emit. The decoder is
 GENERAL for that profile: it walks the marker stream, reads the
 quantization and Huffman tables from the file (DQT/DHT — so it decodes
 any conforming single-component baseline file, not just this
 encoder's output), entropy-decodes DC-difference + AC run-length
 coefficients through a canonical-code bit reader with 0xFF00
 byte-unstuffing, dequantizes, applies the float IDCT and reassembles
-blocks. Progressive, arithmetic-coded, subsampled and multi-component
-scans raise NotImplementedError.
+blocks, honoring restart markers (byte realignment + DC predictor
+reset per segment). Progressive, arithmetic-coded, subsampled and
+multi-component scans raise NotImplementedError.
 
 Losslessness note (why the oracle can check a lossy codec exactly):
 ``encode_jpeg_blocks`` maps each payload byte to a CONSTANT 8×8 block.
@@ -120,10 +122,19 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+    def raw_marker(self, marker: int) -> None:
+        """Emit an unstuffed marker (restart markers sit on byte
+        boundaries inside the entropy stream; they are never stuffed)."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -142,12 +153,20 @@ def _dht_segment(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Real baseline JPEG writer for an 8-bit grayscale image whose
     dimensions are multiples of 8: per-block float DCT, quantization
     (default unit table — the lossless-for-constant-blocks setting),
     DC-difference + AC run-length Huffman coding with byte stuffing,
-    full marker stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI)."""
+    full marker stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI).
+    ``restart_interval`` > 0 emits a DRI segment and RST0–RST7 markers
+    every that-many MCUs, with the DC predictor reset per segment —
+    the resync mechanism real-world encoders use so one corrupt bit
+    can't cascade past the next marker."""
     h, w = img.shape
     if h % 8 or w % 8:
         raise ValueError("dimensions must be multiples of 8")
@@ -169,14 +188,18 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
         :, _ZIGZAG
     ]
     dcs = zq_all[:, 0]
-    diffs = np.diff(np.concatenate([[0], dcs]))
     nonzero_ac = [np.nonzero(row)[0] for row in zq_all[:, 1:]]
 
     bw = _BitWriter()
     eob_code, eob_len = ac_codes[0x00]
     zrl_code, zrl_len = ac_codes[0xF0]
+    prev_dc = 0
     for n in range(zq_all.shape[0]):
-        s, bits = _magnitude(int(diffs[n]))
+        if restart_interval and n and n % restart_interval == 0:
+            bw.raw_marker(0xD0 + (n // restart_interval - 1) % 8)
+            prev_dc = 0
+        s, bits = _magnitude(int(dcs[n]) - prev_dc)
+        prev_dc = int(dcs[n])
         code, ln = dc_codes[s]
         bw.put(code, ln)
         if s:
@@ -208,6 +231,8 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
     out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
@@ -247,8 +272,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     """Real baseline JPEG parser for the single-component profile:
     marker walk, DQT/DHT read FROM THE FILE, canonical Huffman decode
     with unstuffing, dequantize, float IDCT, level shift + clip.
-    Returns the h×w uint8 image. Multi-component, progressive,
-    subsampled, arithmetic and restart-interval streams raise."""
+    Returns the h×w uint8 image. Restart intervals (DRI/RST0–7) are
+    honored — byte realignment and per-segment DC predictor resets.
+    Multi-component, progressive, subsampled and arithmetic streams
+    raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -256,6 +283,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
     dc_tid = ac_tid = 0
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -293,8 +321,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("subsampled component")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError("non-baseline-sequential JPEG")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS → entropy data follows
             ncomp_s = seg[0]
             if ncomp_s != 1:
@@ -302,42 +330,68 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
             pos = pos + 2 + seg_len
             return _decode_scan(
-                payload, pos, h, w, quant, huff, dc_tid, ac_tid
+                payload, pos, h, w, quant, huff, dc_tid, ac_tid,
+                restart_interval,
             )
         pos += 2 + seg_len
     raise ValueError("no scan data found")
 
 
-def _decode_scan(payload, pos, h, w, quant, huff, dc_tid, ac_tid) -> np.ndarray:
+def _decode_scan(
+    payload, pos, h, w, quant, huff, dc_tid, ac_tid, restart_interval=0
+) -> np.ndarray:
     if h is None or not quant or (0, dc_tid) not in huff:
         raise ValueError("scan before SOF/DQT/DHT")
     q = quant[min(quant)].astype(np.float64)
     dc_sym, dc_len = _build_lut(*huff[(0, dc_tid)])
     ac_sym, ac_len = _build_lut(*huff[(1, ac_tid)])
 
-    # Unstuff the entropy-coded segment (0xFF00 → 0xFF) up to the first
-    # real marker, then precompute every 16-bit window of the bitstream
-    # so each Huffman decode and magnitude read is one array index.
+    # Unstuff the entropy-coded data (0xFF00 → 0xFF), splitting into
+    # restart segments at RST0–RST7 markers (which sit on byte
+    # boundaries and reset the DC predictor), stopping at any other
+    # marker. Each segment gets its own precomputed 16-bit-window
+    # array so every Huffman decode and magnitude read is one index.
     arr = np.frombuffer(payload, np.uint8, len(payload) - pos, pos)
     keep = np.ones(len(arr), dtype=bool)
     end = len(arr)
+    seg_bounds: list[tuple[int, int]] = []
+    seg_start = 0
     for i in np.flatnonzero(arr == 0xFF):
-        if i + 1 >= len(arr) or arr[i + 1] != 0x00:
+        if i < seg_start:  # marker byte inside an already-cut region
+            continue
+        nxt = arr[i + 1] if i + 1 < len(arr) else None
+        if nxt == 0x00:
+            keep[i + 1] = False
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
+            seg_bounds.append((seg_start, int(i)))
+            seg_start = int(i) + 2
+        else:
             end = int(i)
             break
-        keep[i + 1] = False
-    clean = arr[:end][keep[:end]]
-    bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
+    seg_bounds.append((seg_start, end))
+
     powers = (1 << np.arange(15, -1, -1)).astype(np.int64)
-    v16 = np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
+
+    def _windows(a: int, b: int) -> np.ndarray:
+        clean = arr[a:b][keep[a:b]]
+        bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
+        return np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
 
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     nb = bh * bw_
     zq = np.zeros((nb, 64), dtype=np.int64)
+    seg_iter = iter(seg_bounds)
+    v16 = _windows(*next(seg_iter))
     p = 0
     prev_dc = 0
     limit = len(v16)
     for n in range(nb):
+        if restart_interval and n and n % restart_interval == 0:
+            # next restart segment: byte-realign + DC predictor reset
+            v16 = _windows(*next(seg_iter))
+            p = 0
+            prev_dc = 0
+            limit = len(v16)
         if p >= limit:
             raise ValueError("entropy data exhausted")
         code = v16[p]

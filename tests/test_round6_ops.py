@@ -195,3 +195,21 @@ def test_duplicate_spans_flags_shared_boilerplate(spark, tmp_path):
     for r in out.values():
         assert 0.0 <= r.dup_share <= 1.0
         assert r.n_shared <= r.n_fingerprints
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    restart=st.integers(1, 12),
+)
+def test_restart_interval_roundtrip_property(seed, restart):
+    """DRI/RSTn streams: byte realignment and per-segment DC resets
+    must reproduce the no-restart reconstruction exactly for any
+    interval, including ones that don't divide the block count."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    plain = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(x))
+    with_rst = jpeg.decode_jpeg_gray(
+        jpeg.encode_jpeg_gray(x, restart_interval=restart)
+    )
+    assert np.array_equal(with_rst, plain)
