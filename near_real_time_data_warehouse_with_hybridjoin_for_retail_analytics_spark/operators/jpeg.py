@@ -153,6 +153,53 @@ def _dht_segment(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
+def _quantize_plane(plane: np.ndarray, q: np.ndarray):
+    """Block-batched DCT + quantization for one 8-multiple-sized plane:
+    one broadcasted matmul over every block at once (the per-block
+    Python matmul was ~60 ms/KB of payload). Returns (zigzag int64
+    coefficients (nb, 64), per-block nonzero-AC index lists)."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs = _BASIS @ blocks @ _BASIS.T
+    zq_all = np.rint(coeffs / q[None, :, :]).astype(np.int64).reshape(-1, 64)[
+        :, _ZIGZAG
+    ]
+    return zq_all, [np.nonzero(row)[0] for row in zq_all[:, 1:]]
+
+
+def _encode_block(bw, zq_row, nonzero_ac, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-encode one block's zigzag coefficients; returns the new
+    DC predictor. Shared by the grayscale and interleaved-color paths."""
+    s, bits = _magnitude(int(zq_row[0]) - prev_dc)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(bits, s)
+    prev_k = 0  # 1-based AC position of the previous nonzero
+    zrl_code, zrl_len = ac_codes[0xF0]
+    for idx in nonzero_ac:
+        k = int(idx) + 1
+        run = k - prev_k - 1
+        while run > 15:
+            bw.put(zrl_code, zrl_len)
+            run -= 16
+        s, bits = _magnitude(int(zq_row[k]))
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(bits, s)
+        prev_k = k
+    if prev_k < 63:
+        eob_code, eob_len = ac_codes[0x00]
+        bw.put(eob_code, eob_len)
+    return int(zq_row[0])
+
+
 def encode_jpeg_gray(
     img: np.ndarray,
     quant: np.ndarray | None = None,
@@ -174,50 +221,17 @@ def encode_jpeg_gray(
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
 
-    # Block-batched DCT + quantization: one einsum over every block at
-    # once (the per-block Python matmul was ~60 ms/KB of payload).
-    blocks = (
-        img.reshape(h // 8, 8, w // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-        .astype(np.float64)
-        - 128.0
-    )
-    coeffs = _BASIS @ blocks @ _BASIS.T
-    zq_all = np.rint(coeffs / q[None, :, :]).astype(np.int64).reshape(-1, 64)[
-        :, _ZIGZAG
-    ]
-    dcs = zq_all[:, 0]
-    nonzero_ac = [np.nonzero(row)[0] for row in zq_all[:, 1:]]
+    zq_all, nonzero_ac = _quantize_plane(img, q)
 
     bw = _BitWriter()
-    eob_code, eob_len = ac_codes[0x00]
-    zrl_code, zrl_len = ac_codes[0xF0]
     prev_dc = 0
     for n in range(zq_all.shape[0]):
         if restart_interval and n and n % restart_interval == 0:
             bw.raw_marker(0xD0 + (n // restart_interval - 1) % 8)
             prev_dc = 0
-        s, bits = _magnitude(int(dcs[n]) - prev_dc)
-        prev_dc = int(dcs[n])
-        code, ln = dc_codes[s]
-        bw.put(code, ln)
-        if s:
-            bw.put(bits, s)
-        prev_k = 0  # 1-based AC position of the previous nonzero
-        for idx in nonzero_ac[n]:
-            k = int(idx) + 1
-            run = k - prev_k - 1
-            while run > 15:
-                bw.put(zrl_code, zrl_len)
-                run -= 16
-            s, bits = _magnitude(int(zq_all[n, k]))
-            code, ln = ac_codes[(run << 4) | s]
-            bw.put(code, ln)
-            bw.put(bits, s)
-            prev_k = k
-        if prev_k < 63:
-            bw.put(eob_code, eob_len)
+        prev_dc = _encode_block(
+            bw, zq_all[n], nonzero_ac[n], prev_dc, dc_codes, ac_codes
+        )
 
     qz = q.reshape(-1)[_ZIGZAG]
     out = bytearray()
@@ -268,14 +282,16 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Real baseline JPEG parser for the single-component profile:
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG parser for the 4:4:4 profile:
     marker walk, DQT/DHT read FROM THE FILE, canonical Huffman decode
     with unstuffing, dequantize, float IDCT, level shift + clip.
-    Returns the h×w uint8 image. Restart intervals (DRI/RST0–7) are
-    honored — byte realignment and per-segment DC predictor resets.
-    Multi-component, progressive, subsampled and arithmetic streams
-    raise."""
+    Returns h×w uint8 for grayscale files and h×w×3 RGB (BT.601
+    YCbCr→RGB) for 3-component 4:4:4 files, with per-component quant
+    and Huffman tables honored. Restart intervals (DRI/RST0–7) are
+    honored — byte realignment and per-segment resets of every
+    component's DC predictor. Progressive, subsampled and arithmetic
+    streams raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -284,6 +300,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     h = w = None
     dc_tid = ac_tid = 0
     restart_interval = 0
+    sof_comps: dict[int, int] = {}  # component id → quant table id
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -315,36 +332,59 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             depth, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if depth != 8:
                 raise NotImplementedError("non-8-bit depth")
-            if ncomp != 1:
-                raise NotImplementedError("only single-component (grayscale)")
-            if seg[7] != 0x11:  # seg[6] is the component id
-                raise NotImplementedError("subsampled component")
+            if ncomp not in (1, 3):
+                raise NotImplementedError("unsupported component count")
+            for c in range(ncomp):
+                cid, samp, qt = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled component")
+                sof_comps[cid] = qt
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError("non-baseline-sequential JPEG")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS → entropy data follows
             ncomp_s = seg[0]
-            if ncomp_s != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
+            if ncomp_s != len(sof_comps):
+                raise NotImplementedError("partial-component scan")
+            comps = []
+            for c in range(ncomp_s):
+                cid = seg[1 + 2 * c]
+                tids = seg[2 + 2 * c]
+                comps.append((sof_comps[cid], tids >> 4, tids & 0x0F))
             pos = pos + 2 + seg_len
-            return _decode_scan(
-                payload, pos, h, w, quant, huff, dc_tid, ac_tid,
-                restart_interval,
+            planes = _decode_scan(
+                payload, pos, h, w, quant, huff, comps, restart_interval
             )
+            if len(planes) == 1:
+                return planes[0]
+            return _ycbcr_to_rgb(planes)
         pos += 2 + seg_len
     raise ValueError("no scan data found")
 
 
 def _decode_scan(
-    payload, pos, h, w, quant, huff, dc_tid, ac_tid, restart_interval=0
-) -> np.ndarray:
-    if h is None or not quant or (0, dc_tid) not in huff:
+    payload, pos, h, w, quant, huff, comps, restart_interval=0
+) -> list[np.ndarray]:
+    """Interleaved baseline scan decode: per MCU, one block per
+    component in SOS order (4:4:4 — every component is full
+    resolution), per-component DC predictors and tables. ``comps`` is
+    [(qt_id, dc_tid, ac_tid)]; returns one plane per component."""
+    if h is None or not quant or not comps:
         raise ValueError("scan before SOF/DQT/DHT")
-    q = quant[min(quant)].astype(np.float64)
-    dc_sym, dc_len = _build_lut(*huff[(0, dc_tid)])
-    ac_sym, ac_len = _build_lut(*huff[(1, ac_tid)])
+    tables = []
+    for qt_id, dc_tid, ac_tid in comps:
+        if (0, dc_tid) not in huff or (1, ac_tid) not in huff:
+            raise ValueError("scan references missing Huffman table")
+        tables.append(
+            (
+                quant[qt_id if qt_id in quant else min(quant)].astype(
+                    np.float64
+                ),
+                *_build_lut(*huff[(0, dc_tid)]),
+                *_build_lut(*huff[(1, ac_tid)]),
+            )
+        )
 
     # Unstuff the entropy-coded data (0xFF00 → 0xFF), splitting into
     # restart segments at RST0–RST7 markers (which sit on byte
@@ -379,59 +419,67 @@ def _decode_scan(
 
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     nb = bh * bw_
-    zq = np.zeros((nb, 64), dtype=np.int64)
+    ncomp = len(comps)
+    zq = np.zeros((ncomp, nb, 64), dtype=np.int64)
     seg_iter = iter(seg_bounds)
     v16 = _windows(*next(seg_iter))
     p = 0
-    prev_dc = 0
+    prev_dc = [0] * ncomp
     limit = len(v16)
-    for n in range(nb):
+    for n in range(nb):  # MCU index (4:4:4 ⇒ one block per component)
         if restart_interval and n and n % restart_interval == 0:
-            # next restart segment: byte-realign + DC predictor reset
+            # next restart segment: byte-realign + reset ALL predictors
             v16 = _windows(*next(seg_iter))
             p = 0
-            prev_dc = 0
+            prev_dc = [0] * ncomp
             limit = len(v16)
-        if p >= limit:
-            raise ValueError("entropy data exhausted")
-        code = v16[p]
-        s = int(dc_sym[code])
-        if s < 0:
-            raise ValueError("invalid Huffman code")
-        p += int(dc_len[code])
-        if s:
-            prev_dc += _extend(int(v16[p]) >> (16 - s), s)
-            p += s
-        zq[n, 0] = prev_dc
-        k = 1
-        while k < 64:
+        for c in range(ncomp):
+            _, dc_sym, dc_len, ac_sym, ac_len = tables[c]
+            if p >= limit:
+                raise ValueError("entropy data exhausted")
             code = v16[p]
-            rs = int(ac_sym[code])
-            if rs < 0:
+            s = int(dc_sym[code])
+            if s < 0:
                 raise ValueError("invalid Huffman code")
-            p += int(ac_len[code])
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            s = rs & 0x0F
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            zq[n, k] = _extend(int(v16[p]) >> (16 - s), s)
-            p += s
-            k += 1
+            p += int(dc_len[code])
+            if s:
+                prev_dc[c] += _extend(int(v16[p]) >> (16 - s), s)
+                p += s
+            zq[c, n, 0] = prev_dc[c]
+            k = 1
+            while k < 64:
+                code = v16[p]
+                rs = int(ac_sym[code])
+                if rs < 0:
+                    raise ValueError("invalid Huffman code")
+                p += int(ac_len[code])
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 0x0F
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zq[c, n, k] = _extend(int(v16[p]) >> (16 - s), s)
+                p += s
+                k += 1
 
-    coeffs = np.zeros((nb, 64), dtype=np.float64)
-    coeffs[:, _ZIGZAG] = zq
-    deq = coeffs.reshape(nb, 8, 8) * q[None, :, :]
-    blocks = _BASIS.T @ deq @ _BASIS
-    px = np.clip(np.rint(blocks + 128.0), 0, 255).astype(np.uint8)
-    img = (
-        px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
-    )
-    return img[:h, :w]
+    planes = []
+    for c in range(ncomp):
+        coeffs = np.zeros((nb, 64), dtype=np.float64)
+        coeffs[:, _ZIGZAG] = zq[c]
+        deq = coeffs.reshape(nb, 8, 8) * tables[c][0][None, :, :]
+        blocks = _BASIS.T @ deq @ _BASIS
+        px = np.clip(np.rint(blocks + 128.0), 0, 255).astype(np.uint8)
+        img = (
+            px.reshape(bh, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
+        planes.append(img[:h, :w])
+    return planes
 
 
 # --- payload mapping used by the oracle-checked query ---------------------
@@ -451,3 +499,99 @@ def encode_jpeg_blocks(raw: bytes, blocks_w: int = JPEG_BLOCKS_W) -> bytes:
     tiles = vals.reshape(bh, blocks_w)
     img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
     return encode_jpeg_gray(img)
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Grayscale-only convenience wrapper over ``decode_jpeg``."""
+    img = decode_jpeg(payload)
+    if img.ndim != 2:
+        raise ValueError("not a grayscale JPEG")
+    return img
+
+
+# --- color (BT.601 full-range, the JFIF convention) -----------------------
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → uint8 YCbCr, rounded to the pixel grid
+    (the quantization every real encoder applies before the DCT)."""
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _ycbcr_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def encode_jpeg_color(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline 4:4:4 color JPEG writer: BT.601 RGB→YCbCr, one
+    full-resolution block per component per MCU (interleaved Y Cb Cr),
+    per-component DC predictors, shared quant/Huffman tables (legal
+    per T.81 — the decoder reads table ids from the file either way).
+    ``restart_interval`` as in ``encode_jpeg_gray``."""
+    h, w, _ = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else quant
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    ycc = rgb_to_ycbcr(img)
+    per_comp = [_quantize_plane(ycc[:, :, c], q) for c in range(3)]
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    nb = (h // 8) * (w // 8)
+    for n in range(nb):
+        if restart_interval and n and n % restart_interval == 0:
+            bw.raw_marker(0xD0 + (n // restart_interval - 1) % 8)
+            prev_dc = [0, 0, 0]
+        for c in range(3):
+            zq_all, nonzero_ac = per_comp[c]
+            prev_dc[c] = _encode_block(
+                bw, zq_all[n], nonzero_ac[n], prev_dc[c], dc_codes, ac_codes
+            )
+
+    qz = q.reshape(-1)[_ZIGZAG]
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in qz)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + b"\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+    )
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

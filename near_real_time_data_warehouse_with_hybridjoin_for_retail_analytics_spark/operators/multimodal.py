@@ -253,11 +253,12 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload to (width, height, RGB array). BMP, PNG
-    and baseline grayscale JPEG are decoded for real (stdlib parsers —
-    see ``jpeg.py`` for the Huffman+IDCT path); the remaining JPEG
-    variants (progressive, subsampled color) dispatch to PIL when
-    available, else raise (environment-gated)."""
-    from .jpeg import decode_jpeg_gray
+    and baseline JPEG (grayscale + 4:4:4 color, restart intervals
+    honored) are decoded for real (stdlib parsers — see ``jpeg.py`` for
+    the Huffman+IDCT path); the remaining JPEG variants (progressive,
+    subsampled) dispatch to PIL when available, else raise
+    (environment-gated)."""
+    from .jpeg import decode_jpeg
 
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -265,13 +266,15 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         try:
-            gray = decode_jpeg_gray(payload)
+            img = decode_jpeg(payload)
         except NotImplementedError:
             if not _DECODERS_AVAILABLE:
                 raise
             raise NotImplementedError("wire PIL.Image.open here when available")
-        h, w = gray.shape
-        return w, h, np.repeat(gray[:, :, None], 3, axis=2)
+        h, w = img.shape[:2]
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return w, h, img
     if not _DECODERS_AVAILABLE:
         raise NotImplementedError(
             "non-BMP/PNG/JPEG image decode requires PIL, not installed here"

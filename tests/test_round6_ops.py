@@ -213,3 +213,40 @@ def test_restart_interval_roundtrip_property(seed, restart):
         jpeg.encode_jpeg_gray(x, restart_interval=restart)
     )
     assert np.array_equal(with_rst, plain)
+
+
+def _color_reference(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Independent color reconstruction: BT.601 forward transform,
+    per-channel spec roundtrip, inverse transform."""
+    ycc = jpeg.rgb_to_ycbcr(x)
+    planes = [
+        _reference_roundtrip(ycc[:, :, c], q) for c in range(3)
+    ]
+    return jpeg._ycbcr_to_rgb(planes)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), restart=st.integers(0, 6))
+def test_color_jpeg_roundtrip_property(seed, restart):
+    """4:4:4 color files: interleaved MCUs, per-component DC
+    predictors, YCbCr↔RGB — exact vs the independent reference for any
+    restart interval (0 = none)."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    got = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_color(x, restart_interval=restart)
+    )
+    assert np.array_equal(got, _color_reference(x, np.ones((8, 8))))
+
+
+def test_color_jpeg_visually_faithful_and_dispatched():
+    """Unit-quant color roundtrip stays within the color-transform
+    rounding error (±4), and decode_image passes RGB through."""
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    enc = jpeg.encode_jpeg_color(x)
+    w, h, img = multimodal.decode_image(enc)
+    assert (w, h, img.shape) == (16, 16, (16, 16, 3))
+    assert int(np.abs(img.astype(int) - x.astype(int)).max()) <= 4
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(enc)  # gray wrapper must reject color
