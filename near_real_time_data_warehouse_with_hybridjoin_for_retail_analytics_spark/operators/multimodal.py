@@ -1,19 +1,21 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-The image path is fully real for two codecs: a 24-bit BMP
+The image path is fully real for three codecs: a 24-bit BMP
 encoder/parser (headers, bottom-up rows, 4-byte row padding — see
 ``encode_bmp``/``decode_bmp``) and an 8-bit RGB/RGBA PNG
 encoder/parser (zlib deflate/inflate, CRC-checked chunk walk, all
 five per-row filter types — see ``encode_png``/``decode_png``), plus
-a nearest-neighbor resize — all stdlib+numpy, exercised end-to-end by
-the oracle-checked ``multimodal_decode_stats`` /
-``multimodal_decode_stats_png`` queries. Remaining compressed-codec
-decode (JPEG via PIL, audio/video via librosa/ffmpeg) stays
-environment-gated behind ``_DECODERS_AVAILABLE`` — those libraries
-are not installable in this container — but swapping them in changes
-one dispatch branch, not the pipeline: binary-column schema,
-Arrow-batched ``mapInPandas`` signatures, batch shapes and partition
-behavior are identical.
+a baseline JPEG codec (grayscale + 4:4:4 color, Huffman entropy
+coding with tables read from the file, DCT/IDCT, restart intervals —
+see ``jpeg.py``), plus a nearest-neighbor resize — all stdlib+numpy,
+exercised end-to-end by the oracle-checked ``multimodal_decode_stats``
+/ ``_png`` / ``_jpeg`` queries. Remaining compressed-codec decode
+(progressive/subsampled JPEG via PIL, audio/video via
+librosa/ffmpeg) stays environment-gated behind
+``_DECODERS_AVAILABLE`` — those libraries are not installable in this
+container — but swapping them in changes one dispatch branch, not the
+pipeline: binary-column schema, Arrow-batched ``mapInPandas``
+signatures, batch shapes and partition behavior are identical.
 """
 
 from __future__ import annotations
