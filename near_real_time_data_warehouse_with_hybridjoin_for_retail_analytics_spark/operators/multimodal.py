@@ -660,3 +660,153 @@ def multimodal_decode_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs)
     return payloads.mapInPandas(decode_stats_jpeg, DECODE_SCHEMA)
+
+
+# --- real audio codec: RIFF/WAVE PCM16 (stdlib struct + numpy) ------------
+WAV_RATE = 8000  # synthetic-payload sample rate (Hz)
+
+
+def encode_wav(raw: bytes, rate: int = WAV_RATE) -> bytes:
+    """Real WAV writer: payload bytes become 16-bit PCM mono samples
+    (sample i = (byte_i − 128)·256, i.e. the byte recentered to a
+    signed amplitude), wrapped in a spec-complete RIFF/WAVE container
+    (fmt chunk: PCM, 1 channel, 16-bit). Output plays in any player."""
+    n = max(1, len(raw))
+    vals = np.zeros(n, dtype=np.int16)
+    if raw:
+        vals[: len(raw)] = (
+            np.frombuffer(raw, np.uint8).astype(np.int16) - 128
+        ) * 256
+    data = vals.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Real WAV parser: validates the RIFF/WAVE magic, walks the chunk
+    list (skipping unknown chunks, as the spec requires), reads the
+    fmt chunk and rejects non-PCM/non-mono/non-16-bit encodings,
+    returns (sample_rate, int16 samples) from the data chunk."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = None
+    samples = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            codec, channels, rate, _, _, depth = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if codec != 1 or channels != 1 or depth != 16:
+                raise NotImplementedError(
+                    "only PCM mono 16-bit WAV supported"
+                )
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, peak int, mean_abs double,"
+    " zero_crossings long"
+)
+
+
+def audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker running the REAL audio path per payload:
+    write an actual playable WAV, parse it back through the chunk-walk
+    decoder, and reduce the decoded samples to signal statistics."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "n_samples", "peak", "mean_abs", "zero_crossings",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, s = decode_wav(encode_wav(bytes(payload)))
+            a = np.abs(s.astype(np.int64))
+            crossings = int(
+                np.sum(s[1:].astype(np.int64) * s[:-1].astype(np.int64) < 0)
+            )
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(len(s))
+            out["peak"].append(int(a.max()))
+            out["mean_abs"].append(float(a.sum()) / len(s))
+            out["zero_crossings"].append(crossings)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                "peak": pd.Series(out["peak"], dtype="int32"),
+                "mean_abs": pd.Series(out["mean_abs"], dtype="float64"),
+                "zero_crossings": pd.Series(
+                    out["zero_crossings"], dtype="int64"
+                ),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_stats",
+    """
+    WITH samples AS (
+      SELECT doc_id, i,
+             (ascii(substr(text, CAST(i + 1 AS INT), 1)) - 128) * 256 AS s
+      FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i
+            FROM documents)
+      WHERE length(text) > 0
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(MAX(abs(s)) AS INT) AS peak,
+             CAST(SUM(abs(s)) AS DOUBLE) / COUNT(*) AS mean_abs
+      FROM samples GROUP BY 1
+    ),
+    xing AS (
+      SELECT doc_id,
+             CAST(coalesce(SUM(CASE WHEN s * prev < 0 THEN 1 END), 0)
+                  AS BIGINT) AS zero_crossings
+      FROM (SELECT doc_id, s,
+                   LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM samples)
+      GROUP BY 1
+    ),
+    empties AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS n_samples, 0 AS peak,
+             CAST(0 AS DOUBLE) AS mean_abs, CAST(0 AS BIGINT)
+               AS zero_crossings
+      FROM documents WHERE length(text) = 0
+    )
+    SELECT s.doc_id, s.n_samples, s.peak, s.mean_abs, x.zero_crossings
+    FROM stats s JOIN xing x USING (doc_id)
+    UNION ALL SELECT * FROM empties
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO modality, for real: each document's payload becomes an
+    actual playable PCM16 WAV (RIFF container written by the stdlib
+    codec above), is parsed back through the chunk-walking decoder,
+    and reduced to signal statistics — sample count, peak amplitude,
+    mean |amplitude|, zero crossings — inside Arrow-batched
+    ``mapInPandas``. The byte↔sample mapping is exact, so the oracle
+    recomputes every statistic from the raw text bytes: one wrong
+    header offset, endianness slip or alignment bug anywhere in the
+    container round trip breaks the value hash. Per-row work only —
+    zero shuffles; scales with cores like the image decode entries."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(audio_stats, AUDIO_SCHEMA)

@@ -250,3 +250,48 @@ def test_color_jpeg_visually_faithful_and_dispatched():
     assert int(np.abs(img.astype(int) - x.astype(int)).max()) <= 4
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_gray(enc)  # gray wrapper must reject color
+
+
+# --- WAV audio codec ------------------------------------------------------
+def test_wav_roundtrip_and_container_conformance():
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.multimodal import (
+        WAV_RATE,
+        decode_wav,
+        encode_wav,
+    )
+
+    raw = bytes(range(256)) + b"audio"
+    wav = encode_wav(raw)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    rate, s = decode_wav(wav)
+    assert rate == WAV_RATE and len(s) == len(raw)
+    want = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) * 256
+    assert np.array_equal(s, want)
+    # decoder skips unknown chunks (spec requirement)
+    import struct as _st
+
+    junk = b"LIST" + _st.pack("<I", 4) + b"INFO"
+    patched = wav[:12] + junk + wav[12:]
+    patched = patched[:4] + _st.pack("<I", len(patched) - 8) + patched[8:]
+    rate2, s2 = decode_wav(patched)
+    assert rate2 == rate and np.array_equal(s2, s)
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense")
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_wav_roundtrip_property(data):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    _, s = decode_wav(encode_wav(data))
+    n = max(1, len(data))
+    want = np.zeros(n, dtype=np.int16)
+    if data:
+        want[: len(data)] = (
+            np.frombuffer(data, np.uint8).astype(np.int16) - 128
+        ) * 256
+    assert np.array_equal(s, want)
