@@ -1,10 +1,11 @@
 """Clean-room baseline JPEG codec (stdlib + numpy) — closes the last
 compressed-image gap in the multimodal decode path.
 
-Scope: baseline sequential DCT, 8-bit, single-component (grayscale),
-no subsampling, with restart-interval (DRI/RST0–7) support — the JPEG
-profile every decoder must support (ITU-T T.81 Annex F baseline
-process) plus the resync mechanism real-world encoders emit. The decoder is
+Scope: baseline sequential DCT, 8-bit — grayscale, 4:4:4 color and
+4:2:0 subsampled color, with restart-interval (DRI/RST0–7) support:
+the ITU-T T.81 Annex F baseline process as real-world encoders emit
+it. Only progressive and arithmetic-coded streams remain out of
+scope. The decoder is
 GENERAL for that profile: it walks the marker stream, reads the
 quantization and Huffman tables from the file (DQT/DHT — so it decodes
 any conforming single-component baseline file, not just this
@@ -12,8 +13,9 @@ encoder's output), entropy-decodes DC-difference + AC run-length
 coefficients through a canonical-code bit reader with 0xFF00
 byte-unstuffing, dequantizes, applies the float IDCT and reassembles
 blocks, honoring restart markers (byte realignment + DC predictor
-reset per segment). Progressive, arithmetic-coded, subsampled and
-multi-component scans raise NotImplementedError.
+reset per segment) and 4:2:0/4:4:4 sampling (interleaved hi×vi blocks
+per MCU, chroma nearest-upsampled). Progressive and arithmetic-coded
+scans raise NotImplementedError.
 
 Losslessness note (why the oracle can check a lossy codec exactly):
 ``encode_jpeg_blocks`` maps each payload byte to a CONSTANT 8×8 block.
@@ -287,8 +289,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     marker walk, DQT/DHT read FROM THE FILE, canonical Huffman decode
     with unstuffing, dequantize, float IDCT, level shift + clip.
     Returns h×w uint8 for grayscale files and h×w×3 RGB (BT.601
-    YCbCr→RGB) for 3-component 4:4:4 files, with per-component quant
-    and Huffman tables honored. Restart intervals (DRI/RST0–7) are
+    YCbCr→RGB) for 3-component 4:4:4 and 4:2:0 files, with
+    per-component quant/Huffman tables and sampling factors honored. Restart intervals (DRI/RST0–7) are
     honored — byte realignment and per-segment resets of every
     component's DC predictor. Progressive, subsampled and arithmetic
     streams raise."""
@@ -336,9 +338,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("unsupported component count")
             for c in range(ncomp):
                 cid, samp, qt = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled component")
-                sof_comps[cid] = qt
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError("unsupported sampling factor")
+                sof_comps[cid] = (qt, hi, vi)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError("non-baseline-sequential JPEG")
         elif marker == 0xDD:  # DRI
@@ -351,7 +354,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp_s):
                 cid = seg[1 + 2 * c]
                 tids = seg[2 + 2 * c]
-                comps.append((sof_comps[cid], tids >> 4, tids & 0x0F))
+                qt, hi, vi = sof_comps[cid]
+                comps.append((qt, tids >> 4, tids & 0x0F, hi, vi))
             pos = pos + 2 + seg_len
             planes = _decode_scan(
                 payload, pos, h, w, quant, huff, comps, restart_interval
@@ -366,14 +370,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(
     payload, pos, h, w, quant, huff, comps, restart_interval=0
 ) -> list[np.ndarray]:
-    """Interleaved baseline scan decode: per MCU, one block per
-    component in SOS order (4:4:4 — every component is full
-    resolution), per-component DC predictors and tables. ``comps`` is
-    [(qt_id, dc_tid, ac_tid)]; returns one plane per component."""
+    """Interleaved baseline scan decode: per MCU, hi×vi blocks per
+    component in SOS order (4:4:4 = one each; 4:2:0 = four Y + one Cb
+    + one Cr), per-component DC predictors and tables. ``comps`` is
+    [(qt_id, dc_tid, ac_tid, hi, vi)]; returns one FULL-RESOLUTION
+    plane per component (subsampled chroma is nearest-upsampled)."""
     if h is None or not quant or not comps:
         raise ValueError("scan before SOF/DQT/DHT")
     tables = []
-    for qt_id, dc_tid, ac_tid in comps:
+    for qt_id, dc_tid, ac_tid, _hi, _vi in comps:
         if (0, dc_tid) not in huff or (1, ac_tid) not in huff:
             raise ValueError("scan references missing Huffman table")
         tables.append(
@@ -417,67 +422,89 @@ def _decode_scan(
         bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
         return np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
 
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    nb = bh * bw_
     ncomp = len(comps)
-    zq = np.zeros((ncomp, nb, 64), dtype=np.int64)
+    hmax = max(c[3] for c in comps)
+    vmax = max(c[4] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component block grids: (mcuy·vi) rows × (mcux·hi) cols
+    grid = [(mcuy * c[4], mcux * c[3]) for c in comps]
+    zq = [
+        np.zeros((gr * gc, 64), dtype=np.int64) for gr, gc in grid
+    ]
     seg_iter = iter(seg_bounds)
     v16 = _windows(*next(seg_iter))
     p = 0
     prev_dc = [0] * ncomp
     limit = len(v16)
-    for n in range(nb):  # MCU index (4:4:4 ⇒ one block per component)
-        if restart_interval and n and n % restart_interval == 0:
+    for m in range(mcuy * mcux):  # MCU raster order
+        if restart_interval and m and m % restart_interval == 0:
             # next restart segment: byte-realign + reset ALL predictors
             v16 = _windows(*next(seg_iter))
             p = 0
             prev_dc = [0] * ncomp
             limit = len(v16)
+        my, mx = divmod(m, mcux)
         for c in range(ncomp):
             _, dc_sym, dc_len, ac_sym, ac_len = tables[c]
-            if p >= limit:
-                raise ValueError("entropy data exhausted")
-            code = v16[p]
-            s = int(dc_sym[code])
-            if s < 0:
-                raise ValueError("invalid Huffman code")
-            p += int(dc_len[code])
-            if s:
-                prev_dc[c] += _extend(int(v16[p]) >> (16 - s), s)
-                p += s
-            zq[c, n, 0] = prev_dc[c]
-            k = 1
-            while k < 64:
-                code = v16[p]
-                rs = int(ac_sym[code])
-                if rs < 0:
-                    raise ValueError("invalid Huffman code")
-                p += int(ac_len[code])
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                s = rs & 0x0F
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zq[c, n, k] = _extend(int(v16[p]) >> (16 - s), s)
-                p += s
-                k += 1
+            hi, vi = comps[c][3], comps[c][4]
+            for br in range(vi):
+                for bc in range(hi):
+                    n = (my * vi + br) * grid[c][1] + (mx * hi + bc)
+                    if p >= limit:
+                        raise ValueError("entropy data exhausted")
+                    code = v16[p]
+                    s = int(dc_sym[code])
+                    if s < 0:
+                        raise ValueError("invalid Huffman code")
+                    p += int(dc_len[code])
+                    if s:
+                        prev_dc[c] += _extend(int(v16[p]) >> (16 - s), s)
+                        p += s
+                    zq[c][n, 0] = prev_dc[c]
+                    k = 1
+                    while k < 64:
+                        code = v16[p]
+                        rs = int(ac_sym[code])
+                        if rs < 0:
+                            raise ValueError("invalid Huffman code")
+                        p += int(ac_len[code])
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 0x0F
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        zq[c][n, k] = _extend(int(v16[p]) >> (16 - s), s)
+                        p += s
+                        k += 1
 
     planes = []
     for c in range(ncomp):
-        coeffs = np.zeros((nb, 64), dtype=np.float64)
+        gr, gc = grid[c]
+        hi, vi = comps[c][3], comps[c][4]
+        nb_c = gr * gc
+        coeffs = np.zeros((nb_c, 64), dtype=np.float64)
         coeffs[:, _ZIGZAG] = zq[c]
-        deq = coeffs.reshape(nb, 8, 8) * tables[c][0][None, :, :]
+        deq = coeffs.reshape(nb_c, 8, 8) * tables[c][0][None, :, :]
         blocks = _BASIS.T @ deq @ _BASIS
         px = np.clip(np.rint(blocks + 128.0), 0, 255).astype(np.uint8)
         img = (
-            px.reshape(bh, bw_, 8, 8)
+            px.reshape(gr, gc, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw_ * 8)
+            .reshape(gr * 8, gc * 8)
         )
+        # crop to this component's true dims, then upsample to full res
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        img = img[:ch, :cw]
+        if vi != vmax or hi != hmax:
+            img = np.repeat(
+                np.repeat(img, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
         planes.append(img[:h, :w])
     return planes
 
@@ -582,6 +609,87 @@ def encode_jpeg_color(
         b"\xff\xc0"
         + struct.pack(">HBHHB", 17, 8, h, w, 3)
         + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + b"\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+    )
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color_420(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline 4:2:0 color JPEG writer — the subsampling most
+    real-world files use: chroma is 2×2 box-averaged (round-half-up on
+    the integer grid) to quarter resolution, each MCU interleaves four
+    Y blocks (2×2) + one Cb + one Cr, with per-component DC predictors.
+    Dimensions must be multiples of 16 (one MCU tile).
+    ``restart_interval`` counts MCUs."""
+    h, w, _ = img.shape
+    if h % 16 or w % 16:
+        raise ValueError("dimensions must be multiples of 16")
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else quant
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    ycc = rgb_to_ycbcr(img)
+    y = ycc[:, :, 0]
+
+    def down2(plane: np.ndarray) -> np.ndarray:
+        v = plane.reshape(h // 2, 2, w // 2, 2).astype(np.int64)
+        return ((v.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+
+    cb, cr = down2(ycc[:, :, 1]), down2(ycc[:, :, 2])
+    zy, nzy = _quantize_plane(y, q)
+    zcb, nzcb = _quantize_plane(cb, q)
+    zcr, nzcr = _quantize_plane(cr, q)
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    mcux, mcuy = w // 16, h // 16
+    bw_y, bw_c = w // 8, w // 16
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.raw_marker(0xD0 + (m // restart_interval - 1) % 8)
+            prev_dc = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for br in range(2):  # four Y blocks, raster order inside the MCU
+            for bc in range(2):
+                n = (my * 2 + br) * bw_y + (mx * 2 + bc)
+                prev_dc[0] = _encode_block(
+                    bw, zy[n], nzy[n], prev_dc[0], dc_codes, ac_codes
+                )
+        nc = my * bw_c + mx
+        prev_dc[1] = _encode_block(
+            bw, zcb[nc], nzcb[nc], prev_dc[1], dc_codes, ac_codes
+        )
+        prev_dc[2] = _encode_block(
+            bw, zcr[nc], nzcr[nc], prev_dc[2], dc_codes, ac_codes
+        )
+
+    qz = q.reshape(-1)[_ZIGZAG]
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in qz)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00"
     )
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
     out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)

@@ -5,12 +5,14 @@ encoder/parser (headers, bottom-up rows, 4-byte row padding — see
 ``encode_bmp``/``decode_bmp``) and an 8-bit RGB/RGBA PNG
 encoder/parser (zlib deflate/inflate, CRC-checked chunk walk, all
 five per-row filter types — see ``encode_png``/``decode_png``), plus
-a baseline JPEG codec (grayscale + 4:4:4 color, Huffman entropy
+a baseline JPEG codec (grayscale, 4:4:4 and 4:2:0 color, Huffman entropy
 coding with tables read from the file, DCT/IDCT, restart intervals —
 see ``jpeg.py``), plus a nearest-neighbor resize — all stdlib+numpy,
 exercised end-to-end by the oracle-checked ``multimodal_decode_stats``
-/ ``_png`` / ``_jpeg`` queries. Remaining compressed-codec decode
-(progressive/subsampled JPEG via PIL, audio/video via
+/ ``_png`` / ``_jpeg`` queries. Audio is real too: a
+PCM16 RIFF/WAVE codec (``encode_wav``/``decode_wav``) behind the
+oracle-checked ``multimodal_audio_stats``. Remaining compressed-codec
+decode (progressive JPEG via PIL, compressed audio/video via
 librosa/ffmpeg) stays environment-gated behind
 ``_DECODERS_AVAILABLE`` — those libraries are not installable in this
 container — but swapping them in changes one dispatch branch, not the
@@ -257,8 +259,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload to (width, height, RGB array). BMP, PNG
     and baseline JPEG (grayscale + 4:4:4 color, restart intervals
     honored) are decoded for real (stdlib parsers — see ``jpeg.py`` for
-    the Huffman+IDCT path); the remaining JPEG variants (progressive,
-    subsampled) dispatch to PIL when available, else raise
+    the Huffman+IDCT path); the remaining JPEG variants (progressive)
+    dispatch to PIL when available, else raise
     (environment-gated)."""
     from .jpeg import decode_jpeg
 

@@ -295,3 +295,35 @@ def test_wav_roundtrip_property(data):
             np.frombuffer(data, np.uint8).astype(np.int16) - 128
         ) * 256
     assert np.array_equal(s, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), restart=st.integers(0, 4))
+def test_jpeg_420_roundtrip_property(seed, restart):
+    """4:2:0 — the subsampling most real-world baseline files use:
+    2x2-interleaved Y MCUs, box-averaged quarter-res chroma, nearest
+    upsampling on decode — exact vs an independent reconstruction of
+    the same pipeline, for any restart interval."""
+    rng = np.random.default_rng(seed)
+    h, w = 32, 48
+    x = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_color_420(x, restart_interval=restart)
+    )
+
+    ycc = jpeg.rgb_to_ycbcr(x)
+
+    def down2(pl):
+        v = pl.reshape(h // 2, 2, w // 2, 2).astype(np.int64)
+        return ((v.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+
+    yr = _reference_roundtrip(ycc[:, :, 0], np.ones((8, 8)))
+    cbr = np.repeat(
+        np.repeat(_reference_roundtrip(down2(ycc[:, :, 1]), np.ones((8, 8))), 2, 0),
+        2, 1,
+    )
+    crr = np.repeat(
+        np.repeat(_reference_roundtrip(down2(ycc[:, :, 2]), np.ones((8, 8))), 2, 0),
+        2, 1,
+    )
+    assert np.array_equal(dec, jpeg._ycbcr_to_rgb([yr, cbr, crr]))
