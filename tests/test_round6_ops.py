@@ -327,3 +327,42 @@ def test_jpeg_420_roundtrip_property(seed, restart):
         2, 1,
     )
     assert np.array_equal(dec, jpeg._ycbcr_to_rgb([yr, cbr, crr]))
+
+
+# --- AVI video codec ------------------------------------------------------
+def test_avi_roundtrip_and_frame_layout():
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.multimodal import (
+        FRAME_H,
+        FRAME_W,
+        decode_avi,
+        encode_avi,
+    )
+
+    raw = bytes(range(256)) * 2  # 512 bytes → 3 frames (192 each)
+    avi = encode_avi(raw)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    fr = decode_avi(avi)
+    assert fr.shape == (3, FRAME_H, FRAME_W, 3)
+    n = fr.size
+    want = np.zeros(n, np.uint8)
+    want[: len(raw)] = np.frombuffer(raw, np.uint8)
+    assert np.array_equal(fr.reshape(-1), want)  # RGB row-major restored
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=0, max_size=600))
+def test_avi_roundtrip_property(data):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.multimodal import (
+        _FRAME_BYTES_RGB,
+        decode_avi,
+        encode_avi,
+    )
+
+    fr = decode_avi(encode_avi(data))
+    nf = max(1, -(-len(data) // _FRAME_BYTES_RGB))
+    assert fr.shape[0] == nf
+    want = np.zeros(nf * _FRAME_BYTES_RGB, np.uint8)
+    want[: len(data)] = np.frombuffer(data, np.uint8)
+    assert np.array_equal(fr.reshape(-1), want)
