@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     multimodal,
     sampling,
     similarity,
+    sketches,
     textops,
     timeseries,
 )

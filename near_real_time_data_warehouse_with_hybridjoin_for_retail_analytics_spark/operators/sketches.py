@@ -1,0 +1,97 @@
+"""Engine-portable cardinality sketches.
+
+Spark's own `approx_count_distinct` (HyperLogLog++) is the built-in
+answer at 100 TB, but its sketch bytes are engine-private — the DuckDB
+oracle cannot replay them, so a correctness-gated pipeline can't use it
+as a verified primitive. The K-Minimum-Values sketch is the portable
+alternative: over a uniform hash, the k-th smallest distinct hash value
+among n distinct keys estimates n as (k−1)·H / h_k (H = hash-space
+size), with relative error ~1/√k. Every piece is deterministic — the
+md5-based 60-bit hash family shared with the dedup operators, integer
+rank selection, one IEEE divide — so the oracle replays the sketch
+bit-for-bit AND the estimate can be compared against the exact count
+in the same query.
+
+Scale shape: KMV is a bounded-state commutative aggregate — k longs per
+group — so at 100 TB it runs as map-side partial k-min merges, exactly
+like HLL. This reference implementation selects the k-th order
+statistic with a rank window over distinct hashes (one shuffle on the
+group key); the estimator arithmetic is the contract the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import query
+from .dedup import TOKEN_SPLIT, portable_hash60
+
+KMV_K = 64  # ~12.5 % standard error; merges stay 64 longs per group
+_H_SPACE = float(1 << 60)  # hash-space size (exact power of two)
+
+
+@query(
+    "sketch_distinct_tokens",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT lang,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    hashed AS (
+      SELECT lang, token,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ),
+    ranked AS (
+      SELECT lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, token) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_exact
+      FROM hashed
+    )
+    SELECT lang,
+           CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+           CASE WHEN MAX(n_exact) < {KMV_K}
+                THEN CAST(MAX(n_exact) AS DOUBLE)
+                ELSE {KMV_K - 1} * {_H_SPACE!r}
+                     / MAX(CASE WHEN rk = {KMV_K} THEN h END)
+           END AS n_est
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality: exact count next to the
+    KMV estimate, both value-hash-checked (the sketch is deterministic,
+    so the oracle replays hash, rank selection and estimator exactly).
+    Accuracy vs k is gated in tests; at 100 TB the same estimator runs
+    as a bounded-state partial aggregate (module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
+    ).dropDuplicates(["lang", "token"])
+    hashed = toks.select("lang", "token", portable_hash60("token").alias("h"))
+    wr = Window.partitionBy("lang").orderBy("h", "token")
+    wc = Window.partitionBy("lang")
+    ranked = hashed.select(
+        "lang",
+        "h",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    est = F.when(
+        F.max("n_exact") < KMV_K, F.max("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        * F.lit(_H_SPACE)
+        / F.max(F.when(F.col("rk") == KMV_K, F.col("h")))
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n_exact").cast("long").alias("n_exact"),
+            est.alias("n_est"),
+        )
+    )

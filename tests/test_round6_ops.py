@@ -366,3 +366,21 @@ def test_avi_roundtrip_property(data):
     want = np.zeros(nf * _FRAME_BYTES_RGB, np.uint8)
     want[: len(data)] = np.frombuffer(data, np.uint8)
     assert np.array_equal(fr.reshape(-1), want)
+
+
+def test_kmv_sketch_accuracy_and_exact_fallback(spark, sf_dir):
+    """KMV estimate within ~4/sqrt(k) of exact per language; groups
+    under k report the exact count."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.sketches import (
+        KMV_K,
+        sketch_distinct_tokens,
+    )
+
+    rows = sketch_distinct_tokens(spark, sf_dir).collect()
+    assert rows
+    tol = 4.0 / (KMV_K**0.5)
+    for r in rows:
+        if r.n_exact < KMV_K:
+            assert r.n_est == float(r.n_exact)
+        else:
+            assert abs(r.n_est - r.n_exact) / r.n_exact <= tol, r
