@@ -90,19 +90,39 @@ class FingerprintBloom:
         return int(np.unpackbits(self.bits).sum())
 
 
+def portable_bloom_params(n: int) -> tuple[int, int]:
+    """Integer-only (m, k) sizing: m = 2^(bitlength(n)+3) bits (16–32
+    bits/key), k = 7. No float ln/ceil anywhere, so a SQL oracle
+    derives the identical parameters from the same count — the float
+    formula in ``build_bloom`` is NOT cross-engine reproducible (ln is
+    not correctly rounded), this one is."""
+    if n == 0:
+        return 0, 1
+    return 1 << (n.bit_length() + 3), 7
+
+
 def build_bloom(
-    keys: DataFrame, column: str = "fp", fpp: float = 0.01, n: int | None = None
+    keys: DataFrame,
+    column: str = "fp",
+    fpp: float = 0.01,
+    n: int | None = None,
+    m: int | None = None,
+    k: int | None = None,
 ) -> FingerprintBloom:
     """Build a Bloom filter over ``keys[column]`` with target
     false-positive rate ``fpp``. ``n`` overrides the sizing count (pass
-    it when the caller already knows the cardinality — saves a pass)."""
+    it when the caller already knows the cardinality — saves a pass);
+    explicit ``m``/``k`` (e.g. from ``portable_bloom_params``) bypass
+    the float sizing formula entirely."""
     if n is None:
         n = keys.count()
     if n == 0:
         return FingerprintBloom(np.zeros(0, dtype=np.uint8), 0, 1)
-    m = math.ceil(-(n * math.log(fpp)) / (_LN2 * _LN2))
-    m = ((m + 7) // 8) * 8
-    k = max(1, round(m / n * _LN2))
+    if m is None:
+        m = math.ceil(-(n * math.log(fpp)) / (_LN2 * _LN2))
+        m = ((m + 7) // 8) * 8
+    if k is None:
+        k = max(1, round(m / n * _LN2))
 
     def fold(rows):
         local = np.zeros(m // 8, dtype=np.uint8)

@@ -95,3 +95,102 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("n_est"),
         )
     )
+
+
+def _bloom_gate_sql() -> str:
+    # k = 7 is portable_bloom_params' constant hash count, inlined as a
+    # literal because DuckDB's range() only accepts constants; a pytest
+    # asserts the two stay in sync.
+    from .dedup import INCR_SPLIT_FRAC
+
+    return f"""
+    WITH params AS (
+      SELECT CAST(floor(CAST(MAX(doc_id) AS DOUBLE) * {INCR_SPLIT_FRAC})
+                  AS BIGINT) AS split
+      FROM documents
+    ),
+    oldfp AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+      WHERE doc_id < (SELECT split FROM params) AND text IS NOT NULL
+    ),
+    mk AS (
+      SELECT CASE WHEN COUNT(*) = 0 THEN 0
+                  ELSE 1 << (length(printf('%b', COUNT(*))) + 3) END AS m
+      FROM oldfp
+    ),
+    setbits AS (
+      SELECT DISTINCT
+             (CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT)
+              + r.i * (CAST('0x' || substr(md5(fp), 16, 15) AS BIGINT) | 1))
+             % NULLIF((SELECT m FROM mk), 0) AS p
+      FROM oldfp CROSS JOIN range(0, 7) r(i)
+    ),
+    inc AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+      WHERE doc_id >= (SELECT split FROM params)
+    ),
+    probes AS (
+      SELECT i.doc_id, i.fp,
+             (CAST('0x' || substr(md5(i.fp), 1, 15) AS BIGINT)
+              + r.i * (CAST('0x' || substr(md5(i.fp), 16, 15) AS BIGINT) | 1))
+             % NULLIF((SELECT m FROM mk), 0) AS p
+      FROM inc i CROSS JOIN range(0, 7) r(i)
+    ),
+    maybe AS (
+      SELECT pr.doc_id,
+             SUM(CASE WHEN s.p IS NOT NULL THEN 1 ELSE 0 END)
+               = 7 AS bloom_maybe
+      FROM probes pr LEFT JOIN setbits s ON s.p = pr.p
+      GROUP BY 1
+    )
+    SELECT i.doc_id, m.bloom_maybe,
+           CASE WHEN i.fp IN (SELECT fp FROM oldfp) THEN 'exact'
+                ELSE 'novel' END AS verdict,
+           m.bloom_maybe
+             AND i.fp NOT IN (SELECT fp FROM oldfp) AS false_positive
+    FROM inc i JOIN maybe m USING (doc_id)
+    """
+
+
+@query("dedup_bloom_gate", _bloom_gate_sql())
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest pre-gate, hash-verified: build the Bloom
+    filter over the indexed corpus's canonical fingerprints with the
+    INTEGER-ONLY portable sizing (``portable_bloom_params`` — the
+    float ln-based formula is not cross-engine reproducible), probe
+    every incoming doc, and report per doc the Bloom verdict next to
+    ground truth (``false_positive`` = maybe ∧ novel). The oracle
+    replays the filter exactly — double hashing off md5, position set,
+    k-of-k membership — as a position-set join, so a single wrong bit
+    position anywhere breaks the value hash. This is the entry that
+    proves the 100 TB refinement (classify definite novels without
+    touching the index join) is itself correct, not just plausible."""
+    from ..functions.bloom import build_bloom, portable_bloom_params
+    from .dedup import _incr_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = _incr_split(spark, sf_dir)
+    old_fps = (
+        docs.filter((F.col("doc_id") < split) & F.col("text").isNotNull())
+        .select(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .distinct()
+    )
+    n = old_fps.count()  # bounded driver scalar (knob derivation)
+    m, k = portable_bloom_params(n)
+    bloom = build_bloom(old_fps, n=n, m=m, k=k)
+
+    inc = docs.filter(F.col("doc_id") >= split).select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp")
+    )
+    flagged = inc.withColumn(
+        "bloom_maybe", bloom.might_contain_udf()("fp")
+    )
+    marker = old_fps.withColumn("__indexed", F.lit(True))
+    return flagged.join(marker, "fp", "left").select(
+        "doc_id",
+        "bloom_maybe",
+        F.when(F.col("__indexed"), "exact").otherwise("novel").alias("verdict"),
+        (F.col("bloom_maybe") & F.col("__indexed").isNull()).alias(
+            "false_positive"
+        ),
+    )

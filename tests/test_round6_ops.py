@@ -384,3 +384,33 @@ def test_kmv_sketch_accuracy_and_exact_fallback(spark, sf_dir):
             assert r.n_est == float(r.n_exact)
         else:
             assert abs(r.n_est - r.n_exact) / r.n_exact <= tol, r
+
+
+def test_bloom_gate_oracle_k_matches_portable_params():
+    """The oracle inlines k=7 (DuckDB range() needs a constant); it
+    must match portable_bloom_params' hash count."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.functions.bloom import (
+        portable_bloom_params,
+    )
+
+    m, k = portable_bloom_params(1000)
+    assert k == 7
+    assert m == 1 << (1000).bit_length() + 3
+
+
+def test_bloom_gate_false_positive_rate_bounded(spark, sf_dir):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.sketches import (
+        dedup_bloom_gate,
+    )
+
+    rows = dedup_bloom_gate(spark, sf_dir).collect()
+    assert rows
+    novel = [r for r in rows if r.verdict == "novel"]
+    fps = sum(r.false_positive for r in rows)
+    # m = 2^(bitlen(n)+3) gives 8-16 bits/key at worst (n just past a
+    # power of two) → expected fpp ≲ 1 %; the bound leaves Poisson tail
+    # room at this sf's tiny novel count (101 docs, λ≈0.7 → observed 3)
+    assert fps <= max(4, int(0.05 * len(novel)))
+    for r in rows:
+        if r.verdict == "exact":
+            assert r.bloom_maybe and not r.false_positive  # no false negatives
