@@ -194,3 +194,177 @@ def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_positive"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-overlap estimation: KMV Jaccard between source pairs
+# ---------------------------------------------------------------------------
+# The data-card question "how much does source X overlap source Y"
+# (token-set Jaccard for every source pair) answered from BOUNDED
+# per-source state: each source keeps only its k smallest token hashes
+# (the same KMV sketch as sketch_distinct_tokens). The classic KMV
+# Jaccard estimator needs nothing else — for any h among the k smallest
+# of A ∪ B, h ∈ A implies h is among the k smallest of A (A ⊆ A∪B), so
+# sketch membership decides "in both", and
+#   Ĵ = |{k-min of A∪B} ∩ A ∩ B| / min(k, |A∪B|)
+# is computable from the two sketches alone. At 100 TB the full
+# token-level pair expansion below (the *_exact columns) is what you
+# drop: per-source sketches are k rows each, pair merges touch
+# O(pairs · k) rows total, and the estimate needs no full-set shuffle.
+# The exact columns are kept here so the estimator's error is visible
+# and gated in the same verified output.
+
+
+def _source_overlap_sql() -> str:
+    h = "CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)"
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    hashed AS (SELECT source, token, {h} AS h FROM toks),
+    sk AS (
+      SELECT source, token, h FROM (
+        SELECT source, token, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, token) AS rk
+        FROM hashed)
+      WHERE rk <= {KMV_K}
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM (SELECT DISTINCT source FROM hashed) a
+      JOIN (SELECT DISTINCT source FROM hashed) b ON a.source < b.source
+    ),
+    skuni AS (
+      SELECT sa, sb, token, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.sa, p.sb, s.token, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, s.token, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.source = p.sb)
+      GROUP BY 1, 2, 3, 4
+    ),
+    est AS (
+      SELECT sa, sb,
+             CAST(LEAST(COUNT(*), {KMV_K}) AS BIGINT) AS est_k,
+             CAST(SUM(CASE WHEN rk <= {KMV_K} THEN in_a * in_b ELSE 0 END)
+                  AS BIGINT) AS est_matches
+      FROM (SELECT sa, sb, in_a, in_b,
+                   ROW_NUMBER() OVER (PARTITION BY sa, sb
+                                      ORDER BY h, token) AS rk
+            FROM skuni)
+      GROUP BY 1, 2
+    ),
+    funi AS (
+      SELECT sa, sb, token, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.sa, p.sb, t.token, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN toks t ON t.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, t.token, 0, 1
+        FROM pairs p JOIN toks t ON t.source = p.sb)
+      GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
+      FROM funi GROUP BY 1, 2
+    )
+    SELECT e.sa AS source_a, e.sb AS source_b,
+           x.n_union, x.n_inter,
+           CAST(x.n_inter AS DOUBLE) / x.n_union AS jaccard_exact,
+           e.est_k, e.est_matches,
+           CAST(e.est_matches AS DOUBLE) / e.est_k AS jaccard_est
+    FROM est e JOIN exact x ON x.sa = e.sa AND x.sb = e.sb
+    ORDER BY source_a, source_b
+    """
+
+
+@query("sketch_source_overlap", _source_overlap_sql())
+def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard between every pair of sources, exact AND
+    KMV-estimated in one verified output (module comment above for the
+    estimator and the 100 TB story). Source pairs are enumerated from a
+    bounded driver collect of the distinct source list — sources are
+    data-card strata, metadata-sized by construction — which keeps the
+    pair relation a broadcast-sized local table instead of a
+    nested-loop theta self-join. Deterministic end-to-end (md5 hash
+    family, (h, token) rank tiebreaks, integer counts, one IEEE divide
+    per ratio), so the DuckDB oracle replays sketches, merge ranks and
+    both Jaccard columns bit-exactly; estimator accuracy is separately
+    gated in tests."""
+    from .dedup import TOKEN_SPLIT, portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
+    ).dropDuplicates(["source", "token"])
+    hashed = toks.select("source", "token", portable_hash60("token").alias("h"))
+
+    wsrc = Window.partitionBy("source").orderBy("h", "token")
+    sk = (
+        hashed.withColumn("rk", F.row_number().over(wsrc))
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "token", "h")
+    )
+
+    sources = sorted(
+        r["source"] for r in hashed.select("source").distinct().collect()
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(sources) for b in sources[i + 1 :]],
+        "sa string, sb string",
+    )
+
+    def _tagged_union(rel: DataFrame, cols: list[str]) -> DataFrame:
+        a = pairs.join(
+            rel.withColumnRenamed("source", "sa"), "sa"
+        ).select("sa", "sb", *cols, F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        b = pairs.join(
+            rel.withColumnRenamed("source", "sb"), "sb"
+        ).select("sa", "sb", *cols, F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        return (
+            a.unionByName(b)
+            .groupBy("sa", "sb", *cols)
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        )
+
+    wp = Window.partitionBy("sa", "sb").orderBy("h", "token")
+    est = (
+        _tagged_union(sk, ["token", "h"])
+        .withColumn("rk", F.row_number().over(wp))
+        .groupBy("sa", "sb")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(KMV_K)).cast("long").alias("est_k"),
+            F.sum(
+                F.when(F.col("rk") <= KMV_K, F.col("in_a") * F.col("in_b"))
+                .otherwise(0)
+            ).cast("long").alias("est_matches"),
+        )
+    )
+    exact = (
+        _tagged_union(toks, ["token"])
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+        )
+    )
+    return (
+        est.join(exact, ["sa", "sb"])
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_union",
+            "n_inter",
+            (F.col("n_inter").cast("double") / F.col("n_union")).alias(
+                "jaccard_exact"
+            ),
+            "est_k",
+            "est_matches",
+            (F.col("est_matches").cast("double") / F.col("est_k")).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -463,3 +463,24 @@ def test_semantic_dedup_row_invariants(spark, sf_dir):
             assert r.dup_of < r.vec_id
             assert r.dup_sim >= similarity.SEM_DUP_COSINE
     assert next(r for r in rows if r.vec_id == min(ids)).kept
+
+
+def test_source_overlap_estimator_accuracy(spark, sf_dir):
+    """KMV Jaccard vs exact: when the pair's union fits inside the
+    sketch (n_union ≤ k) the estimate must EQUAL the exact value (a
+    full sketch is the full set); otherwise the estimator error is
+    bounded well inside the ~1/√k KMV band. All 190 source pairs must
+    be present."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        sketches,
+    )
+
+    rows = sketches.sketch_source_overlap(spark, sf_dir).collect()
+    assert len(rows) == 190  # C(20, 2) source pairs
+    for r in rows:
+        assert 0.0 <= r.jaccard_est <= 1.0
+        if r.n_union <= sketches.KMV_K:
+            assert r.est_k == r.n_union and r.est_matches == r.n_inter
+            assert r.jaccard_est == r.jaccard_exact
+        else:
+            assert abs(r.jaccard_est - r.jaccard_exact) <= 0.25
