@@ -42,6 +42,13 @@ def _h12(value: str) -> tuple[int, int]:
     return int(d[:15], 16), int(d[15:30], 16) | 1
 
 
+def _positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) uint64 probe positions via Kirsch–Mitzenmacher double
+    hashing, vectorized over the batch."""
+    ks = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m)
+
+
 @dataclass(frozen=True)
 class FingerprintBloom:
     """Immutable bitmap + parameters; safe to capture in UDF closures
@@ -63,25 +70,27 @@ class FingerprintBloom:
 
     def might_contain_udf(self) -> Column:
         """Arrow-batched probe: fp column → boolean (False = definitely
-        not indexed)."""
+        not indexed). Per batch: one md5 per value (the only per-row
+        Python), then the k probe positions and bit tests for the whole
+        batch as three vectorized uint64 ops (max position value is
+        h1 + 6·h2 < 7·2^60, inside uint64)."""
         bits, m, k = self.bits, self.m, self.k
 
         @F.pandas_udf("boolean")
         def probe(values: pd.Series) -> pd.Series:
-            out = np.zeros(len(values), dtype=bool)
-            if m:
-                for j, v in enumerate(values):
-                    if v is None:
-                        continue
-                    h1, h2 = _h12(v)
-                    hit = True
-                    for i in range(k):
-                        pos = (h1 + i * h2) % m
-                        if not (bits[pos >> 3] >> (pos & 7)) & 1:
-                            hit = False
-                            break
-                    out[j] = hit
-            return pd.Series(out)
+            if not m or values.empty:
+                return pd.Series(np.zeros(len(values), dtype=bool))
+            mask = values.notna().to_numpy()
+            h = np.array(
+                [_h12(v) if ok else (0, 1) for v, ok in zip(values, mask)],
+                dtype=np.uint64,
+            )
+            pos = _positions(h[:, 0], h[:, 1], m, k)
+            probed = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            hit = ((probed >> (pos & np.uint64(7)).astype(np.uint8)) & 1).all(
+                axis=1
+            )
+            return pd.Series(hit & mask)
 
         return probe
 
@@ -126,14 +135,19 @@ def build_bloom(
 
     def fold(rows):
         local = np.zeros(m // 8, dtype=np.uint8)
-        for row in rows:
-            v = row[0]
-            if v is None:
-                continue
-            h1, h2 = _h12(v)
-            for i in range(k):
-                pos = (h1 + i * h2) % m
-                local[pos >> 3] |= np.uint8(1 << (pos & 7))
+        h = np.array(
+            [_h12(row[0]) for row in rows if row[0] is not None],
+            dtype=np.uint64,
+        )
+        if h.size:
+            pos = _positions(h[:, 0], h[:, 1], m, k).ravel()
+            np.bitwise_or.at(
+                local,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
         yield local
 
     bits = (

@@ -170,10 +170,16 @@ def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     split = _incr_split(spark, sf_dir)
+    # persist: the deduped fingerprint relation feeds three consumers
+    # (the sizing count, the bitmap fold, the ground-truth join) — one
+    # distinct-shuffle instead of three. O(distinct fingerprints), the
+    # same bound as the filter itself; spills to disk if it outgrows
+    # executor memory.
     old_fps = (
         docs.filter((F.col("doc_id") < split) & F.col("text").isNotNull())
         .select(F.md5(F.lower(F.trim("text"))).alias("fp"))
         .distinct()
+        .persist()
     )
     n = old_fps.count()  # bounded driver scalar (knob derivation)
     m, k = portable_bloom_params(n)
