@@ -374,3 +374,82 @@ def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: two-phase candidates + exact recount
+# ---------------------------------------------------------------------------
+# Frequent-token extraction without a full-vocabulary shuffle. Phase 1
+# streams each Arrow chunk once and keeps the tokens whose LOCAL share
+# clears the global support threshold (count_chunk · HH_SHARE_DEN ≥
+# chunk_size). That candidate set provably contains every true heavy
+# hitter for ANY chunking of the data: Σcᵢ = c ≥ N/DEN over Σ Nᵢ = N
+# implies some chunk has cᵢ/Nᵢ ≥ c/N ≥ 1/DEN (weighted-average
+# pigeonhole) — no balance assumption, no probabilistic bound. Phase 2
+# recounts ONLY the candidates (broadcast semi-join, then a groupBy
+# whose key space is ≤ DEN distinct tokens per chunk instead of the
+# whole vocabulary) and trims to the exact support predicate, so the
+# OUTPUT is exactly "SELECT token HAVING count·DEN ≥ total" — the
+# sketch bounds what shuffles, never what is returned, which is why a
+# plain SQL oracle verifies it hash-exactly. At 100 TB this is the
+# difference between shuffling O(vocabulary) partial counts and
+# shuffling O(heavy candidates): web-scale token vocabularies are
+# billions of keys, heavy-hitter sets are thousands.
+HH_SHARE_DEN = 500  # heavy hitter ⇔ occurrences · 500 ≥ total tokens (0.2 %)
+
+
+def _heavy_hitters_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+    FROM toks GROUP BY token
+    HAVING COUNT(*) * {HH_SHARE_DEN} >= (SELECT n FROM tot)
+    ORDER BY n_occurrences DESC, token
+    """
+
+
+@query("sketch_heavy_hitters", _heavy_hitters_sql())
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with ≥ 1/HH_SHARE_DEN of all token
+    occurrences) via the candidates + exact-recount two-phase plan
+    described in the module comment: a vectorized per-chunk local-share
+    pass proposes candidates (`value_counts` per Arrow batch — no
+    per-row Python), a broadcast semi-join restricts the recount to
+    them, and the exact support filter trims the superset. Output is
+    identical to the single-shuffle groupBy+HAVING the oracle runs;
+    the candidate machinery only bounds the shuffle width."""
+    import pandas as pd
+
+    from .dedup import TOKEN_SPLIT
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
+    )
+
+    def local_heavy(batches):
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            yield pd.DataFrame(
+                {"token": vc.index[vc * HH_SHARE_DEN >= len(pdf)]}
+            )
+
+    candidates = toks.mapInPandas(local_heavy, "token string").distinct()
+    total = toks.count()  # bounded driver scalar (the support threshold)
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * HH_SHARE_DEN >= total)
+        .select(
+            "token",
+            "n_occurrences",
+            (F.col("n_occurrences").cast("double") / total).alias("share"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+    )

@@ -484,3 +484,37 @@ def test_source_overlap_estimator_accuracy(spark, sf_dir):
             assert r.jaccard_est == r.jaccard_exact
         else:
             assert abs(r.jaccard_est - r.jaccard_exact) <= 0.25
+
+
+def test_heavy_hitters_exact_vs_direct(spark, sf_dir):
+    """The two-phase plan (chunk-local candidates + exact recount) must
+    return EXACTLY the single-shuffle groupBy+HAVING answer — the
+    candidate phase bounds the shuffle, never the result (the
+    weighted-average pigeonhole in the module comment guarantees the
+    superset for any chunking)."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        sketches,
+    )
+
+    got = {
+        (r.token, r.n_occurrences)
+        for r in sketches.sketch_heavy_hitters(spark, sf_dir).collect()
+    }
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    total = toks.count()
+    want = {
+        (r.token, r.c)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * sketches.HH_SHARE_DEN >= total)
+        .collect()
+    }
+    assert got == want and got
+    assert all(c * sketches.HH_SHARE_DEN >= total for _, c in got)
