@@ -643,3 +643,101 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_affected").cast("double") / F.lit(float(n_docs)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch schedule under a repetition cap (data-constrained scaling)
+# ---------------------------------------------------------------------------
+# Turning mixture weights into an executable schedule: a source whose
+# temperature-scaled budget exceeds its actual token count must repeat
+# (epochs > 1), and repeating data has sharply diminishing returns past
+# a few epochs (Muennighoff et al. 2023, "Scaling Data-Constrained
+# Language Models" — value decays roughly after ~4 epochs). This entry
+# reports, per source, the implied epoch count and the budget after
+# capping at MAX_EPOCHS, plus how many budgeted tokens the cap leaves
+# unallocated (the surplus a planner would re-spread or return).
+# All derived columns are integer arithmetic plus one IEEE divide per
+# ratio, so the schedule is engine-portable and value-hash-checked.
+MAX_EPOCHS = 4
+
+
+@query(
+    "curation_epochs_schedule",
+    f"""
+    WITH t AS (
+      SELECT source, CAST(SUM(CAST({_SQL_N_TOKENS} AS BIGINT)) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    q AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                             / (SELECT SUM(n_tokens) FROM t)) * {_Q})
+                  AS BIGINT) AS sq
+      FROM t
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(floor(CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS BIGINT)
+                        * {MIX_TOKEN_BUDGET}) AS BIGINT) AS budget_tokens
+      FROM q
+    )
+    SELECT source, n_tokens, budget_tokens,
+           CAST(budget_tokens AS DOUBLE) / n_tokens AS epochs,
+           LEAST(budget_tokens, {MAX_EPOCHS} * n_tokens) AS capped_tokens,
+           budget_tokens > {MAX_EPOCHS} * n_tokens AS capped,
+           CAST(SUM(budget_tokens - LEAST(budget_tokens,
+                    {MAX_EPOCHS} * n_tokens)) OVER () AS BIGINT)
+             AS surplus_tokens
+    FROM w
+    ORDER BY source
+    """,
+)
+def curation_epochs_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch schedule at the MIX_TOKEN_BUDGET training
+    budget: the temperature-scaled budget from
+    ``curation_temperature_mix`` re-expressed as epochs over the
+    source's actual tokens, capped at MAX_EPOCHS (module comment), with
+    the corpus-wide unallocated surplus repeated on every row (a
+    scalar window — the single number a budget planner redistributes).
+    Same single-groupBy + scalar-window shape as the mixture entry —
+    per-source state only, no per-document work beyond the token
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(F.sum(_n_tokens_col()).alias("n_tokens"))
+    total = Window.partitionBy()
+    sq = F.floor(
+        F.sqrt(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total)
+        )
+        * _Q
+    ).cast("long")
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            sq.cast("double") / F.sum(sq).over(total) * MIX_TOKEN_BUDGET
+        ).cast("long").alias("budget_tokens"),
+    )
+    capped_tokens = F.least(
+        F.col("budget_tokens"), F.lit(MAX_EPOCHS) * F.col("n_tokens")
+    )
+    return (
+        w.select(
+            "source",
+            "n_tokens",
+            "budget_tokens",
+            (F.col("budget_tokens").cast("double") / F.col("n_tokens")).alias(
+                "epochs"
+            ),
+            capped_tokens.alias("capped_tokens"),
+            (F.col("budget_tokens") > MAX_EPOCHS * F.col("n_tokens")).alias(
+                "capped"
+            ),
+            F.sum(F.col("budget_tokens") - capped_tokens)
+            .over(total)
+            .cast("long")
+            .alias("surplus_tokens"),
+        )
+        .orderBy("source")
+    )

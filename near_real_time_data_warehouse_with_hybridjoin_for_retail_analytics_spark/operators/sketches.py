@@ -213,12 +213,12 @@ def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of A ∪ B, h ∈ A implies h is among the k smallest of A (A ⊆ A∪B), so
 # sketch membership decides "in both", and
 #   Ĵ = |{k-min of A∪B} ∩ A ∩ B| / min(k, |A∪B|)
-# is computable from the two sketches alone. At 100 TB the full
-# token-level pair expansion below (the *_exact columns) is what you
-# drop: per-source sketches are k rows each, pair merges touch
-# O(pairs · k) rows total, and the estimate needs no full-set shuffle.
-# The exact columns are kept here so the estimator's error is visible
-# and gated in the same verified output.
+# is computable from the two sketches alone. At 100 TB the exact tier
+# (an inverted-index self-join on the token — Σ C(sources_per_token, 2)
+# pair rows) is what you drop: per-source sketches are k rows each,
+# pair merges touch O(pairs · k) rows total, and the estimate needs no
+# token-level shuffle at all. The exact columns are kept here so the
+# estimator's error is visible and gated in the same verified output.
 
 
 def _source_overlap_sql() -> str:
@@ -262,19 +262,20 @@ def _source_overlap_sql() -> str:
             FROM skuni)
       GROUP BY 1, 2
     ),
-    funi AS (
-      SELECT sa, sb, token, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
-        SELECT p.sa, p.sb, t.token, 1 AS in_a, 0 AS in_b
-        FROM pairs p JOIN toks t ON t.source = p.sa
-        UNION ALL
-        SELECT p.sa, p.sb, t.token, 0, 1
-        FROM pairs p JOIN toks t ON t.source = p.sb)
-      GROUP BY 1, 2, 3
+    sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY 1),
+    co AS (
+      SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
     ),
     exact AS (
-      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_union,
-             CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
-      FROM funi GROUP BY 1, 2
+      SELECT p.sa, p.sb,
+             CAST(za.n + zb.n - coalesce(c.n_inter, 0) AS BIGINT) AS n_union,
+             CAST(coalesce(c.n_inter, 0) AS BIGINT) AS n_inter
+      FROM pairs p
+      JOIN sizes za ON za.source = p.sa
+      JOIN sizes zb ON zb.source = p.sb
+      LEFT JOIN co c ON c.sa = p.sa AND c.sb = p.sb
     )
     SELECT e.sa AS source_a, e.sb AS source_b,
            x.n_union, x.n_inter,
@@ -348,12 +349,40 @@ def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("est_matches"),
         )
     )
+    # Exact tier via the inverted index: tokens appearing in ≥2 sources
+    # generate their co-occurring source pairs (one equi-self-join on
+    # the token — the shingle-join shape), |A∪B| = |A|+|B|−|A∩B| from
+    # per-source sizes. No (pair × full token set) expansion.
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    co = (
+        ta.join(
+            tb,
+            (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.source") < F.col("tb.source")),
+        )
+        .groupBy(
+            F.col("ta.source").alias("sa"), F.col("tb.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter0"))
+    )
     exact = (
-        _tagged_union(toks, ["token"])
-        .groupBy("sa", "sb")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_union"),
-            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+        pairs.join(
+            sizes.select(F.col("source").alias("sa"), F.col("n").alias("na")),
+            "sa",
+        )
+        .join(
+            sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb")),
+            "sb",
+        )
+        .join(co, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            (
+                F.col("na") + F.col("nb") - F.coalesce("n_inter0", F.lit(0))
+            ).cast("long").alias("n_union"),
+            F.coalesce("n_inter0", F.lit(0)).cast("long").alias("n_inter"),
         )
     )
     return (
