@@ -518,3 +518,27 @@ def test_heavy_hitters_exact_vs_direct(spark, sf_dir):
     }
     assert got == want and got
     assert all(c * sketches.HH_SHARE_DEN >= total for _, c in got)
+
+
+def test_epochs_schedule_invariants(spark, sf_dir):
+    """Budget conservation and cap semantics: epochs is exactly
+    budget/tokens, capped_tokens is min(budget, 4·tokens), capped ⇔
+    the cap actually bound, and the surplus equals the total budget
+    clipped off across sources (same scalar on every row)."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        curation,
+    )
+
+    rows = curation.curation_epochs_schedule(spark, sf_dir).collect()
+    assert len(rows) == 20
+    surplus = {r.surplus_tokens for r in rows}
+    assert len(surplus) == 1
+    clipped = 0
+    for r in rows:
+        assert r.epochs == r.budget_tokens / r.n_tokens
+        assert r.capped_tokens == min(
+            r.budget_tokens, curation.MAX_EPOCHS * r.n_tokens
+        )
+        assert r.capped == (r.budget_tokens > curation.MAX_EPOCHS * r.n_tokens)
+        clipped += r.budget_tokens - r.capped_tokens
+    assert surplus == {clipped}
