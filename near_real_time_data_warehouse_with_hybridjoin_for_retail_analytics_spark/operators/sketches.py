@@ -448,10 +448,19 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences) via the candidates + exact-recount two-phase plan
     described in the module comment: a vectorized per-chunk local-share
     pass proposes candidates (`value_counts` per Arrow batch — no
-    per-row Python), a broadcast semi-join restricts the recount to
-    them, and the exact support filter trims the superset. Output is
-    identical to the single-shuffle groupBy+HAVING the oracle runs;
-    the candidate machinery only bounds the shuffle width."""
+    per-row Python), a semi-join restricts the recount to them, and
+    the exact support filter trims the superset. Output is identical
+    to the single-shuffle groupBy+HAVING the oracle runs; the
+    candidate machinery only bounds the shuffle width.
+
+    The candidate join carries NO broadcast hint: the candidate set is
+    ≤ HH_SHARE_DEN distinct tokens per Arrow chunk, so its size grows
+    with chunk count, not corpus rows — small in practice but not
+    provably bounded. The `distinct()` shuffle gives AQE exact runtime
+    stats, so it broadcasts when the set fits (verified at gate scale
+    in EXPLAIN_AUDIT.md) and degrades to a partitioned join instead of
+    an executor OOM when it doesn't — the same planner-driven policy
+    as the dedup candidate verification (dedup.py:570)."""
     import pandas as pd
 
     from .dedup import TOKEN_SPLIT
@@ -471,7 +480,7 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = toks.mapInPandas(local_heavy, "token string").distinct()
     total = toks.count()  # bounded driver scalar (the support threshold)
     return (
-        toks.join(F.broadcast(candidates), "token")
+        toks.join(candidates, "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") * HH_SHARE_DEN >= total)
