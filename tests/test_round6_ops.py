@@ -520,6 +520,24 @@ def test_heavy_hitters_exact_vs_direct(spark, sf_dir):
     assert all(c * sketches.HH_SHARE_DEN >= total for _, c in got)
 
 
+def test_heavy_hitters_candidate_join_broadcasts_hint_free(spark, sf_dir):
+    """The candidate recount join carries no manual broadcast hint
+    (the candidate set grows with chunk count, so a hint would be a
+    human-operated scale switch that could OOM a pathological corpus)
+    — pin that the planner still picks a broadcast join on its own at
+    gate scale, from the candidate side's runtime/estimated stats.
+    Same executed-plan-evidence pattern as test_aqe_skew.py."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        sketches,
+    )
+
+    df = sketches.sketch_heavy_hitters(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_epochs_schedule_invariants(spark, sf_dir):
     """Budget conservation and cap semantics: epochs is exactly
     budget/tokens, capped_tokens is min(budget, 4·tokens), capped ⇔
