@@ -93,13 +93,20 @@ def _fact_supplier(spark, sf_dir) -> DataFrame:
     )
 
 
-def _latest_year(df: DataFrame, date_col: str = "l_shipdate") -> DataFrame:
+def _latest_year(
+    df: DataFrame, spark: SparkSession, sf_dir: str, date_col: str = "l_shipdate"
+) -> DataFrame:
     """Filter to the max year — reference 'latest_year' CTE (queries.sql:32-38).
 
-    A 1-row broadcast join (scalar subquery shape) — no second scan
-    materialization, and Catalyst turns it into a runtime filter.
+    The scalar is computed from the BARE lineitem table (a single
+    column-pruned scan of ``date_col``), exactly as the oracle SQL
+    scopes it (``FROM lineitem``) — NOT from the already-joined star
+    relation: Catalyst does not share subtrees, so deriving the scalar
+    from ``df`` would scan and join the whole star twice. The 1-row
+    result broadcasts as a runtime filter over the joined relation.
     """
-    mx = df.select(F.max(year_i(date_col)).alias("_maxy"))
+    li = load_table(spark, sf_dir, "lineitem").select(date_col)
+    mx = li.select(F.max(year_i(date_col)).alias("_maxy"))
     return df.join(F.broadcast(mx), year_i(date_col) == F.col("_maxy")).drop("_maxy")
 
 
@@ -209,7 +216,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _latest_year(_fact_customer(spark, sf_dir))
+    df = _latest_year(_fact_customer(spark, sf_dir), spark, sf_dir)
     return df.groupBy(
         quarter_i("l_shipdate").alias("quarter_num"),
         F.col("c_mktsegment").alias("segment"),
@@ -276,7 +283,13 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _fact_customer(spark, sf_dir)
-    md = df.select(F.max(F.to_date("l_shipdate")).alias("latest"))
+    # Scalar MAX(date) from the bare lineitem table (one pruned column
+    # scan) — matching the oracle's `FROM lineitem` CTE, not the joined
+    # star relation, which would execute the 4-way join twice.
+    md = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.max(F.to_date("l_shipdate")).alias("latest"))
+    )
     d = F.to_date("l_shipdate")
     return (
         df.join(
@@ -404,7 +417,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _latest_year(_fact_customer(spark, sf_dir))
+    df = _latest_year(_fact_customer(spark, sf_dir), spark, sf_dir)
     return df.groupBy(
         F.col("c_mktsegment").alias("segment"),
         is_weekend("l_shipdate").alias("is_weekend"),
@@ -632,7 +645,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = load_table(spark, sf_dir, "part")
     df = (
-        _latest_year(_fact_supplier(spark, sf_dir))
+        _latest_year(_fact_supplier(spark, sf_dir), spark, sf_dir)
         .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
         .select(
             F.col("n_name").alias("nation"),
