@@ -100,7 +100,7 @@ def test_warehouse_query_runs(spark, warehouse, name):
 def test_q2_hand_checked(spark, warehouse):
     """Hand-computed demographics for the fixture."""
     rows = {
-        (r.gender, r.age_group, r.city_category): (r.total_spent, r.total_units)
+        (r.gender, r.age_group, r.city_category): (r.total_revenue, r.units_sold)
         for r in wq.run_query(spark, "q2_demographics_spend").collect()
     }
     # customer 1000001 (M,26-35,A): 2*10.50 + 1*79.95 + 2*5.25 = 111.45, units 5
@@ -112,7 +112,11 @@ def test_q2_hand_checked(spark, warehouse):
 def test_q16_affinity_hand_checked(spark, warehouse):
     """Orders 100 and 105 both contain {P001,P002} → pair_count 2."""
     top = wq.run_query(spark, "q16_affinity_pairs").collect()
-    assert (top[0].product_a, top[0].product_b, top[0].pair_count) == ("P001", "P002", 2)
+    assert (top[0].product_a, top[0].product_b, top[0].times_bought_together) == (
+        "P001",
+        "P002",
+        2,
+    )
 
 
 def test_q17_rollup_levels(spark, warehouse):
@@ -123,20 +127,20 @@ def test_q17_rollup_levels(spark, warehouse):
     assert len(grand) == 1  # single grand-total row
     # grand total equals the sum of fully-grouped leaves
     leaves = [
-        r.total_revenue
+        r.yearly_revenue
         for r in rows
         if r.store_name is not None
         and r.supplier_name is not None
         and r.product_category is not None
-        and r.sale_year is not None
+        and r.year is not None
     ]
-    assert grand[0].total_revenue == sum(leaves)
+    assert grand[0].yearly_revenue == sum(leaves)
 
 
 def test_q19_spike_flag_only_spikes(spark, warehouse):
     for r in wq.run_query(spark, "q19_daily_spikes").collect():
         assert r.status == "SPIKE"
-        assert r.daily_total > 2 * r.avg_daily
+        assert r.daily_total > 2 * r.avg_daily_sales
 
 
 @pytest.mark.parametrize("name", sorted(serving.DASHBOARD_QUERIES))
