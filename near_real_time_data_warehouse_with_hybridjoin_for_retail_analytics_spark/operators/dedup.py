@@ -129,6 +129,44 @@ def cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n) distinct-shingle counts — tiny, referenced from
+    several branches of every Jaccard verification (both pair sides
+    plus the signed-docs restriction); one persisted copy instead of
+    re-aggregating the shingle relation per branch."""
+    return _cached(
+        spark,
+        sf_dir,
+        "shingle_sizes",
+        lambda: cached_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+
+
+def cached_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rep, group_size) — the exact-duplicate identity groups
+    of the documents table (see ``_identity_groups``), persisted once
+    per (session, sf). Three narrow columns; the relation feeds the two
+    member-expansion joins, the within-group pair generator, and the
+    rep restriction of every collapsed dedup pipeline — without the
+    cache each reference re-scans documents twice (fingerprint + group
+    sides of the self-join)."""
+
+    def build() -> DataFrame:
+        fp = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", F.md5("text").alias("fp"))
+        )
+        groups = fp.groupBy("fp").agg(
+            F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("group_size")
+        )
+        return fp.join(groups, "fp").select("doc_id", "rep", "group_size")
+
+    return _cached(spark, sf_dir, "identity_members", build)
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE_N, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) word n-gram shingles per doc — distinct by
     default (the Jaccard contract); ``distinct=False`` skips the
@@ -226,7 +264,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         sh = cached_shingles(spark, sf_dir)
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        sizes = cached_shingle_sizes(spark, sf_dir)
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         common = (
@@ -342,6 +380,35 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id", sig_udf("text").alias("sig"))
         .filter(F.col("sig").isNotNull())
+    )
+
+
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>) from a (doc_id, shingle) relation via
+    k map-side-combinable MIN aggregates — the oracle's own
+    formulation (``_sql_minhash_bands``), JVM-side end to end, zero
+    Python. Partial aggregation ships k partial minima per (doc,
+    partition), never shingle sets, so there is no per-doc unbounded
+    row anywhere. Complements the text-kernel ``minhash_signatures``
+    for callers that already hold a persisted shingle relation
+    (``cached_shingles``) — recomputing shingles in Python beside a
+    materialized copy of them is pure constant overhead. Docs with no
+    shingles have no rows here, hence no signature (same contract)."""
+    h = portable_hash60("shingle")
+    hb = sh.select(
+        "doc_id",
+        (h % F.lit(M30)).alias("lo"),
+        F.shiftright(h, 30).alias("hi"),
+    )
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("lo") + F.lit(c) * F.col("hi") + F.lit(b))
+            % F.lit(P31)
+        ).alias(f"m{i}")
+        for i, (a, c, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return hb.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
     )
 
 
@@ -550,17 +617,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it exactly (full value-hash check, not rows-only) —
     LSH recall vs exact ngram Jaccard stays gated in tests."""
     sh = cached_shingles(spark, sf_dir)
-    reps, members = _identity_groups(load_table(spark, sf_dir, "documents"))
-    # One straight DAG: with bucket-grouped pair generation every
-    # subtree (signatures, candidates) is referenced exactly once, so
-    # nothing needs persisting — measured at sf0.1, persist()ing the
-    # signature relation costs ~10× its recompute (columnar-cache
-    # writes of array columns), and a candidate-doc semi-join
-    # restriction of the verification was 3× slower than joining the
-    # already-persisted shingle relation directly.
-    cands = lsh_candidate_pairs(minhash_signatures(reps))
+    members = cached_members(spark, sf_dir)
+    # Signatures come from the persisted shingle relation via JVM MIN
+    # aggregates (``minhash_signatures_from_shingles``) — the text
+    # kernel tokenized + md5'd every doc a second time in Python right
+    # beside a materialized copy of its shingles. Restricted to
+    # identity-group representatives with a semi-join before the
+    # aggregate, so duplicate classes still sign exactly once. The
+    # signature relation itself stays unpersisted: it feeds the bucket
+    # pair generator once, and persist()ing array columns costs ~10×
+    # their recompute (measured at sf0.1).
+    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    rep_sh = sh.join(rep_ids, "doc_id", "left_semi")
+    cands = lsh_candidate_pairs(minhash_signatures_from_shingles(rep_sh))
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = cached_shingle_sizes(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     # Verification joins carry no manual broadcast hints: AQE sees the
@@ -690,10 +761,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming exactly 0; every non-null text signs, so every duplicate
     group qualifies. Output — and therefore the oracle — is unchanged.
 
-    Straight DAG, nothing persisted: the signature relation feeds the
+    Straight DAG; only the (narrow, shared) identity-group relation is
+    persisted (``cached_members``) — the signature relation feeds the
     bucket pair generator once, and the Hamming verification rides on
     the signatures carried through the buckets (no join back)."""
-    reps, members = _identity_groups(load_table(spark, sf_dir, "documents"))
+    members = cached_members(spark, sf_dir)
+    reps = load_table(spark, sf_dir, "documents").join(
+        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
     sigs = simhash_signatures(reps)
     chunks = sigs.select(
         F.struct("doc_id", "simhash").alias("ds"),
