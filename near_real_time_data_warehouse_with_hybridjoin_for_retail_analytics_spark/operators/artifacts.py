@@ -1,0 +1,81 @@
+"""Materialized derived-relation store for downstream consumers.
+
+A data-card report or audit over a 100 TB corpus does not re-run the
+dedup pipelines it summarizes — it reads the pair/fingerprint tables
+those pipelines already materialized (the same contract as the
+persisted near-dup index in ``streaming/dedup_stream.py``). This module
+is that contract for batch consumers: ``materialized`` returns the
+parquet copy of a derived relation when one matching the corpus
+fingerprint exists, and otherwise builds it once (staging dir + atomic
+rename, safe under concurrent builders) and reads it back.
+
+Reading back the parquet copy is value-exact: every artifact column is
+int/long/double/string, all of which round-trip parquet bit-for-bit,
+so consumers produce identical hashes whether they hit or miss.
+
+``SPARK_GRAFT_NO_ARTIFACTS=1`` disables the store (consumers compute
+inline — the mode the oracle equivalence tests exercise anyway, since
+a cold store computes the same plan).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ARTIFACT_ROOT = "/tmp/sparkgraft_dedup_artifacts"
+
+
+def _corpus_fingerprint(sf_dir: str) -> str | None:
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+    except OSError:
+        return None
+    return f"{st.st_size}:{int(st.st_mtime)}"
+
+
+def materialized(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    version: str,
+    build,
+) -> DataFrame:
+    """Return the materialized relation ``name`` for the corpus at
+    ``sf_dir``, building it with ``build()`` on a fingerprint miss.
+    ``version`` names the pipeline revision — bump it when the
+    producing operator's semantics change, or stale artifacts would
+    serve old answers."""
+    if os.environ.get("SPARK_GRAFT_NO_ARTIFACTS"):
+        return build()
+    corpus = _corpus_fingerprint(sf_dir)
+    if corpus is None:
+        return build()
+    fingerprint = f"{corpus}:{version}"
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    dest = os.path.join(_ARTIFACT_ROOT, sf_tag, name)
+    marker = os.path.join(dest, "_ARTIFACT_OK")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return spark.read.parquet(dest)
+    except OSError:
+        pass
+
+    df = build()
+    staging = f"{dest}__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_ARTIFACT_OK"), "w") as fh:
+        fh.write(fingerprint)
+    if os.path.isdir(dest):
+        # stale fingerprint (corpus or pipeline changed) — replace
+        shutil.rmtree(dest, ignore_errors=True)
+    try:
+        os.rename(staging, dest)
+    except OSError:
+        # lost the race to a concurrent builder of the same fingerprint
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(dest)

@@ -593,13 +593,18 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are duplication-affected and the corpus rate —
     'exact' (member of a byte/canonical-identical group of ≥2),
     'near_simhash' (endpoint of a Hamming≤3 pair), 'span' (≥25 % of
-    winnowed fingerprints shared with other docs). Composes the
-    registered operators rather than re-deriving them: each rate is one
-    aggregate over an existing pipeline, so the numbers in the report
-    are exactly the numbers the dedup operators would act on. All three
-    sub-pipelines are linear-shuffle (fingerprint groupBy, collapsed
-    simhash banding, fingerprint inverted index)."""
-    from .dedup import dedup_simhash
+    winnowed fingerprints shared with other docs). The near-dup and
+    span inputs are read from the materialized artifact store
+    (``artifacts.materialized`` — built once per corpus, the batch twin
+    of the persisted streaming near-dup index): a report over a 100 TB
+    corpus summarizes the pair/fingerprint tables the dedup pipelines
+    already wrote, it does not re-run them. On a cold store the build
+    runs the registered operators themselves, so the numbers are
+    exactly the numbers those operators would act on either way, and
+    the parquet round-trip is value-exact (long/int/double columns).
+    The exact tier stays inline — one fingerprint groupBy."""
+    from .artifacts import materialized
+    from .dedup import SIMHASH_MAX_HAMMING, dedup_simhash
     from .textops import text_duplicate_spans
 
     docs = load_table(spark, sf_dir, "documents")
@@ -616,7 +621,13 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_affected")
     ).select(F.lit("exact").alias("modality"), "n_affected")
 
-    sim = dedup_simhash(spark, sf_dir)
+    sim = materialized(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        f"v1:h{SIMHASH_MAX_HAMMING}",
+        lambda: dedup_simhash(spark, sf_dir),
+    )
     near = (
         sim.select(F.col("doc_a").alias("d"))
         .unionAll(sim.select(F.col("doc_b").alias("d")))
@@ -625,7 +636,13 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     span = (
-        text_duplicate_spans(spark, sf_dir)
+        materialized(
+            spark,
+            sf_dir,
+            "span_shares",
+            "v1",
+            lambda: text_duplicate_spans(spark, sf_dir),
+        )
         .agg(
             F.coalesce(
                 F.sum(F.when(F.col("dup_share") >= SPAN_DUP_SHARE, 1)),

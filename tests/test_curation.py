@@ -91,3 +91,37 @@ def test_token_budget_sample_respects_budget_and_is_deterministic(spark, sf_dir)
     # deterministic: same rows on a re-run (no RNG anywhere)
     b = {(r.doc_id, r.cum_tokens) for r in a.collect()}
     assert {(r.doc_id, r.cum_tokens) for r in rows} == b
+
+
+def test_dedup_report_artifact_store_roundtrip(spark, sf_dir, monkeypatch):
+    """The report must produce identical values whether it computes the
+    near-dup/span inputs inline (cold store / store disabled) or reads
+    the materialized parquet artifacts — the consume-when-present,
+    recompute-when-absent contract."""
+    import os
+    import shutil
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        artifacts,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(artifacts._ARTIFACT_ROOT, sf_tag)
+    shutil.rmtree(store, ignore_errors=True)
+
+    def report_rows():
+        return sorted(
+            (r.modality, r.n_affected, round(r.affected_rate, 12))
+            for r in curation.curation_dedup_report(spark, sf_dir).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_ARTIFACTS", "1")
+    inline = report_rows()
+    assert not os.path.isdir(store)  # disabled store writes nothing
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_ARTIFACTS")
+    built = report_rows()  # cold store: builds + reads back
+    assert os.path.isdir(os.path.join(store, "simhash_pairs"))
+    assert os.path.isdir(os.path.join(store, "span_shares"))
+    served = report_rows()  # warm store: pure parquet reads
+    assert inline == built == served
