@@ -144,16 +144,37 @@ def _ensure_ingested(spark: SparkSession, sf_dir: str, name: str) -> str | None:
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _load_plain(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The non-bucketed read path: ingested multi-file layout when
+    available, raw single-file parquet otherwise."""
+    dest = _ensure_ingested(spark, sf_dir, name)
+    return (
+        spark.read.parquet(dest) if dest is not None
+        else _read_raw(spark, sf_dir, name)
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, preferring the ingested multi-file
-    layout (parallel scans) over the raw single-row-group file."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    layout (parallel scans) over the raw single-row-group file.
+
+    ``SPARK_GRAFT_BUCKETED=1`` opt-in: the fact tables with a bucket
+    key (``_BUCKET_KEYS``) are served from the bucketed+sorted catalog
+    layout instead (``ingest_bucketed``) — every registry query that
+    joins lineitem⋈orders or self-joins lineitem then inherits the
+    co-located, exchange-free join on the bucket key. Row contents are
+    identical (same source rows, different file layout), so query
+    hashes are unchanged; bucket count via ``SPARK_GRAFT_BUCKETS``
+    (default ``_SPLIT_FILES``, and it must match across co-joined
+    tables — ``ingest_bucketed`` uses the same count for both)."""
+    bucketed = bool(os.environ.get("SPARK_GRAFT_BUCKETED")) and name in _BUCKET_KEYS
+    key = (spark.sparkContext.applicationId, sf_dir, name, bucketed)
     if key not in _DF_CACHE:
-        dest = _ensure_ingested(spark, sf_dir, name)
-        df = (
-            spark.read.parquet(dest) if dest is not None
-            else _read_raw(spark, sf_dir, name)
-        )
+        if bucketed:
+            buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", _SPLIT_FILES))
+            df = spark.table(ingest_bucketed(spark, sf_dir, name, buckets))
+        else:
+            df = _load_plain(spark, sf_dir, name)
         if name == "events":
             # ingested copies written by older code may carry NTZ ts
             df = _normalize_events_ts(df)
@@ -209,7 +230,9 @@ def ingest_bucketed(
     table = bucketed_table_name(sf_dir, name, buckets)
     if spark.catalog.tableExists(table):
         return table
-    df = load_table(spark, sf_dir, name)
+    # read the plain layout explicitly — under SPARK_GRAFT_BUCKETED,
+    # load_table routes back here
+    df = _load_plain(spark, sf_dir, name)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, key)

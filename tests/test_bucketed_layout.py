@@ -92,3 +92,52 @@ def test_bucketed_groupby_on_key_skips_shuffle(spark, no_broadcast):
     )
     plan = _executed(agg)
     assert _n_shuffles(plan) == 0, plan
+
+
+def _clear_table_cache():
+    catalog._DF_CACHE.clear()
+
+
+def test_registry_queries_route_through_bucketed_layout(
+    spark, no_broadcast, monkeypatch
+):
+    """SPARK_GRAFT_BUCKETED=1 serves lineitem/orders to every registry
+    query from the bucketed catalog layout: q16 (the reference's
+    affinity self-join, queries.sql:236-243) must run its join without
+    a shuffle — its only exchange is the pair-count groupBy — and
+    produce exactly the rows of the plain parquet path."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
+        testdata_queries as tq,
+    )
+
+    q16 = tq.QUERIES["q16_affinity_pairs"]
+    q02 = tq.QUERIES["q02_segment_demographics"]
+
+    _clear_table_cache()
+    plain16 = [tuple(r) for r in q16(spark, SF).collect()]
+    plain02 = sorted(tuple(r) for r in q02(spark, SF).collect())
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETS", "8")
+    _clear_table_cache()
+    try:
+        df16 = q16(spark, SF)
+        rows16 = [tuple(r) for r in df16.collect()]
+        # under AQE the string repeats the Initial Plan — count shuffles
+        # in the Final Plan section only
+        plan16 = (
+            df16._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("Initial Plan")[0]
+        )
+        # scans come from the bucketed store, the self-join is
+        # exchange-free; the one shuffle left is the pair groupBy
+        assert "sparkgraft_bucketed" in plan16, plan16
+        assert _n_shuffles(plan16) == 1, plan16
+        assert rows16 == plain16
+
+        rows02 = sorted(tuple(r) for r in q02(spark, SF).collect())
+        assert rows02 == plain02
+    finally:
+        _clear_table_cache()  # drop bucketed entries for later tests
