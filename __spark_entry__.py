@@ -59,13 +59,17 @@ _PINNED = [
 ]
 
 # Hand-forced entries beyond the mechanical manifest diff. Review per
-# round. Round 6: the three operators whose knobs became corpus-derived
-# in round 5 (output changed at fixed sf, but their r4 manifest hash
-# predates the manifest's introduction, so the diff can't see it).
+# round. Round 7: the manifest refresh ran AFTER this round's plan
+# rewrites (protocol says before), so these four — whose plans changed
+# this round (JVM minhash signatures + cached identity groups/sizes,
+# artifact-served dedup report) — carry current-code hashes their r6
+# rows never actually verified; force them once. (The q04/q06/q10/q17
+# scalar-CTE fix needs no listing — the q-surface is pinned.)
 _FORCE_VERIFY = [
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "dedup_embedding_candidates",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "curation_dedup_report",
 ]
 
 _REPO = Path(__file__).resolve().parent

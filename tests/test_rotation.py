@@ -102,15 +102,18 @@ def test_real_registry_window_budget():
     )
 
 
-def test_real_registry_head_contains_new_r5_entries():
-    """The four operators starved by the round-5 rotation must be in
-    the round-6 window."""
+def test_real_registry_head_admits_every_due_entry():
+    """The durable staleness invariant on the REAL committed registry +
+    CORRECTNESS artifacts (not just the simulation): every entry whose
+    last passing driver row is ≥3 rounds old — or which never had one —
+    plus every forced entry must be inside the current window."""
     order = list(e.queries())
     head = set(order[:WINDOW])
-    for name in [
-        "embedding_pq",
-        "ann_topk_ivfpq",
-        "dedup_incremental",
-        "multimodal_decode_stats_png",
-    ]:
-        assert name in head, f"{name} still outside the driver window"
+    last = e._last_verified()
+    latest = max(last.values(), default=0)
+    due = [n for n in order if last.get(n, 0) <= latest - 2]
+    missing = [n for n in due if n not in head]
+    assert not missing, f"stale entries outside the driver window: {missing}"
+    for n in e._FORCE_VERIFY:
+        if n in order:
+            assert n in head, f"forced entry {n} outside the window"
