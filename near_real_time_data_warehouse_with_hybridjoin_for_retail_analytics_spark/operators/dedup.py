@@ -1232,11 +1232,16 @@ def build_near_index(docs: DataFrame, sh: DataFrame | None = None) -> NearDupInd
         .agg(F.min("doc_id").alias("match_id"))
     )
     reps_o, _ = _identity_groups(docs)
-    bands = minhash_bands(minhash_signatures(reps_o)).select(
-        F.col("doc_id").alias("old_id"), "band", "bh"
-    )
     if sh is None:
         sh = shingles(docs)
+    # Signatures from the shingle relation via JVM MIN aggregates,
+    # restricted to identity representatives — same arithmetic (and
+    # same no-shingles-no-signature contract) as the text kernel,
+    # without re-tokenizing the corpus in Python.
+    rep_sh = sh.join(reps_o.select("doc_id"), "doc_id", "left_semi")
+    bands = minhash_bands(minhash_signatures_from_shingles(rep_sh)).select(
+        F.col("doc_id").alias("old_id"), "band", "bh"
+    )
     sh_o = sh.select(F.col("doc_id").alias("old_id"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
         F.col("doc_id").alias("old_id"), F.col("n").alias("nb")
@@ -1259,7 +1264,10 @@ def classify_incremental(
     )
 
     reps_n, mem_n = _identity_groups(new_docs)
-    bn = minhash_bands(minhash_signatures(reps_n)).select(
+    if sh_new is None:
+        sh_new = shingles(new_docs)
+    rep_sh_n = sh_new.join(reps_n.select("doc_id"), "doc_id", "left_semi")
+    bn = minhash_bands(minhash_signatures_from_shingles(rep_sh_n)).select(
         F.col("doc_id").alias("new_id"), "band", "bh"
     )
     cand = (
@@ -1267,9 +1275,6 @@ def classify_incremental(
         .select("new_id", "old_id")
         .dropDuplicates()
     )
-
-    if sh_new is None:
-        sh_new = shingles(new_docs)
     a = sh_new.select(F.col("doc_id").alias("new_id"), "shingle")
     # No manual broadcast hints: AQE broadcasts the candidate side when
     # its runtime size allows and falls back to a shuffle join past the

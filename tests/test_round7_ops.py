@@ -94,3 +94,28 @@ def test_mulaw_entry_matches_pcm_entry_shape(spark, sf_dir):
         assert r.n_samples == pcm[doc_id].n_samples
         assert r.max_quant_err <= 1024
         assert abs(r.mean_abs - pcm[doc_id].mean_abs) <= r.mean_quant_err + 1e-9
+
+
+def test_minhash_signature_formulations_agree(spark, sf_dir):
+    """The JVM MIN-aggregate signature path (from the shingle relation)
+    must equal the Arrow text-kernel path bit-for-bit — same hash
+    family, same no-shingles-no-signature contract."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kernel = {
+        r.doc_id: list(r.sig) for r in dedup.minhash_signatures(docs).collect()
+    }
+    sql = {
+        r.doc_id: list(r.sig)
+        for r in dedup.minhash_signatures_from_shingles(
+            dedup.shingles(docs)
+        ).collect()
+    }
+    assert kernel == sql
+    assert len(kernel) > 0
