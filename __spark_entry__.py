@@ -59,18 +59,10 @@ _PINNED = [
 ]
 
 # Hand-forced entries beyond the mechanical manifest diff. Review per
-# round. Round 7: the manifest refresh ran AFTER this round's plan
-# rewrites (protocol says before), so these four — whose plans changed
-# this round (JVM minhash signatures + cached identity groups/sizes,
-# artifact-served dedup report) — carry current-code hashes their r6
-# rows never actually verified; force them once. (The q04/q06/q10/q17
-# scalar-CTE fix needs no listing — the q-surface is pinned.)
-_FORCE_VERIFY = [
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "curation_dedup_report",
-]
+# round. Round 8: the manifest refresh ran FIRST (protocol order
+# restored), so the sha256 diff alone decides forced re-verification —
+# no hand listing needed.
+_FORCE_VERIFY: list[str] = []
 
 _REPO = Path(__file__).resolve().parent
 
