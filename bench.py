@@ -153,6 +153,17 @@ def main() -> None:
                 "runs": runs,
                 "total_min_sec": total,
                 "entries": len(names),
+                # Uncounted suite-level staging scope, recorded so
+                # cross-round deltas aren't misread: since round 7 the
+                # staged set is shingles + shingle_sizes + identity
+                # members (rounds ≤6 staged shingles only, so r≤6
+                # numbers for the near-dup entries INCLUDE size/member
+                # aggregation work that later rounds exclude).
+                "staged_uncounted": [
+                    "cached_shingles",
+                    "cached_shingle_sizes",
+                    "cached_members",
+                ],
                 "passes": passes,
                 "stats": stats,
             },

@@ -139,9 +139,9 @@ def _ensure_ingested(spark: SparkSession, sf_dir: str, name: str) -> str | None:
 
 
 # Lazy DataFrame plans are immutable — reuse them per (session, sf,
-# table) so repeated queries skip file listing + footer analysis
-# (~0.4s/query across a 4-table star build).
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# table, layout) so repeated queries skip file listing + footer
+# analysis (~0.4s/query across a 4-table star build).
+_DF_CACHE: dict[tuple[str, str, str, bool, int], DataFrame] = {}
 
 
 def _load_plain(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -168,10 +168,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (default ``_SPLIT_FILES``, and it must match across co-joined
     tables — ``ingest_bucketed`` uses the same count for both)."""
     bucketed = bool(os.environ.get("SPARK_GRAFT_BUCKETED")) and name in _BUCKET_KEYS
-    key = (spark.sparkContext.applicationId, sf_dir, name, bucketed)
+    # The resolved bucket count is part of the cache key: a mid-session
+    # SPARK_GRAFT_BUCKETS change must not serve a DataFrame cached for
+    # the old count while ingest_bucketed registers a new table.
+    buckets = (
+        int(os.environ.get("SPARK_GRAFT_BUCKETS", _SPLIT_FILES)) if bucketed else 0
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, name, bucketed, buckets)
     if key not in _DF_CACHE:
         if bucketed:
-            buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", _SPLIT_FILES))
             df = spark.table(ingest_bucketed(spark, sf_dir, name, buckets))
         else:
             df = _load_plain(spark, sf_dir, name)

@@ -37,6 +37,14 @@ def _corpus_fingerprint(sf_dir: str) -> str | None:
     return f"{st.st_size}:{int(st.st_mtime)}"
 
 
+def _marker_value(marker: str) -> str | None:
+    try:
+        with open(marker) as fh:
+            return fh.read().strip()
+    except OSError:
+        return None
+
+
 def materialized(
     spark: SparkSession,
     sf_dir: str,
@@ -58,24 +66,32 @@ def materialized(
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     dest = os.path.join(_ARTIFACT_ROOT, sf_tag, name)
     marker = os.path.join(dest, "_ARTIFACT_OK")
-    try:
-        with open(marker) as fh:
-            if fh.read().strip() == fingerprint:
-                return spark.read.parquet(dest)
-    except OSError:
-        pass
+    if _marker_value(marker) == fingerprint:
+        return spark.read.parquet(dest)
 
     df = build()
     staging = f"{dest}__staging_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, "_ARTIFACT_OK"), "w") as fh:
         fh.write(fingerprint)
+    if _marker_value(marker) == fingerprint:
+        # A same-fingerprint builder finished while we were building:
+        # its dest is current and may already have readers mid-scan —
+        # keep it and discard our staging copy (value-identical).
+        shutil.rmtree(staging, ignore_errors=True)
+        return spark.read.parquet(dest)
     if os.path.isdir(dest):
         # stale fingerprint (corpus or pipeline changed) — replace
         shutil.rmtree(dest, ignore_errors=True)
     try:
         os.rename(staging, dest)
     except OSError:
-        # lost the race to a concurrent builder of the same fingerprint
         shutil.rmtree(staging, ignore_errors=True)
+        # Rename fails when a racer won OR when the stale dest could
+        # not be removed (rmtree swallows errors). Serve dest only if
+        # its marker proves it current for THIS fingerprint; otherwise
+        # fall back to the in-memory plan — never a stale artifact.
+        if _marker_value(marker) == fingerprint:
+            return spark.read.parquet(dest)
+        return df
     return spark.read.parquet(dest)

@@ -389,11 +389,19 @@ def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
     formulation (``_sql_minhash_bands``), JVM-side end to end, zero
     Python. Partial aggregation ships k partial minima per (doc,
     partition), never shingle sets, so there is no per-doc unbounded
-    row anywhere. Complements the text-kernel ``minhash_signatures``
-    for callers that already hold a persisted shingle relation
-    (``cached_shingles``) — recomputing shingles in Python beside a
-    materialized copy of them is pure constant overhead. Docs with no
-    shingles have no rows here, hence no signature (same contract)."""
+    row anywhere. Docs with no shingles have no rows here, hence no
+    signature (same contract).
+
+    STATUS: tested reference formulation, not a production path. Both
+    ``dedup_minhash_lsh`` and ``build_near_index`` benchmarked this
+    JVM MIN-aggregate form head-to-head against the zero-shuffle Arrow
+    text kernel (``minhash_signatures``) and kept the kernel (~3.7 s vs
+    ~5.3 s full-entry at sf0.1; the 64-min groupBy ships per-partition
+    partial minima where the kernel ships nothing). It stays because
+    the signature-parity test pins the two formulations equal — the
+    strongest evidence the kernel computes the oracle's arithmetic —
+    and because on a shared cluster where Python workers are scarce it
+    is the drop-in JVM-only substitute."""
     h = portable_hash60("shingle")
     hb = sh.select(
         "doc_id",

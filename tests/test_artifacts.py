@@ -1,0 +1,116 @@
+"""Race/failure semantics of the materialized-artifact store.
+
+The happy paths (disabled / cold-build / warm-read value equality) are
+covered by ``test_curation.py::test_dedup_report_artifact_store_roundtrip``;
+these tests pin the two racy edges: a same-fingerprint concurrent
+builder must never have its freshly-written dest deleted out from
+under readers, and a failed rename must never serve a dest whose
+marker does not prove it current.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    artifacts,
+)
+
+
+@pytest.fixture()
+def clean_store(sf_dir):
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(artifacts._ARTIFACT_ROOT, sf_tag)
+    shutil.rmtree(store, ignore_errors=True)
+    yield store
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(int(v),) for v in vals], "x bigint")
+
+
+def test_same_fingerprint_racer_dest_is_kept(spark, sf_dir, clean_store):
+    """If a same-fingerprint builder lands dest while we are building,
+    our staging copy is discarded and THEIR dest is served — never
+    rmtree'd (a concurrent reader may be mid-scan in it)."""
+    name, version = "race_same_fp", "v1"
+    corpus = artifacts._corpus_fingerprint(sf_dir)
+    fingerprint = f"{corpus}:{version}"
+    dest = os.path.join(clean_store, name)
+
+    def racer_wins_then_build():
+        # simulate the racer completing first, with distinct values
+        _df(spark, [111]).write.mode("overwrite").parquet(dest)
+        with open(os.path.join(dest, "_ARTIFACT_OK"), "w") as fh:
+            fh.write(fingerprint)
+        return _df(spark, [222])
+
+    out = artifacts.materialized(
+        spark, sf_dir, name, version, racer_wins_then_build
+    )
+    assert [r.x for r in out.collect()] == [111]  # the winner's copy
+    assert artifacts._marker_value(os.path.join(dest, "_ARTIFACT_OK")) == (
+        fingerprint
+    )
+    # staging was discarded, not left behind
+    parent = os.path.dirname(dest)
+    assert [d for d in os.listdir(parent) if "__staging" in d] == []
+
+
+def test_failed_rename_with_stale_dest_falls_back_to_inline(
+    spark, sf_dir, clean_store, monkeypatch
+):
+    """rename failing while dest holds a STALE fingerprint (e.g. the
+    rmtree of the old copy silently failed) must serve the in-memory
+    build, never the stale parquet."""
+    name, version = "race_stale_dest", "v2"
+    dest = os.path.join(clean_store, name)
+    # a stale artifact: wrong fingerprint, wrong values
+    _df(spark, [999]).write.mode("overwrite").parquet(dest)
+    with open(os.path.join(dest, "_ARTIFACT_OK"), "w") as fh:
+        fh.write("stale:fingerprint")
+
+    real_rmtree = shutil.rmtree
+
+    def keep_dest(path, *a, **kw):  # the silently-failing rmtree
+        if os.path.abspath(path) == os.path.abspath(dest):
+            return None
+        return real_rmtree(path, *a, **kw)
+
+    def fail_rename(src, dst):
+        raise OSError("dest not empty")
+
+    monkeypatch.setattr(artifacts.shutil, "rmtree", keep_dest)
+    monkeypatch.setattr(artifacts.os, "rename", fail_rename)
+    out = artifacts.materialized(
+        spark, sf_dir, name, version, lambda: _df(spark, [7])
+    )
+    assert [r.x for r in out.collect()] == [7]  # inline plan, not 999
+
+
+def test_failed_rename_with_current_dest_serves_dest(
+    spark, sf_dir, clean_store, monkeypatch
+):
+    """rename failing because a SAME-fingerprint racer won the last
+    instant is fine — dest's marker proves it current, serve it."""
+    name, version = "race_lost_rename", "v3"
+    corpus = artifacts._corpus_fingerprint(sf_dir)
+    fingerprint = f"{corpus}:{version}"
+    dest = os.path.join(clean_store, name)
+
+    def fail_rename(src, dst):
+        # the racer lands dest between our marker check and the rename
+        _df(spark, [42]).write.mode("overwrite").parquet(dest)
+        with open(os.path.join(dest, "_ARTIFACT_OK"), "w") as fh:
+            fh.write(fingerprint)
+        raise OSError("dest exists")
+
+    monkeypatch.setattr(artifacts.os, "rename", fail_rename)
+    out = artifacts.materialized(
+        spark, sf_dir, name, version, lambda: _df(spark, [43])
+    )
+    assert [r.x for r in out.collect()] == [42]
