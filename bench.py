@@ -57,6 +57,7 @@ def _stage_shared(spark, sf_dir, dedup) -> None:
     dedup.cached_shingles(spark, sf_dir).count()
     dedup.cached_shingle_sizes(spark, sf_dir).count()
     dedup.cached_members(spark, sf_dir).count()
+    dedup.cached_rep_bands(spark, sf_dir).count()
 
 
 def main() -> None:
@@ -154,15 +155,17 @@ def main() -> None:
                 "total_min_sec": total,
                 "entries": len(names),
                 # Uncounted suite-level staging scope, recorded so
-                # cross-round deltas aren't misread: since round 7 the
-                # staged set is shingles + shingle_sizes + identity
-                # members (rounds ≤6 staged shingles only, so r≤6
-                # numbers for the near-dup entries INCLUDE size/member
-                # aggregation work that later rounds exclude).
+                # cross-round deltas aren't misread: rounds ≤6 staged
+                # shingles only; round 7 added shingle_sizes + identity
+                # members; round 8 added the representative LSH band
+                # keys (so r≤7 numbers for dedup_minhash_lsh /
+                # dedup_incremental INCLUDE the signature+banding pass
+                # that later rounds stage once per corpus).
                 "staged_uncounted": [
                     "cached_shingles",
                     "cached_shingle_sizes",
                     "cached_members",
+                    "cached_rep_bands",
                 ],
                 "passes": passes,
                 "stats": stats,

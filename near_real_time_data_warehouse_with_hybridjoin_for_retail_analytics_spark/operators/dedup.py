@@ -167,6 +167,33 @@ def cached_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "identity_members", build)
 
 
+def cached_rep_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bh) LSH band keys of every identity-group
+    REPRESENTATIVE, persisted once per (session, sf). Signatures are a
+    pure function of text, so one banding pass over the distinct-text
+    representatives serves every consumer: the within-corpus pair
+    generator (``dedup_minhash_lsh``), the indexed side of the
+    incremental classifier (filter ``doc_id < split`` — a slice,
+    because the global group min is the slice min whenever the group
+    reaches below the split), and the incoming side (re-key the global
+    rep's rows to the slice-min member — same text, same bands). Three
+    long columns × LSH_BANDS rows per distinct text; at 100 TB this is
+    the signatures table a production pipeline writes once per corpus
+    snapshot and every dedup pass reads."""
+
+    def build() -> DataFrame:
+        members = cached_members(spark, sf_dir)
+        rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select(
+            "doc_id"
+        )
+        reps = load_table(spark, sf_dir, "documents").join(
+            rep_ids, "doc_id", "left_semi"
+        )
+        return minhash_bands(minhash_signatures(reps))
+
+    return _cached(spark, sf_dir, "rep_bands", build)
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE_N, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) word n-gram shingles per doc — distinct by
     default (the Jaccard contract); ``distinct=False`` skips the
@@ -456,6 +483,31 @@ def _identity_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return reps, members
 
 
+def _slice_identity_groups(
+    docs: DataFrame, members: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """``_identity_groups`` semantics for a boundary SLICE of the
+    corpus, derived from (a slice of) the persisted corpus-wide
+    ``cached_members`` relation instead of two fresh document scans.
+
+    The corpus-wide ``rep`` is just a text-group key here: re-minimize
+    doc_id per group WITHIN the slice so a group whose global
+    representative falls outside the slice still gets an in-slice
+    representative — exactly what ``_identity_groups(docs_slice)``
+    would have computed (same text → same md5 group; min over the same
+    member set). Returns ``(reps, mem)`` with ``reps`` (doc_id, text…)
+    a semi-join of ``docs`` (null texts drop out naturally: they have
+    no members row) and ``mem`` (doc_id, rep)."""
+    side = members.groupBy("rep").agg(F.min("doc_id").alias("side_rep"))
+    mem = members.join(side, "rep").select(
+        "doc_id", F.col("side_rep").alias("rep")
+    )
+    reps = docs.join(
+        side.select(F.col("side_rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    return reps, mem
+
+
 def _expand_rep_pairs(
     rep_pairs: DataFrame, members: DataFrame, score: str
 ) -> DataFrame:
@@ -626,24 +678,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH recall vs exact ngram Jaccard stays gated in tests."""
     sh = cached_shingles(spark, sf_dir)
     members = cached_members(spark, sf_dir)
-    # Signatures come from the ZERO-SHUFFLE Arrow text kernel over the
-    # identity representatives (one semi-join against the persisted
-    # narrow members relation — not _identity_groups' two document
-    # scans). Measured head-to-head at sf0.1 (interleaved in one
-    # session): the kernel pipeline runs the full entry in ~3.7 s vs
-    # ~5.3 s for the JVM MIN-aggregate formulation
-    # (``minhash_signatures_from_shingles``) — the 64-min groupBy
-    # shuffles per-partition partial minima (partitions × docs × k
-    # longs) where the kernel shuffles nothing, and that also wins at
-    # 100 TB (per-row local work scales with cores; the partial-minima
-    # exchange scales with docs). The signature relation stays
-    # unpersisted: it feeds the bucket pair generator once, and
-    # persist()ing array columns costs ~10× their recompute.
-    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    reps = load_table(spark, sf_dir, "documents").join(
-        rep_ids, "doc_id", "left_semi"
-    )
-    cands = lsh_candidate_pairs(minhash_signatures(reps))
+    # Band keys come from the session-persisted representative-bands
+    # relation (``cached_rep_bands``): the ZERO-SHUFFLE Arrow text
+    # kernel over the identity representatives, banded, persisted once
+    # per corpus and shared with the incremental classifier. The kernel
+    # was measured head-to-head at sf0.1 (interleaved in one session)
+    # against the JVM MIN-aggregate formulation
+    # (``minhash_signatures_from_shingles``): full entry ~3.7 s vs
+    # ~5.3 s — the 64-min groupBy shuffles per-partition partial minima
+    # (partitions × docs × k longs) where the kernel shuffles nothing,
+    # and that also wins at 100 TB (per-row local work scales with
+    # cores; the partial-minima exchange scales with docs). The banded
+    # form is what persists — three long columns, not the k-long
+    # signature arrays whose persist costs ~10× their recompute.
+    cands = _bucket_pairs(
+        cached_rep_bands(spark, sf_dir), ["band", "bh"], "doc_id"
+    ).select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
 
     sizes = cached_shingle_sizes(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1206,18 +1256,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implemented as ``build_near_index`` (the indexed side's persisted
     tables) + ``classify_incremental`` (the increment pass) — the same
     classify function the streaming near-dup gate drives per
-    micro-batch, so batch and stream share ONE copy of the semantics."""
+    micro-batch, so batch and stream share ONE copy of the semantics.
+    Both sides slice the session-persisted corpus staging relations
+    (``cached_shingles`` / ``cached_shingle_sizes`` /
+    ``cached_members`` / ``cached_rep_bands``) instead of re-deriving
+    shingles, sizes, identity groups and band keys per side — the only
+    fresh per-side work is the canonical fingerprints. The indexed
+    side's bands are a doc_id filter of the corpus bands (the global
+    group min IS the slice min whenever the group reaches below the
+    split); the incoming side's re-key the global representative's rows
+    to the slice-min member (identical text ⇒ identical bands)."""
     docs = load_table(spark, sf_dir, "documents")
     split = _incr_split(spark, sf_dir)
     sh = cached_shingles(spark, sf_dir)
+    sizes = cached_shingle_sizes(spark, sf_dir)
+    members = cached_members(spark, sf_dir)
+    bands = cached_rep_bands(spark, sf_dir)
+    old, new = F.col("doc_id") < split, F.col("doc_id") >= split
+    new_rep = (
+        members.filter(new)
+        .groupBy("rep")
+        .agg(F.min("doc_id").alias("side_rep"))
+    )
+    bands_new = bands.join(
+        new_rep, bands["doc_id"] == new_rep["rep"]
+    ).select(F.col("side_rep").alias("doc_id"), "band", "bh")
     index = build_near_index(
-        docs.filter(F.col("doc_id") < split),
-        sh=sh.filter(F.col("doc_id") < split),
+        docs.filter(old),
+        sh=sh.filter(old),
+        sizes=sizes.filter(old),
+        members=members.filter(old),
+        bands=bands.filter(old),
     )
     return classify_incremental(
-        docs.filter(F.col("doc_id") >= split),
+        docs.filter(new),
         index,
-        sh_new=sh.filter(F.col("doc_id") >= split),
+        sh_new=sh.filter(new),
+        sizes_new=sizes.filter(new),
+        members_new=members.filter(new),
+        bands_new=bands_new,
     )
 
 
@@ -1236,48 +1313,76 @@ class NearDupIndex:
         self.sizes = sizes  # (old_id, nb)
 
 
-def build_near_index(docs: DataFrame, sh: DataFrame | None = None) -> NearDupIndex:
-    """Build the near-dup index over the indexed corpus. ``sh``
-    (doc_id, shingle) overrides the shingle source — pass a slice of
-    the session-cached corpus relation to avoid recomputing it."""
+def build_near_index(
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    sizes: DataFrame | None = None,
+    members: DataFrame | None = None,
+    bands: DataFrame | None = None,
+) -> NearDupIndex:
+    """Build the near-dup index over the indexed corpus. The optional
+    relations override their derive-from-``docs`` defaults with slices
+    of the session-persisted corpus relations — ``sh`` (doc_id,
+    shingle) from ``cached_shingles``, ``sizes`` (doc_id, n) from
+    ``cached_shingle_sizes``, ``members`` (doc_id, rep, …) from
+    ``cached_members``, ``bands`` (doc_id, band, bh) from
+    ``cached_rep_bands`` — so the batch entry re-derives nothing the
+    corpus staging pass already materialized (the 100 TB shape:
+    yesterday's tables, not yesterday's recomputation)."""
     fps = (
         docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("match_id"))
     )
-    reps_o, _ = _identity_groups(docs)
-    # Zero-shuffle Arrow kernel signatures — measured faster than the
-    # JVM MIN-aggregate formulation (see dedup_minhash_lsh docstring).
-    bands = minhash_bands(minhash_signatures(reps_o)).select(
-        F.col("doc_id").alias("old_id"), "band", "bh"
-    )
+    if bands is None:
+        if members is None:
+            reps_o, _ = _identity_groups(docs)
+        else:
+            reps_o, _ = _slice_identity_groups(docs, members)
+        # Zero-shuffle Arrow kernel signatures — measured faster than the
+        # JVM MIN-aggregate formulation (see dedup_minhash_lsh docstring).
+        bands = minhash_bands(minhash_signatures(reps_o))
+    bands = bands.select(F.col("doc_id").alias("old_id"), "band", "bh")
     if sh is None:
         sh = shingles(docs)
     sh_o = sh.select(F.col("doc_id").alias("old_id"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes_o = sizes.select(
         F.col("doc_id").alias("old_id"), F.col("n").alias("nb")
     )
-    return NearDupIndex(fps, bands, sh_o, sizes)
+    return NearDupIndex(fps, bands, sh_o, sizes_o)
 
 
 def classify_incremental(
-    new_docs: DataFrame, index: NearDupIndex, sh_new: DataFrame | None = None
+    new_docs: DataFrame,
+    index: NearDupIndex,
+    sh_new: DataFrame | None = None,
+    sizes_new: DataFrame | None = None,
+    members_new: DataFrame | None = None,
+    bands_new: DataFrame | None = None,
 ) -> DataFrame:
     """Classify an increment (doc_id, text) against a prebuilt
     ``NearDupIndex``: exact tier (canonical-fingerprint equi-join),
     then the collapsed cross-boundary band join + exact-Jaccard
     verification. Shared verbatim by the batch operator and the
     streaming near-dup gate's foreachBatch — linear in the increment,
-    never in history."""
+    never in history. The optional relations mirror
+    ``build_near_index``'s: slices of the persisted corpus staging
+    tables replace fresh per-side derivations when the caller holds
+    them."""
     fp = new_docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
     exact = fp.join(index.fps, "fp").select(
         "doc_id", F.col("match_id").alias("exact_match_id")
     )
 
-    reps_n, mem_n = _identity_groups(new_docs)
-    bn = minhash_bands(minhash_signatures(reps_n)).select(
-        F.col("doc_id").alias("new_id"), "band", "bh"
-    )
+    if members_new is None:
+        reps_n, mem_n = _identity_groups(new_docs)
+    else:
+        reps_n, mem_n = _slice_identity_groups(new_docs, members_new)
+    if bands_new is None:
+        bands_new = minhash_bands(minhash_signatures(reps_n))
+    bn = bands_new.select(F.col("doc_id").alias("new_id"), "band", "bh")
     cand = (
         bn.join(index.bands, ["band", "bh"])
         .select("new_id", "old_id")
@@ -1296,10 +1401,10 @@ def classify_incremental(
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
     )
-    sa = (
-        sh_new.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("doc_id").alias("new_id"), F.col("n").alias("na"))
+    if sizes_new is None:
+        sizes_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes_new.select(
+        F.col("doc_id").alias("new_id"), F.col("n").alias("na")
     )
     jac = F.col("common_shingles").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common_shingles")

@@ -5,7 +5,8 @@ DuckDB at sf0.01, then compares row count, sorted column names, and an
 order-insensitive value hash (columns sorted by name, rows canonicalized
 to strings, row-strings sorted, md5).
 
-Usage: python tools/check_correctness.py [sf_dir] [name_filter]
+Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
+(multiple filters OR together; each is a substring match)
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    name_filters = sys.argv[2:]
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -64,7 +65,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filters and not any(f in name for f in name_filters):
             continue
         t0 = time.time()
         try:
@@ -111,7 +112,8 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    checked = [n for n in qs if not name_filters or any(f in n for f in name_filters)]
+    print(f"\n{len(checked) - len(failures)}/{len(checked)} checked pass")
     return 1 if failures else 0
 
 
