@@ -48,6 +48,18 @@ from .dedup import (
 
 MAX_ROUNDS = 50  # safety net; diameter-bound convergence is expected
 
+# Below this many symmetrized edges the component closure runs as a
+# driver-side union-find over ONE bounded collect instead of the
+# iterative join loop — the same small-graph switch GraphFrames'
+# connectedComponents ships (its "local" algorithm below a broadcast
+# threshold). Rationale: each distributed round costs a fixed ~0.5 s in
+# job scheduling regardless of data size, and a chain-shaped dup graph
+# needs O(log diameter) rounds — a tiny graph pays seconds for work the
+# driver finishes in milliseconds. 1M (src, dst) longs ≈ 16 MB, the
+# same order as a broadcast side; past the limit the O(log d)
+# propagate+jump loop is the only shape that survives 100 TB.
+LOCAL_EDGE_LIMIT = 1_000_000
+
 # One component labeling per (session, sf_dir): the label frame feeds
 # several consumers (component report, cluster stats, corpus selection)
 # and is the product of a multi-round loop — recomputing it per consumer
@@ -61,14 +73,69 @@ _COMPONENT_CACHE: dict[tuple[str, str], DataFrame] = {}
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _components_local(sym: DataFrame, active: DataFrame) -> DataFrame:
+    """Union-find over ONE bounded collect of the symmetrized edge list
+    (caller guarantees ≤ LOCAL_EDGE_LIMIT rows) — min-id roots with path
+    compression, shipped back as a (doc_id, component_id) frame via
+    Arrow. Exactly the label frame the distributed loop converges to:
+    edges touching endpoints outside ``active`` are dropped first,
+    because the loop never labels (hence never relays through) a node
+    outside the caller's ``nodes`` set, and a plain union-find would."""
+    import pandas as pd
+
+    a_src = active.select(F.col("doc_id").alias("src"))
+    a_dst = active.select(F.col("doc_id").alias("dst"))
+    rows = (
+        sym.join(a_src, "src", "left_semi")
+        .join(a_dst, "dst", "left_semi")
+        .select("src", "dst")
+        .collect()
+    )  # bounded by caller's count
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    ids = {v for r in rows for v in (r[0], r[1])}
+    pdf = pd.DataFrame(
+        {"doc_id": list(ids), "component_id": [find(i) for i in ids]}
+    )
+    labels = active.sparkSession.createDataFrame(
+        pdf, schema="doc_id long, component_id long"
+    )
+    # An active node whose every edge touched a stray endpoint has no
+    # collected edge left — it stays its own singleton, exactly as the
+    # loop path leaves it (labeled but never updated).
+    unlabeled = active.join(labels, "doc_id", "left_anti")
+    return labels.union(
+        unlabeled.select("doc_id", F.col("doc_id").alias("component_id"))
+    )
+
+
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    local_limit: int = LOCAL_EDGE_LIMIT,
 ) -> DataFrame:
     """Min-label propagation over undirected ``edges`` (src, dst).
 
     ``nodes``: one column ``doc_id`` (isolated nodes allowed).
     Returns (doc_id, component_id) where component_id = min doc_id
-    reachable from the node.
+    reachable from the node. Graphs at or under ``local_limit``
+    symmetrized edges close on the driver in one bounded collect
+    (see LOCAL_EDGE_LIMIT); larger graphs run the O(log diameter)
+    distributed loop.
     """
     sym = (
         edges.select(F.col("src"), F.col("dst"))
@@ -90,6 +157,13 @@ def connected_components(
         .join(nodes.select("doc_id"), "doc_id", "left_semi")
     )
     active = active.localCheckpoint(eager=True)  # survives sym.unpersist()
+    if sym.count() <= local_limit:  # one bounded scalar on the persisted edges
+        labels = _components_local(sym, active)
+        sym.unpersist()
+        isolated = nodes.select("doc_id").join(active, "doc_id", "left_anti")
+        return labels.union(
+            isolated.select("doc_id", F.col("doc_id").alias("component_id"))
+        )
     labels = active.select("doc_id", F.col("doc_id").alias("component_id"))
     labels = labels.localCheckpoint(eager=True)
 
@@ -304,26 +378,68 @@ def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The embedding edges come from the scale path
     (``dedup_embedding_candidates``: LSH candidates + exact verify, the
     only formulation that survives 100 TB) rather than the all-pairs
-    truth mode; the oracle replays the same candidate pipeline, and
-    candidate recall vs all-pairs stays gated in tests."""
-    from .dedup import dedup_embedding_candidates
+    truth mode — served from the materialized artifact store
+    (``artifacts.materialized``, the batch twin of the persisted
+    streaming near-dup index): at 100 TB the multimodal merge reads the
+    pair tables the embedding-dedup pass already wrote rather than
+    re-mining them; a cold store builds them once with the registered
+    operator itself, so values are identical either way (the pair
+    columns are long/double — parquet round-trips them bit-for-bit).
+    The oracle replays the same candidate pipeline, and candidate
+    recall vs all-pairs stays gated in tests.
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb_edges = dedup_embedding_candidates(spark, sf_dir).select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    The component loop runs on the CONTRACTED graph: every embedding
+    edge is re-keyed to its endpoints' text-component labels
+    (``dedup_components``, already materialized per session) and
+    self-loops dropped, so the iterative closure only ever touches one
+    node per text component incident to a cross-component embedding
+    edge — the text chains are closed before the loop starts, and the
+    label frame the O(log d) rounds shuffle is O(embedding-linked
+    components), not O(corpus). Contraction preserves both connectivity
+    (standard quotient-graph argument) and the min-doc_id label: every
+    text label IS the min doc_id of its group, so the min over a merged
+    component's labels equals the min over its documents."""
+    from .artifacts import materialized
+    from .dedup import NEAR_DUP_COSINE, dedup_embedding_candidates
+
+    emb_edges = materialized(
+        spark,
+        sf_dir,
+        "embedding_pairs",
+        f"v1:cos{NEAR_DUP_COSINE}",
+        lambda: dedup_embedding_candidates(spark, sf_dir),
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+
+    text_comp = dedup_components(spark, sf_dir).select(
+        "doc_id", "component_id"
     )
-    # Contract the text graph first: the text-only labeling is already
-    # materialized (_COMPONENT_CACHE via dedup_components), and replacing
-    # its edges with star edges (text-canonical → member) preserves
-    # connectivity exactly while collapsing every text chain to diameter
-    # ≤ 2 — the union loop then only has to close over the *embedding*
-    # chains instead of re-walking (and re-mining) the text edges.
-    text_comp = dedup_components(spark, sf_dir)
-    star = text_comp.filter(F.col("component_id") != F.col("doc_id")).select(
-        F.col("component_id").alias("src"), F.col("doc_id").alias("dst")
+    ca = text_comp.select(
+        F.col("doc_id").alias("src"), F.col("component_id").alias("csrc")
     )
-    edges = star.union(emb_edges).dropDuplicates()
-    comp = connected_components(docs.select("doc_id"), edges)
+    cb = text_comp.select(
+        F.col("doc_id").alias("dst"), F.col("component_id").alias("cdst")
+    )
+    contracted = (
+        emb_edges.join(ca, "src")
+        .join(cb, "dst")
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .dropDuplicates()
+    )
+    cnodes = (
+        contracted.select(F.col("src").alias("doc_id"))
+        .union(contracted.select(F.col("dst").alias("doc_id")))
+        .dropDuplicates()
+    )
+    clabels = connected_components(cnodes, contracted).select(
+        F.col("doc_id").alias("cid"), F.col("component_id").alias("merged")
+    )
+    comp = text_comp.join(
+        clabels, text_comp["component_id"] == clabels["cid"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("merged", "component_id").alias("component_id"),
+    )
     return comp.withColumn(
         "is_canonical", F.col("component_id") == F.col("doc_id")
     )

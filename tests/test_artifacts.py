@@ -114,3 +114,37 @@ def test_failed_rename_with_current_dest_serves_dest(
         spark, sf_dir, name, version, lambda: _df(spark, [43])
     )
     assert [r.x for r in out.collect()] == [42]
+
+
+def test_multimodal_components_artifact_roundtrip(spark, sf_dir):
+    """dedup_multimodal_components must label identically whether the
+    embedding-pair edges compute inline (store disabled), build cold,
+    or read warm from the materialized store — the same
+    consume-when-present / recompute-when-absent contract as
+    curation_dedup_report."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        clusters,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(artifacts._ARTIFACT_ROOT, sf_tag)
+    shutil.rmtree(store, ignore_errors=True)
+
+    def labels():
+        return sorted(
+            (r.doc_id, r.component_id, r.is_canonical)
+            for r in clusters.dedup_multimodal_components(
+                spark, sf_dir
+            ).collect()
+        )
+
+    os.environ["SPARK_GRAFT_NO_ARTIFACTS"] = "1"
+    try:
+        inline = labels()
+    finally:
+        del os.environ["SPARK_GRAFT_NO_ARTIFACTS"]
+    built = labels()  # cold store: builds embedding_pairs + reads back
+    assert os.path.isdir(os.path.join(store, "embedding_pairs"))
+    served = labels()  # warm store: pure parquet read
+    assert inline == built == served
+    shutil.rmtree(store, ignore_errors=True)

@@ -173,6 +173,34 @@ def test_components_chain_converges_via_pointer_jumping(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
     )
-    out = clusters.connected_components(nodes, edges, max_rounds=12).collect()
+    # local_limit=0 forces the distributed loop — this test exists to
+    # pin the pointer-jumping round bound, not the small-graph fallback.
+    out = clusters.connected_components(
+        nodes, edges, max_rounds=12, local_limit=0
+    ).collect()
     assert all(r.component_id == 0 for r in out)
     assert len(out) == n
+
+
+def test_components_local_matches_distributed(spark):
+    """The driver-side union-find fallback and the distributed loop are
+    the same function: identical labels on a graph with chains, a
+    triangle, stray endpoints outside nodes, and isolated nodes."""
+    nodes = spark.range(0, 12).selectExpr("id AS doc_id")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5), (5, 3), (7, 6), (9, 20)],
+        ["src", "dst"],
+    )  # 20 is a stray endpoint outside nodes; 8, 10, 11 isolated
+    local = {
+        r.doc_id: r.component_id
+        for r in clusters.connected_components(nodes, edges).collect()
+    }
+    dist = {
+        r.doc_id: r.component_id
+        for r in clusters.connected_components(
+            nodes, edges, local_limit=0
+        ).collect()
+    }
+    assert local == dist
+    assert local[2] == 0 and local[5] == 3 and local[6] == 6
+    assert local[8] == 8 and local[9] == 9
