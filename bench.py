@@ -161,11 +161,17 @@ def main() -> None:
                 # keys (so r≤7 numbers for dedup_minhash_lsh /
                 # dedup_incremental INCLUDE the signature+banding pass
                 # that later rounds stage once per corpus).
+                # The q01–q20 star facts (catalog.ensure_star) are a
+                # corpus-keyed parquet artifact built once during the
+                # warm-up pass — the reference's ETL also materializes
+                # its star before queries.sql runs, so query timings on
+                # both sides exclude the one-time enrichment join.
                 "staged_uncounted": [
                     "cached_shingles",
                     "cached_shingle_sizes",
                     "cached_members",
                     "cached_rep_bands",
+                    "star_fact (ensure_star, built in warm-up)",
                 ],
                 "passes": passes,
                 "stats": stats,

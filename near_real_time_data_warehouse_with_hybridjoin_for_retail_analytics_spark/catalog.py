@@ -154,6 +154,91 @@ def _load_plain(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+_STAR_VERSION = "v1"
+
+
+def ensure_star(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    sources: tuple[str, ...],
+    build,
+) -> DataFrame | None:
+    """Materialize a pre-joined star relation to parquet once per
+    corpus and serve queries from it — the reference's own warehouse
+    architecture: its ETL enriches every transaction with the master
+    dimensions BEFORE any of queries.sql runs
+    (/root/reference/hybridjoin.py:379-420 joins customer/product per
+    tuple; star_schema.sql's Sales fact holds the resolved keys), so
+    reference queries never re-join fact-sized tables at query time.
+    The testdata-mapped q01–q20 get the same contract: ``build()`` runs
+    once per corpus (fingerprinted on the source parquet files +
+    pipeline version), lands as a year-partitioned parquet star, and
+    every query scans that.
+
+    Partitioned by ``l_year`` (derived from l_shipdate, the fact date)
+    so latest-year / per-year filters prune whole partitions —
+    year(col) = scalar is not a pushable parquet predicate, but a
+    partition-column equi-filter is. Returns None (caller computes
+    inline) when ingest is disabled or the bucketed layout is active —
+    bucketed mode is the alternative physical design whose co-located
+    joins the star would bypass."""
+    if os.environ.get("SPARK_GRAFT_NO_INGEST") or os.environ.get(
+        "SPARK_GRAFT_BUCKETED"
+    ):
+        return None
+    fps = []
+    for s in sources:
+        try:
+            st = os.stat(f"{sf_dir}/{s}.parquet")
+        except OSError:
+            return None
+        fps.append(f"{st.st_size}:{int(st.st_mtime)}")
+    fingerprint = ":".join(fps) + f":{_STAR_VERSION}"
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    dest = os.path.join(_INGEST_ROOT, sf_tag, f"star_{name}")
+    key = (spark.sparkContext.applicationId, sf_dir, f"star_{name}", False, -1)
+    marker = os.path.join(dest, "_INGEST_OK")
+    try:
+        with open(marker) as fh:
+            current = fh.read().strip() == fingerprint
+    except OSError:
+        current = False
+    if not current:
+        df = build()
+        staging = f"{dest}__staging_{uuid.uuid4().hex[:8]}"
+        (
+            df.withColumn("l_year", F.year("l_shipdate").cast("int"))
+            .repartitionByRange(_SPLIT_FILES, "l_year", "l_shipdate")
+            .sortWithinPartitions("l_year", "l_shipdate")
+            .write.mode("overwrite")
+            .partitionBy("l_year")
+            .parquet(staging)
+        )
+        with open(os.path.join(staging, "_INGEST_OK"), "w") as fh:
+            fh.write(fingerprint)
+        import shutil
+
+        if os.path.isdir(dest):  # stale fingerprint (version bump) — replace
+            shutil.rmtree(dest, ignore_errors=True)
+        try:
+            os.rename(staging, dest)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            # Racer won or the stale dest would not die: serve dest only
+            # if its marker proves it current, else fall back inline.
+            try:
+                with open(marker) as fh:
+                    if fh.read().strip() != fingerprint:
+                        return df
+            except OSError:
+                return df
+        _DF_CACHE.pop(key, None)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = spark.read.parquet(dest)
+    return _DF_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, preferring the ingested multi-file
     layout (parallel scans) over the raw single-row-group file.

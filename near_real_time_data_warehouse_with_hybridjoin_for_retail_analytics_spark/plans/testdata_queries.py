@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import ensure_star, load_table
 from .registry import ORACLES, QUERIES, query  # noqa: F401 (re-exported)
 from ..functions.dates import is_weekend, month_i, quarter_i, season, year_i
 from ..functions.money import (
@@ -59,38 +59,75 @@ from ..functions.money import (
 REV = "l_extendedprice"  # the sales_amount analog
 QTY = "l_quantity"
 
+# The three star axes are served from the materialized pre-joined fact
+# (catalog.ensure_star): the reference's ETL resolves every dimension
+# BEFORE queries.sql runs, so its queries never pay a fact-sized join
+# at query time — the testdata twins get the identical contract. The
+# join plans below are both the one-time ETL (``build``) and the
+# inline fallback when materialization is off (SPARK_GRAFT_NO_INGEST)
+# or the bucketed layout is active. Values are unchanged either way:
+# the star is the inner-join output itself, round-tripped through
+# parquet (original columns only, no computed floats).
+
+
 def _fact_part(spark, sf_dir) -> DataFrame:
-    """lineitem ⋈ broadcast(part)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pt = load_table(spark, sf_dir, "part")
-    return li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    """lineitem ⋈ broadcast(part), materialized once per corpus."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        pt = load_table(spark, sf_dir, "part")
+        return li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+
+    star = ensure_star(spark, sf_dir, "part", ("lineitem", "part"), build)
+    return star if star is not None else build()
 
 
 def _fact_customer(spark, sf_dir) -> DataFrame:
-    """lineitem ⋈ orders ⋈ broadcast(customer) ⋈ broadcast(nation).
+    """lineitem ⋈ orders ⋈ broadcast(customer) ⋈ broadcast(nation),
+    materialized once per corpus.
 
-    orders is deliberately NOT broadcast-hinted: it is a fact-sized
-    table at scale; AQE picks broadcast at test scale on its own.
+    In the inline fallback, orders is deliberately NOT broadcast-
+    hinted: it is a fact-sized table at scale; AQE picks broadcast at
+    test scale on its own.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    od = load_table(spark, sf_dir, "orders")
-    cu = load_table(spark, sf_dir, "customer")
-    na = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders")
+        cu = load_table(spark, sf_dir, "customer")
+        na = load_table(spark, sf_dir, "nation")
+        return (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+            .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        )
+
+    star = ensure_star(
+        spark,
+        sf_dir,
+        "customer",
+        ("lineitem", "orders", "customer", "nation"),
+        build,
     )
+    return star if star is not None else build()
 
 
 def _fact_supplier(spark, sf_dir) -> DataFrame:
-    """lineitem ⋈ broadcast(supplier) ⋈ broadcast(nation) — 'store' axis."""
-    li = load_table(spark, sf_dir, "lineitem")
-    su = load_table(spark, sf_dir, "supplier")
-    na = load_table(spark, sf_dir, "nation")
-    return li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey).join(
-        F.broadcast(na), su.s_nationkey == na.n_nationkey
+    """lineitem ⋈ broadcast(supplier) ⋈ broadcast(nation) — 'store'
+    axis — materialized once per corpus."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        su = load_table(spark, sf_dir, "supplier")
+        na = load_table(spark, sf_dir, "nation")
+        return li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey).join(
+            F.broadcast(na), su.s_nationkey == na.n_nationkey
+        )
+
+    star = ensure_star(
+        spark, sf_dir, "supplier", ("lineitem", "supplier", "nation"), build
     )
+    return star if star is not None else build()
 
 
 def _latest_year(
@@ -107,7 +144,17 @@ def _latest_year(
     """
     li = load_table(spark, sf_dir, "lineitem").select(date_col)
     mx = li.select(F.max(year_i(date_col)).alias("_maxy"))
-    return df.join(F.broadcast(mx), year_i(date_col) == F.col("_maxy")).drop("_maxy")
+    # On the materialized star, filter the PARTITION column instead of
+    # re-deriving year(): year(col) = scalar is not a prunable parquet
+    # predicate, but an equi-join on the partition column lets dynamic
+    # partition pruning skip every other year's files. Same value by
+    # construction (l_year := year(l_shipdate) at write time).
+    ycol = (
+        F.col("l_year")
+        if date_col == "l_shipdate" and "l_year" in df.columns
+        else year_i(date_col)
+    )
+    return df.join(F.broadcast(mx), ycol == F.col("_maxy")).drop("_maxy")
 
 
 _SQL_LATEST_YEAR = (
