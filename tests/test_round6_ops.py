@@ -83,8 +83,10 @@ def test_decoder_rejects_malformed_streams():
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_gray(b"\x00\x01not a jpeg")
     good = jpeg.encode_jpeg_blocks(b"abcdef")
-    with pytest.raises(NotImplementedError):
-        # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError):
+        # flip SOF0 → SOF2: now parsed by the real progressive decoder,
+        # which rejects the baseline full-band scan header (an AC band
+        # must not include coefficient 0, T.81 G.1.1.1.1)
         jpeg.decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_gray(good[:2] + b"\xff\xd9")  # no scan
