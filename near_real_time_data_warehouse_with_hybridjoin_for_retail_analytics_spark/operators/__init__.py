@@ -32,8 +32,10 @@ def reset_session_caches() -> None:
     candidate pairs, component labels). Used by the bench harness
     between measurement passes so each pass rebuilds state exactly as a
     fresh session would — min-of-N stays a measurement, not a cache
-    readout. (The IVF quantizer has no cross-query cache anymore: its
-    deterministic training runs inside the query.)"""
+    readout. (The trained ANN index — coarse quantizer + PQ codebook —
+    is session-cached since round 8; clearing it here means each bench
+    pass pays the deterministic training once, in the first consumer
+    that runs, exactly as a fresh session would.)"""
     for df in dedup._DF_CACHE.values():
         df.unpersist()
     dedup._DF_CACHE.clear()
@@ -42,3 +44,5 @@ def reset_session_caches() -> None:
     clusters._EDGE_CACHE.clear()
     clusters._COMPONENT_CACHE.clear()
     similarity._N_CACHE.clear()
+    similarity._CENT_CACHE.clear()
+    similarity._PQ_CB_CACHE.clear()

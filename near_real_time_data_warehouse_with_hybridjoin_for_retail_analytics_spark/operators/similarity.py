@@ -560,6 +560,28 @@ def _sql_ivf_coarse() -> str:
     mem AS (SELECT vec_id, j FROM pr WHERE pos = 0)"""
 
 
+# Trained-index session caches: the coarse quantizer and PQ codebook
+# are deterministic pure functions of the corpus, trained once per
+# (session, sf, knobs) and shared by every consumer (IVF-Flat, IVF-PQ,
+# semantic clusters, embedding_pq) — the FAISS "train once, serve all
+# queries" contract. At 100 TB these are the index tables a production
+# deployment stores next to the corpus snapshot. The bench's
+# reset_session_caches clears them, so each measurement pass still
+# pays the training once, in the first consumer that runs.
+_CENT_CACHE: dict[tuple[str, str, int], list] = {}
+_PQ_CB_CACHE: dict[tuple[str, str], "np.ndarray"] = {}
+
+
+def coarse_quantizer(
+    spark: SparkSession, sf_dir: str, qe: DataFrame, clusters: int
+) -> list[tuple[int, list[int], int]]:
+    """Session-cached wrapper over ``_train_coarse_quantizer``."""
+    key = (spark.sparkContext.applicationId, sf_dir, clusters)
+    if key not in _CENT_CACHE:
+        _CENT_CACHE[key] = _train_coarse_quantizer(qe, clusters)
+    return _CENT_CACHE[key]
+
+
 def _train_coarse_quantizer(
     qe: DataFrame, clusters: int
 ) -> list[tuple[int, list[int], int]]:
@@ -661,7 +683,7 @@ def ann_topk_ivf(
         clusters = dncl if clusters is None else clusters
         nprobe = dnpr if nprobe is None else nprobe
     qe = quantized_embeddings(spark, sf_dir)
-    cents = _train_coarse_quantizer(qe, clusters)
+    cents = coarse_quantizer(spark, sf_dir, qe, clusters)
 
     tagged = qe.select(
         "vec_id",
@@ -1053,7 +1075,8 @@ def _pq_dists(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
 
 
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Train the deterministic PQ codebook (shape M×K×SD, int64 grid):
+    """Session-cached (see ``_PQ_CB_CACHE``) deterministic PQ codebook
+    (shape M×K×SD, int64 grid):
     seeds = the PQ_K lowest-md5(vec_id) vectors' subvectors (a
     deterministic hash-ordered sample — id-order seeding would train on
     one ingest shard of a source-sorted corpus; bounded 16-row
@@ -1066,6 +1089,10 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> np.ndarray:
     makes the shuffle O(cells·partitions), not O(n·d), at any corpus
     size). At 100 TB the same code trains on a sampled slice — the
     codebook is M·K·SD ints regardless of n."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_CB_CACHE.get(key)
+    if cached is not None:
+        return cached
     qe = quantized_embeddings(spark, sf_dir)
     seeds = (
         qe.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -1104,6 +1131,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> np.ndarray:
         # floor of the IEEE-double quotient — bit-identical to the
         # oracle's floor(CAST(SUM AS DOUBLE) / COUNT(*)).
         c1[r["m"], r["k"], r["d"]] = math.floor(float(r["s"]) / r["c"])
+    _PQ_CB_CACHE[key] = c1
     return c1
 
 
@@ -1330,7 +1358,7 @@ def ann_topk_ivfpq(
         )
         return pd.Series(list(np.concatenate([codes, rn2[:, None]], axis=1)))
 
-    cents = _train_coarse_quantizer(qe, clusters)
+    cents = coarse_quantizer(spark, sf_dir, qe, clusters)
 
     tagged = qe.select(
         "vec_id",
@@ -1508,7 +1536,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a semantic-dedup pipeline."""
     ncl, npr = derived_ivf_params(corpus_count(spark, sf_dir))
     qe = quantized_embeddings(spark, sf_dir)
-    cents = _train_coarse_quantizer(qe, ncl)
+    cents = coarse_quantizer(spark, sf_dir, qe, ncl)
     tagged = qe.select(
         "vec_id",
         "q",
