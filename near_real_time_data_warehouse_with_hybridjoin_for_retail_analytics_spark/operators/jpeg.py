@@ -118,7 +118,10 @@ class _BitWriter:
         self.nbits = 0
 
     def put(self, value: int, length: int) -> None:
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        # int() guards numpy scalars; the final mask drops already-
+        # emitted high bits so the accumulator stays machine-sized
+        # instead of growing into an unbounded bignum.
+        self.acc = (self.acc << length) | (int(value) & ((1 << length) - 1))
         self.nbits += length
         while self.nbits >= 8:
             self.nbits -= 8
@@ -126,6 +129,7 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
 
     def pad_to_byte(self) -> None:
         if self.nbits:
@@ -838,11 +842,6 @@ def _enc_dc_refine(zq_all, al: int) -> bytes:
     return bw.flush()
 
 
-def _pt_ac(v: int, al: int) -> int:
-    """Sign-preserving AC point transform (G.1.2.2)."""
-    return -((-v) >> al) if v < 0 else v >> al
-
-
 def _enc_ac_first(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
     bw = _BitWriter()
     eobrun = 0
@@ -859,28 +858,35 @@ def _enc_ac_first(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
                 bw.put(take - (1 << n), n)
             eobrun -= take
 
+    # Vectorized point transform over the whole band: blocks whose band
+    # is entirely zero (the common case — and ALL blocks of the
+    # constant-tile payload profile) take the eobrun fast path without
+    # any per-coefficient Python work.
+    band = zq_all[:, ss : se + 1]
+    pt = np.sign(band) * (np.abs(band) >> al)
+    nz_rows = pt.any(axis=1)
     for b in range(zq_all.shape[0]):
-        vals = [_pt_ac(int(zq_all[b, k]), al) for k in range(ss, se + 1)]
-        nz = [i for i, v in enumerate(vals) if v]
-        if not nz:
+        if not nz_rows[b]:
             eobrun += 1
             if eobrun == 0x7FFF:
                 flush_eob()
             continue
+        vals = pt[b]
+        nz = np.nonzero(vals)[0]
         flush_eob()
         run = 0
         last = -1
         for i in nz:
-            run = i - last - 1
+            run = int(i) - last - 1
             while run > 15:
                 code, ln = ac_codes[0xF0]
                 bw.put(code, ln)
                 run -= 16
-            s, bits = _magnitude(vals[i])
+            s, bits = _magnitude(int(vals[i]))
             code, ln = ac_codes[(run << 4) | s]
             bw.put(code, ln)
             bw.put(bits, s)
-            last = i
+            last = int(i)
         if last < se - ss:  # trailing zeros → EOB joins the run
             eobrun += 1
             if eobrun == 0x7FFF:
@@ -915,24 +921,35 @@ def _enc_ac_refine(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
             bw.put(bit, 1)
         eob_bits = []
 
+    # Vectorized decoder-state model over the whole band: ``hist`` is
+    # what the decoder holds before this scan (point transform at
+    # Al+1), ``now`` the target at Al; newly-significant = zero history
+    # with a nonzero target. All-EOB blocks (every block of the
+    # constant-tile payload profile) skip per-coefficient Python work.
+    bandv = zq_all[:, ss : se + 1]
+    absb = np.abs(bandv)
+    sgn = np.sign(bandv)
+    hist_m = sgn * (absb >> (al + 1))
+    now_m = sgn * (absb >> al)
+    newly_m = (hist_m == 0) & (now_m != 0)
+    newly_any = newly_m.any(axis=1)
+    hist_nz_any = hist_m.any(axis=1)
     for b in range(zq_all.shape[0]):
-        full = [int(zq_all[b, k]) for k in range(ss, se + 1)]
-        hist = [_pt_ac(v, al + 1) for v in full]  # decoder state pre-scan
-        now = [_pt_ac(v, al) for v in full]
-        newly = [
-            i for i, (hv, nv) in enumerate(zip(hist, now)) if hv == 0 and nv
-        ]
-        if not newly:
+        hist = hist_m[b]
+        now = now_m[b]
+        if not newly_any[b]:
             # whole band is EOB for this block; nonzero-history
             # coefficients still get correction bits, buffered onto the
             # pending EOB run.
             eobrun += 1
-            for i, hv in enumerate(hist):
-                if hv:
-                    eob_bits.append(abs(now[i]) & 1)
+            if hist_nz_any[b]:
+                eob_bits.extend(
+                    (np.abs(now[np.nonzero(hist)[0]]) & 1).tolist()
+                )
             if eobrun == 0x7FFF:
                 flush_eob()
             continue
+        newly = np.nonzero(newly_m[b])[0]
         flush_eob()
         pend: list[int] = []
         run = 0

@@ -1586,3 +1586,56 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-index persistence — the ANN twin of dedup.save_near_index
+# ---------------------------------------------------------------------------
+def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the trained ANN index — coarse centroids and the PQ
+    codebook — as two parquet tables: the literal 'train tonight,
+    serve tomorrow' story (a FAISS deployment stores exactly these
+    next to the corpus snapshot; the codes themselves are recomputed
+    map-side or stored by the serving layer). Training goes through
+    the session caches, so saving after a query run costs nothing
+    extra."""
+    ncl, _ = derived_ivf_params(corpus_count(spark, sf_dir))
+    qe = quantized_embeddings(spark, sf_dir)
+    cents = coarse_quantizer(spark, sf_dir, qe, ncl)
+    cb = _pq_codebook(spark, sf_dir)
+    spark.createDataFrame(
+        [(j, list(arr), int(n2)) for j, arr, n2 in cents],
+        "j int, q array<bigint>, n2 bigint",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (m, k, d, int(cb[m, k, d]))
+        for m in range(cb.shape[0])
+        for k in range(cb.shape[1])
+        for d in range(cb.shape[2])
+    ]
+    spark.createDataFrame(
+        rows, "m int, k int, d int, v bigint"
+    ).write.mode("overwrite").parquet(f"{path}/pq_codebook")
+
+
+def load_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Reopen a persisted ANN index and seed the session caches with
+    it: every subsequent IVF / IVF-PQ / semantic-clusters query in the
+    session serves from the loaded index instead of retraining —
+    tonight's build answers tomorrow's queries. Values are identical
+    to a fresh train by construction (the index is integer tables;
+    parquet round-trips them exactly), pinned by
+    ``tests/test_ann_index_persistence.py``."""
+    ncl, _ = derived_ivf_params(corpus_count(spark, sf_dir))
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [
+        (r["j"], list(r["q"]), int(r["n2"]))
+        for r in sorted(crows, key=lambda r: r["j"])
+    ]
+    key = (spark.sparkContext.applicationId, sf_dir, ncl)
+    _CENT_CACHE[key] = cents
+    brows = spark.read.parquet(f"{path}/pq_codebook").collect()
+    cb = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.int64)
+    for r in brows:
+        cb[r["m"], r["k"], r["d"]] = r["v"]
+    _PQ_CB_CACHE[(spark.sparkContext.applicationId, sf_dir)] = cb

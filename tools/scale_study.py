@@ -1,0 +1,123 @@
+"""Scaling study: how does each operator family's wall-clock grow with
+data size? Times a representative registry subset at every available
+testdata scale factor (sf0.001 / sf0.01 / sf0.1 — a 100× range) in one
+session, min-of-N per (entry, sf), and reports the per-decade scaling
+exponent e = log10(t_hi / t_lo) per 10× data step: e ≈ 0 means the
+entry is fixed-cost dominated at these sizes (planning/codegen/job
+scheduling), e ≈ 1 means linear data work, e > 1 superlinear (a red
+flag unless the operator is a labeled quadratic truth baseline).
+
+Usage: python tools/scale_study.py [--runs 2] [--out SCALE_STUDY.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators as ops  # noqa: E402
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (  # noqa: E402
+    dedup,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (  # noqa: E402
+    registry,
+    testdata_queries,  # noqa: F401
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+# One or two representatives per family — chosen for distinct scaling
+# shapes (scan+agg, self-join, window, LSH, iterative closure,
+# incremental, sketch, Arrow kernel, streaming batch twin).
+ENTRIES = [
+    "q01_top_brands_month_weekend",
+    "q16_affinity_pairs",
+    "q19_daily_spikes",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_incremental",
+    "ann_topk_lsh",
+    "ann_topk_ivfpq",
+    "sketch_distinct_tokens",
+    "text_langid",
+    "text_duplicate_spans",
+    "curation_pack_sequences",
+    "events_funnel",
+    "etl_events_hourly",
+    "multimodal_decode_stats_jpeg_progressive",
+]
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_STUDY.json"))
+    args = ap.parse_args()
+
+    spark = get_spark("scale-study")
+    spark.sparkContext.setLogLevel("ERROR")
+    sfs = [d for d in SF_DIRS if os.path.isdir(d)]
+
+    def run(name: str, d: str) -> float:
+        t0 = time.time()
+        registry.QUERIES[name](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    # Warm-up: codegen + Arrow workers at the smallest scale.
+    for name in ENTRIES:
+        run(name, sfs[0])
+
+    results: dict[str, dict[str, float]] = {n: {} for n in ENTRIES}
+    for d in sfs:
+        tag = os.path.basename(d.rstrip("/"))
+        for p in range(max(1, args.runs)):
+            ops.reset_session_caches()
+            dedup.cached_shingles(spark, d).count()
+            dedup.cached_shingle_sizes(spark, d).count()
+            dedup.cached_members(spark, d).count()
+            dedup.cached_rep_bands(spark, d).count()
+            for name in ENTRIES:
+                t = round(run(name, d), 3)
+                cur = results[name].get(tag)
+                results[name][tag] = t if cur is None else min(cur, t)
+
+    # per-decade exponents between consecutive sfs (each step is 10×)
+    tags = [os.path.basename(d.rstrip("/")) for d in sfs]
+    report = {}
+    for name in ENTRIES:
+        r = results[name]
+        exps = []
+        for lo, hi in zip(tags, tags[1:]):
+            if r.get(lo) and r.get(hi):
+                exps.append(round(math.log10(r[hi] / r[lo]), 2))
+        report[name] = {"sec": r, "decade_exponents": exps}
+
+    with open(args.out, "w") as fh:
+        json.dump({"runs": args.runs, "entries": report}, fh, indent=1)
+
+    hdr = "| entry | " + " | ".join(tags) + " | exp 0.001→0.01 | exp 0.01→0.1 |"
+    print(hdr)
+    print("|" + "---|" * (len(tags) + 3))
+    for name in ENTRIES:
+        r = report[name]
+        secs = " | ".join(str(r["sec"].get(t, "—")) for t in tags)
+        exps = r["decade_exponents"] + ["—"] * (2 - len(r["decade_exponents"]))
+        print(f"| {name} | {secs} | {exps[0]} | {exps[1]} |")
+    print(json.dumps({"out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
