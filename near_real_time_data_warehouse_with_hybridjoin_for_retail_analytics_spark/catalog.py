@@ -154,7 +154,7 @@ def _load_plain(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-_STAR_VERSION = "v1"
+_STAR_VERSION = "v2"  # v2: money/units measures pre-cast at ETL time
 
 
 def ensure_star(
@@ -209,6 +209,18 @@ def ensure_star(
         staging = f"{dest}__staging_{uuid.uuid4().hex[:8]}"
         (
             df.withColumn("l_year", F.year("l_shipdate").cast("int"))
+            # Pre-cast the measures the way the reference's ETL stores
+            # money as NUMERIC (star_schema.sql:30,63): the exact
+            # DECIMAL(18,4) every money aggregate needs (functions/
+            # money.py) is paid once per corpus here, so query-side
+            # dec() casts collapse to no-ops (SimplifyCasts) and SUMs
+            # read the decimal straight off the parquet page. Values
+            # are identical by construction — it is the same cast.
+            .withColumn(
+                "l_extendedprice",
+                F.col("l_extendedprice").cast("decimal(18,4)"),
+            )
+            .withColumn("l_quantity", F.col("l_quantity").cast("long"))
             .repartitionByRange(_SPLIT_FILES, "l_year", "l_shipdate")
             .sortWithinPartitions("l_year", "l_shipdate")
             .write.mode("overwrite")
