@@ -156,7 +156,11 @@ def connected_components(
         .dropDuplicates()
         .join(nodes.select("doc_id"), "doc_id", "left_semi")
     )
-    active = active.localCheckpoint(eager=True)  # survives sym.unpersist()
+    # Lazy checkpoint: materializes inside the first job that touches
+    # it (the local path's filtered collect, or the loop's round 0 —
+    # both run while sym is still persisted), after which consumers
+    # survive sym.unpersist() without paying a dedicated eager job.
+    active = active.localCheckpoint(eager=False)
     if sym.count() <= local_limit:  # one bounded scalar on the persisted edges
         labels = _components_local(sym, active)
         sym.unpersist()
