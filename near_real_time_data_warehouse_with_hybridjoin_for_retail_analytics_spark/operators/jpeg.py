@@ -772,16 +772,28 @@ def _progressive_scans() -> list[tuple[int, int, int, int]]:
 
 
 def encode_jpeg_progressive_gray(
-    img: np.ndarray, quant: np.ndarray | None = None
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    scans: list[tuple[int, int, int, int]] | None = None,
 ) -> bytes:
     """Real progressive JPEG writer (grayscale, dimensions multiples of
     8): the same DCT/quantization as the baseline writer, entropy-coded
-    across six scans (see ``_progressive_scans``) with DC successive
-    approximation, per-band AC first scans carrying EOB runs, and AC
-    refinement scans carrying correction bits."""
+    across a scan script (default ``_progressive_scans``; any
+    conforming (Ss, Se, Ah, Al) sequence is accepted — DC scans are
+    (0, 0), AC bands exclude 0, refinement scans must step Al by one
+    from Ah) with DC successive approximation, per-band AC first scans
+    carrying EOB runs, and AC refinement scans carrying correction
+    bits."""
     h, w = img.shape
     if h % 8 or w % 8:
         raise ValueError("dimensions must be multiples of 8")
+    if scans is None:
+        scans = _progressive_scans()
+    for ss, se, ah, al in scans:
+        if (ss == 0) != (se == 0) or se > 63 or ss > se:
+            raise ValueError("invalid scan band")
+        if ah and ah != al + 1:
+            raise ValueError("successive approximation must step by 1")
     q = np.ones((8, 8), dtype=np.int64) if quant is None else quant
     zq_all, _ = _quantize_plane(img, q)
     nb = zq_all.shape[0]
@@ -797,7 +809,7 @@ def encode_jpeg_progressive_gray(
     out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
     out += _dht_segment(1, 0, _ACP_BITS, _ACP_VALS)
-    for ss, se, ah, al in _progressive_scans():
+    for ss, se, ah, al in scans:
         out += (
             b"\xff\xda"
             + struct.pack(">HB", 8, 1)

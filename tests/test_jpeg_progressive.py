@@ -92,11 +92,43 @@ def test_rejects_out_of_scope_streams():
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(base.replace(b"\xff\xc0", b"\xff\xc2", 1))
     # multi-component progressive is out of scope
-    bad = good.replace(
-        b"\xff\xc2" + bytes.fromhex("000b") + b"\x08", b"\xff\xc2" + bytes.fromhex("000b") + b"\x08", 1
-    )
     sof_at = good.find(b"\xff\xc2")
     ncomp_at = sof_at + 9  # marker(2) + len(2) + depth(1) + h(2) + w(2)
     bad = good[:ncomp_at] + b"\x03" + good[ncomp_at + 1 :]
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(bad)
+
+
+def test_arbitrary_scan_scripts_match_baseline():
+    """The decoder is general over conforming Annex G scan scripts —
+    multi-band splits, deeper successive approximation, and a
+    no-approximation single AC scan all reconstruct the baseline
+    pixels."""
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    q = (np.arange(64).reshape(8, 8) // 8 + 1).astype(np.int64) * 4
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(img, quant=q))
+    scripts = [
+        # three AC bands, Al=1 everywhere, then refinements
+        [
+            (0, 0, 0, 1), (1, 2, 0, 1), (3, 10, 0, 1), (11, 63, 0, 1),
+            (0, 0, 1, 0), (1, 2, 1, 0), (3, 10, 1, 0), (11, 63, 1, 0),
+        ],
+        # deep successive approximation: Al 2 → 1 → 0
+        [
+            (0, 0, 0, 2), (1, 63, 0, 2),
+            (0, 0, 2, 1), (1, 63, 2, 1),
+            (0, 0, 1, 0), (1, 63, 1, 0),
+        ],
+        # no approximation at all: one DC scan + one full AC band scan
+        [(0, 0, 0, 0), (1, 63, 0, 0)],
+    ]
+    for scans in scripts:
+        got = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive_gray(img, quant=q, scans=scans)
+        )
+        assert np.array_equal(got, base), scans
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg_progressive_gray(img, quant=q, scans=[(0, 63, 0, 0)])
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg_progressive_gray(img, quant=q, scans=[(0, 0, 2, 0)])
