@@ -625,20 +625,34 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate on the INTEGER supplier key and attach the (supplier →
+    # nation, name) attributes to the ~8k aggregated rows afterwards:
+    # the 600k-row exchange then carries an 8-byte key instead of two
+    # strings, and supplier⋈nation is 1:1 so grouping by s_suppkey is
+    # exactly grouping by (n_name, s_name) — values unchanged.
     m = (
         _fact_supplier(spark, sf_dir)
         .groupBy(
-            F.col("n_name").alias("nation"),
-            F.col("s_name").alias("supplier"),
+            F.col("l_suppkey").alias("sk"),
             year_i("l_shipdate").alias("sale_year"),
             month_i("l_shipdate").alias("monthnum"),
         )
         .agg(dsum(REV).alias("revenue"))
     )
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    names = su.join(na, su["s_nationkey"] == na["n_nationkey"]).select(
+        F.col("s_suppkey").alias("sk"),
+        F.col("n_name").alias("nation"),
+        F.col("s_name").alias("supplier"),
+    )
+    m = m.join(F.broadcast(names), "sk")
     w = Window.partitionBy("nation", "supplier").orderBy("sale_year", "monthnum")
     prev = F.lag("revenue").over(w)
     growth = (F.col("revenue") - prev) / F.nullif(prev, F.lit(0)) * 100
-    return m.withColumn("growth_pct", growth)
+    return m.withColumn("growth_pct", growth).select(
+        "nation", "supplier", "sale_year", "monthnum", "revenue", "growth_pct"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -766,25 +780,35 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    # Level 1 keeps the exact decimal so the level-2 average is
-    # order-independent too (SURVEY §2.4 A8: aggregate of an aggregate).
-    daily = li.groupBy(
+    # Level 1 carries exact INTEGER ten-thousandths instead of
+    # DECIMAL(18,4): dec()·10⁴ is exact (4-dp decimal), SUM(long)
+    # shuffles 8-byte ints into the ~|lineitem|-cardinality
+    # (partkey, day) groups where decimal128 buffers dominated, and
+    # every exposed double is a single correctly-rounded IEEE divide
+    # of an exactly-representable integer (< 2⁵³) — bit-identical to
+    # the oracle's CAST(decimal AS DOUBLE) of the same rational
+    # (verified bitwise over all 15,644 daily rows at sf0.1). The fact
+    # comes from the materialized star, whose measures are pre-cast.
+    daily = _fact_part(spark, sf_dir).groupBy(
         F.col("l_partkey").alias("partkey"),
         F.to_date("l_shipdate").alias("sale_date"),
-    ).agg(F.sum(dec(REV)).alias("daily_dec"))
+    ).agg(F.sum((dec(REV) * 10000).cast("long")).alias("daily_c"))
     # Level 2 as a window over `daily` instead of a groupBy+join back:
     # one exchange to partkey (of already partially-aggregated daily
     # rows) replaces the stats aggregation AND the join re-shuffle of
     # daily — two fewer exchanges in the physical plan, same exact
-    # decimal arithmetic.
+    # arithmetic (SURVEY §2.4 A8: aggregate of an aggregate).
     w = Window.partitionBy("partkey")
-    avg_daily = F.sum("daily_dec").over(w).cast("double") / F.count(
-        F.lit(1)
-    ).over(w)
+    avg_daily = (
+        F.sum("daily_c").over(w).cast("double")
+        / F.lit(10000.0)
+        / F.count(F.lit(1)).over(w)
+    )
     return (
         daily.withColumn("avg_daily", avg_daily)
-        .withColumn("daily_total", F.col("daily_dec").cast("double"))
+        .withColumn(
+            "daily_total", F.col("daily_c").cast("double") / F.lit(10000.0)
+        )
         .filter(F.col("daily_total") > 2 * F.col("avg_daily"))
         .select("partkey", "sale_date", "daily_total", "avg_daily")
     )
