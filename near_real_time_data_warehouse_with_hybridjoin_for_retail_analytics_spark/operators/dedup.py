@@ -1298,6 +1298,179 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental embedding dedup: today's vectors vs the indexed corpus
+# ---------------------------------------------------------------------------
+def _incr_emb_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """One (table, bucket) group with an ``is_new`` side flag: exact
+    grid cosine between the incoming and indexed members only (never
+    incoming×incoming or indexed×indexed), threshold, emit pairs."""
+    import numpy as np
+
+    from .similarity import int_sims
+
+    newp = pdf[pdf["is_new"]].sort_values("vec_id")
+    oldp = pdf[~pdf["is_new"]].sort_values("vec_id")
+    if len(newp) == 0 or len(oldp) == 0:
+        return pd.DataFrame({"new_id": [], "old_id": [], "sim": []}).astype(
+            {"new_id": "int64", "old_id": "int64", "sim": "float64"}
+        )
+    sims = int_sims(newp, oldp)
+    hit = sims >= NEAR_DUP_COSINE
+    ra, rb = np.nonzero(hit)
+    return pd.DataFrame(
+        {
+            "new_id": newp["vec_id"].to_numpy()[ra],
+            "old_id": oldp["vec_id"].to_numpy()[rb],
+            "sim": sims[ra, rb],
+        }
+    )
+
+
+def _emb_incremental_sql() -> str:
+    from .similarity import (
+        _SQL_N2,
+        _SQL_QE,
+        SQL_LSH_PARAMS,
+        _sql_scored,
+        sql_lsh_buckets,
+    )
+
+    return f"""
+    WITH qe AS ({_SQL_QE}),
+    n2 AS ({_SQL_N2}),
+    params AS ({SQL_LSH_PARAMS}),
+    sp AS (
+      SELECT CAST(floor(CAST(MAX(vec_id) AS DOUBLE) * {INCR_SPLIT_FRAC}) AS BIGINT)
+             AS s
+      FROM embeddings
+    ),
+    keys AS (SELECT vec_id, array_to_string(q, ',') AS gk FROM qe),
+    old_min AS (
+      SELECT gk, MIN(vec_id) AS match_id FROM keys
+      WHERE vec_id < (SELECT s FROM sp) GROUP BY 1
+    ),
+    exact AS (
+      SELECT k.vec_id, o.match_id
+      FROM keys k JOIN old_min o USING (gk)
+      WHERE k.vec_id >= (SELECT s FROM sp)
+    ),
+    ebuckets AS ({sql_lsh_buckets(DEDUP_LSH_TABLES)}),
+    ecand AS (SELECT DISTINCT n.vec_id AS new_id, o.vec_id AS old_id
+              FROM ebuckets n JOIN ebuckets o
+                ON n.tbl = o.tbl AND n.bucket = o.bucket
+              WHERE n.vec_id >= (SELECT s FROM sp)
+                AND o.vec_id < (SELECT s FROM sp)),
+    escore AS ({_sql_scored('ecand', 'new_id', 'old_id')}),
+    near_all AS (SELECT new_id, old_id, sim FROM escore
+                 WHERE sim >= {NEAR_DUP_COSINE}),
+    near AS (
+      SELECT new_id AS vec_id, old_id AS match_id, sim FROM (
+        SELECT new_id, old_id, sim, ROW_NUMBER() OVER (
+          PARTITION BY new_id ORDER BY old_id) AS rk FROM near_all)
+      WHERE rk = 1
+    )
+    SELECT v.vec_id,
+           CASE WHEN e.match_id IS NOT NULL THEN 'exact'
+                WHEN nr.match_id IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS verdict,
+           COALESCE(e.match_id, nr.match_id) AS match_id,
+           CASE WHEN e.match_id IS NULL THEN nr.sim END AS sim
+    FROM (SELECT vec_id FROM embeddings
+          WHERE vec_id >= (SELECT s FROM sp)) v
+    LEFT JOIN exact e USING (vec_id)
+    LEFT JOIN near nr USING (vec_id)
+    """
+
+
+@query("dedup_embedding_incremental", _emb_incremental_sql())
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector twin of ``dedup_incremental``: classify each incoming
+    embedding (vec_id ≥ the same floor(max·0.8) watermark) against the
+    INDEXED corpus only — ``verdict`` ∈ {exact, near, novel},
+    ``match_id`` = lowest matching indexed vec, ``sim`` = the chosen
+    match's exact grid cosine for near matches.
+
+    Exact tier: equality of the 1e-6 quantized grid vector (one
+    shuffle on a canonical array key — identical embeddings, not
+    merely similar ones). Near tier: the sign-LSH bucket join ACROSS
+    the boundary only, with exact cosine verification inside each
+    (table, bucket) Arrow kernel — incoming×incoming pairs are never
+    generated, so the daily cost is linear in the increment at any
+    corpus size (the indexed side's buckets are yesterday's persisted
+    tables, same contract as the text index's ``build_near_index``).
+    Deterministic end-to-end on the integer grid with id tiebreaks, so
+    the DuckDB oracle replays the watermark, buckets, candidate set
+    and scores bit-exactly (full value-hash check)."""
+    import math
+
+    from .similarity import (
+        corpus_count,
+        derived_lsh_bits,
+        lsh_tagged,
+        quantized_embeddings,
+    )
+    from pyspark.sql.window import Window
+
+    qe = quantized_embeddings(spark, sf_dir)
+    mx = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.max("vec_id"))
+        .first()[0]
+    )  # one bounded driver scalar — the ingest watermark
+    split = 0 if mx is None else math.floor(float(mx) * INCR_SPLIT_FRAC)
+    old, new = F.col("vec_id") < split, F.col("vec_id") >= split
+
+    gk = F.concat_ws(
+        ",", F.expr("transform(q, x -> cast(x as string))")
+    ).alias("gk")
+    keys = qe.select("vec_id", gk)
+    old_min = (
+        keys.filter(old)
+        .groupBy("gk")
+        .agg(F.min("vec_id").alias("exact_match_id"))
+    )
+    exact = keys.filter(new).join(old_min, "gk").select(
+        "vec_id", "exact_match_id"
+    )
+
+    bits = derived_lsh_bits(corpus_count(spark, sf_dir))
+    tagged = lsh_tagged(qe, DEDUP_LSH_TABLES, bits).withColumn("is_new", new)
+    pairs = (
+        tagged.groupBy("tbl", "bucket")
+        .applyInPandas(
+            _incr_emb_kernel, "new_id long, old_id long, sim double"
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    w = Window.partitionBy("new_id").orderBy("old_id")
+    near = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("new_id").alias("vec_id"),
+            F.col("old_id").alias("near_match_id"),
+            "sim",
+        )
+    )
+    incoming = qe.filter(new).select("vec_id")
+    return (
+        incoming.join(exact, "vec_id", "left")
+        .join(near, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("exact_match_id").isNotNull(), "exact")
+            .when(F.col("near_match_id").isNotNull(), "near")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.coalesce("exact_match_id", "near_match_id").alias("match_id"),
+            F.when(F.col("exact_match_id").isNull(), F.col("sim")).alias(
+                "sim"
+            ),
+        )
+    )
+
+
 class NearDupIndex:
     """The indexed corpus's dedup index — four frames that, at 100 TB,
     are yesterday's persisted tables (one linear build pass each):

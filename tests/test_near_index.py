@@ -133,3 +133,46 @@ def test_near_gate_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
     q2 = sd.run_near_dedup_stream(spark, feed, index, out, checkpoint=ckpt)
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == first  # nothing re-appended
+
+
+def test_embedding_incremental_verdicts(spark, sf_dir):
+    """Boundary + tier semantics of the vector incremental classifier:
+    only incoming ids appear, matches always point at the indexed side,
+    the exact tier wins over near, and grid-identical incoming vectors
+    are always classified exact."""
+    import math
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.similarity import (
+        quantized_embeddings,
+    )
+
+    out = {r.vec_id: r for r in dedup.dedup_embedding_incremental(spark, sf_dir).collect()}
+    mx = load_table(spark, sf_dir, "embeddings").agg(F.max("vec_id")).first()[0]
+    split = math.floor(float(mx) * dedup.INCR_SPLIT_FRAC)
+    assert out and all(v >= split for v in out)
+    for r in out.values():
+        assert r.verdict in ("exact", "near", "novel")
+        if r.verdict == "novel":
+            assert r.match_id is None and r.sim is None
+        else:
+            assert r.match_id is not None and r.match_id < split
+        if r.verdict == "exact":
+            assert r.sim is None
+        if r.verdict == "near":
+            assert r.sim is not None and r.sim >= dedup.NEAR_DUP_COSINE
+
+    # every incoming vector grid-identical to an indexed one is exact
+    qe = quantized_embeddings(spark, sf_dir).collect()
+    grids = {}
+    for r in qe:
+        grids.setdefault(tuple(r.q), []).append(r.vec_id)
+    for ids in grids.values():
+        idx = [v for v in ids if v < split]
+        inc = [v for v in ids if v >= split]
+        if idx and inc:
+            for v in inc:
+                assert out[v].verdict == "exact"
+                assert out[v].match_id == min(idx)
