@@ -1404,13 +1404,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scores bit-exactly (full value-hash check)."""
     import math
 
-    from .similarity import (
-        corpus_count,
-        derived_lsh_bits,
-        lsh_tagged,
-        quantized_embeddings,
-    )
-    from pyspark.sql.window import Window
+    from .similarity import corpus_count, derived_lsh_bits, quantized_embeddings
 
     qe = quantized_embeddings(spark, sf_dir)
     mx = (
@@ -1420,24 +1414,76 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # one bounded driver scalar — the ingest watermark
     split = 0 if mx is None else math.floor(float(mx) * INCR_SPLIT_FRAC)
     old, new = F.col("vec_id") < split, F.col("vec_id") >= split
+    bits = derived_lsh_bits(corpus_count(spark, sf_dir))
+    index = build_emb_index(qe.filter(old), bits=bits)
+    return classify_embedding_incremental(qe.filter(new), index)
 
-    gk = F.concat_ws(
+
+class EmbNearIndex:
+    """Indexed-corpus frames of the embedding incremental classifier —
+    at 100 TB, yesterday's persisted tables (one linear pass each):
+    canonical-grid-key minima and the sign-LSH bucket assignment."""
+
+    __slots__ = ("keys", "tagged", "bits")
+
+    def __init__(self, keys, tagged, bits) -> None:
+        self.keys = keys  # (gk, match_id)
+        self.tagged = tagged  # (vec_id, q, tbl, bucket)
+        self.bits = bits
+
+
+def _grid_key() -> Column:
+    """Canonical string key of the quantized grid vector — array
+    equality as an equi-join key, identical on both engines."""
+    return F.concat_ws(
         ",", F.expr("transform(q, x -> cast(x as string))")
     ).alias("gk")
-    keys = qe.select("vec_id", gk)
-    old_min = (
-        keys.filter(old)
-        .groupBy("gk")
-        .agg(F.min("vec_id").alias("exact_match_id"))
-    )
-    exact = keys.filter(new).join(old_min, "gk").select(
-        "vec_id", "exact_match_id"
-    )
 
-    bits = derived_lsh_bits(corpus_count(spark, sf_dir))
-    tagged = lsh_tagged(qe, DEDUP_LSH_TABLES, bits).withColumn("is_new", new)
+
+def build_emb_index(
+    qe_old: DataFrame, tables: int = DEDUP_LSH_TABLES, bits: int = 4
+) -> EmbNearIndex:
+    """Build the indexed side from a (vec_id, q) frame: per-grid-key
+    minima for the exact tier and the per-table bucket assignment for
+    the near tier. ``bits`` must be the corpus-derived signature width
+    (``similarity.derived_lsh_bits``) so stream and batch agree."""
+    from .similarity import lsh_tagged
+
+    keys = (
+        qe_old.select("vec_id", _grid_key())
+        .groupBy("gk")
+        .agg(F.min("vec_id").alias("match_id"))
+    )
+    tagged = lsh_tagged(qe_old, tables, bits)
+    return EmbNearIndex(keys, tagged, bits)
+
+
+def classify_embedding_incremental(
+    qe_new: DataFrame, index: EmbNearIndex, tables: int = DEDUP_LSH_TABLES
+) -> DataFrame:
+    """Classify a (vec_id, q) increment against a prebuilt
+    ``EmbNearIndex``: grid-identity exact tier, then the cross-boundary
+    bucket join with exact-cosine verification per (table, bucket)
+    Arrow kernel. Shared verbatim by the batch operator and the
+    streaming gate (``streaming/dedup_stream.py``
+    ``run_embedding_dedup_stream``) — linear in the increment, never in
+    history."""
+    from pyspark.sql.window import Window
+
+    from .similarity import lsh_tagged
+
+    exact = (
+        qe_new.select("vec_id", _grid_key())
+        .join(index.keys, "gk")
+        .select("vec_id", F.col("match_id").alias("exact_match_id"))
+    )
+    both = index.tagged.withColumn("is_new", F.lit(False)).unionByName(
+        lsh_tagged(qe_new, tables, index.bits).withColumn(
+            "is_new", F.lit(True)
+        )
+    )
     pairs = (
-        tagged.groupBy("tbl", "bucket")
+        both.groupBy("tbl", "bucket")
         .applyInPandas(
             _incr_emb_kernel, "new_id long, old_id long, sim double"
         )
@@ -1453,7 +1499,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
-    incoming = qe.filter(new).select("vec_id")
+    incoming = qe_new.select("vec_id")
     return (
         incoming.join(exact, "vec_id", "left")
         .join(near, "vec_id", "left")

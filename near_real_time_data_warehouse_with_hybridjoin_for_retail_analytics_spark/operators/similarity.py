@@ -201,13 +201,21 @@ def sql_lsh_buckets(tables: int) -> str:
     """
 
 
-def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, q array<long>) — embeddings on the 1e-6 integer grid."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def quantize_embedding_col(df: DataFrame) -> DataFrame:
+    """(vec_id, q array<long>) from any frame carrying (vec_id,
+    embedding) — the 1e-6 integer-grid quantization every deterministic
+    consumer shares (batch tables and streaming micro-batches alike)."""
     q = F.transform(
         "embedding", lambda v: F.floor(v.cast("double") * CENTROID_Q).cast("long")
     )
-    return emb.select("vec_id", q.alias("q"))
+    return df.select("vec_id", q.alias("q"))
+
+
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q array<long>) — embeddings on the 1e-6 integer grid."""
+    return quantize_embedding_col(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
 
 
 def _bucket_udf(tables: int, bits: int):

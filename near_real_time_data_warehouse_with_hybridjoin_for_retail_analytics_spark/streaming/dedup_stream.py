@@ -249,3 +249,48 @@ def run_near_dedup_stream(
         # the production setting; tests pin the no-duplicates contract.
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def run_embedding_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of ``dedup_embedding_incremental`` — the vector
+    ingest gate. Each micro-batch of (vec_id, embedding) rows is
+    quantized to the deterministic integer grid and classified against
+    a prebuilt ``operators.dedup.EmbNearIndex`` (at 100 TB,
+    yesterday's persisted grid-key/bucket tables) via ``foreachBatch``:
+    grid-identity exact tier, then the cross-boundary sign-LSH bucket
+    join with exact-cosine verification — the same
+    ``classify_embedding_incremental`` the batch operator runs, so
+    stream and batch share ONE copy of the semantics (pinned by the
+    pytest equivalence gate). The stream itself is stateless — the
+    static index IS the state — and results append to ``out_dir`` as
+    the audit-log parquet an ingest gate feeds."""
+    from ..operators import dedup as _dedup
+    from ..operators.similarity import quantize_embedding_col
+
+    raw = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _classify(batch_df: DataFrame, _batch_id: int) -> None:
+        _dedup.classify_embedding_incremental(
+            quantize_embedding_col(batch_df), index
+        ).write.mode("append").parquet(out_dir)
+
+    writer = raw.writeStream.foreachBatch(_classify).trigger(
+        availableNow=True
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -176,3 +176,50 @@ def test_embedding_incremental_verdicts(spark, sf_dir):
             for v in inc:
                 assert out[v].verdict == "exact"
                 assert out[v].match_id == min(idx)
+
+
+def test_embedding_stream_gate_matches_batch(spark, sf_dir, tmp_path):
+    """run_embedding_dedup_stream drives classify_embedding_incremental
+    per micro-batch against the prebuilt index — output must equal the
+    batch operator row-for-row (one copy of the semantics)."""
+    import math
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.similarity import (
+        corpus_count,
+        derived_lsh_bits,
+        quantized_embeddings,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        dedup_stream as sd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    split = math.floor(float(mx) * dedup.INCR_SPLIT_FRAC)
+    bits = derived_lsh_bits(corpus_count(spark, sf_dir))
+    qe = quantized_embeddings(spark, sf_dir)
+    index = dedup.build_emb_index(
+        qe.filter(F.col("vec_id") < split), bits=bits
+    )
+
+    feed = str(tmp_path / "emb_feed")
+    out = str(tmp_path / "emb_out")
+    # three arrival files → three micro-batches at maxFilesPerTrigger=1
+    emb.filter(F.col("vec_id") >= split).repartition(3).write.parquet(feed)
+    q = sd.run_embedding_dedup_stream(spark, feed, index, out)
+    q.awaitTermination()
+
+    got = sorted(
+        (r.vec_id, r.verdict, r.match_id, r.sim)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.verdict, r.match_id, r.sim)
+        for r in dedup.classify_embedding_incremental(
+            qe.filter(F.col("vec_id") >= split), index
+        ).collect()
+    )
+    assert got == want and len(got) > 0
