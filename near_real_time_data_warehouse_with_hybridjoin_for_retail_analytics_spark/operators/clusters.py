@@ -429,6 +429,11 @@ def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("csrc") != F.col("cdst"))
         .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
         .dropDuplicates()
+        # Materialize once: the edge list feeds the closure's edge AND
+        # node sides plus the final expansion — unpinned, each action
+        # re-ran the contraction joins (measured 1.2 s per re-execution
+        # at sf0.1 across 3+ downstream jobs).
+        .localCheckpoint(eager=True)
     )
     cnodes = (
         contracted.select(F.col("src").alias("doc_id"))
