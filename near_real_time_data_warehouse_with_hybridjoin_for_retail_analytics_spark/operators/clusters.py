@@ -73,6 +73,29 @@ _COMPONENT_CACHE: dict[tuple[str, str], DataFrame] = {}
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _unionfind_labels(rows) -> dict:
+    """Min-id union-find with path compression over (src, dst) rows —
+    returns {node: min doc_id reachable} for every node incident to an
+    edge. Pure driver-side arithmetic, caller bounds ``rows``."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    ids = {v for r in rows for v in (r[0], r[1])}
+    return {i: find(i) for i in ids}
+
+
 def _components_local(sym: DataFrame, active: DataFrame) -> DataFrame:
     """Union-find over ONE bounded collect of the symmetrized edge list
     (caller guarantees ≤ LOCAL_EDGE_LIMIT rows) — min-id roots with path
@@ -91,24 +114,9 @@ def _components_local(sym: DataFrame, active: DataFrame) -> DataFrame:
         .select("src", "dst")
         .collect()
     )  # bounded by caller's count
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in rows:
-        ra, rb = find(r[0]), find(r[1])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    ids = {v for r in rows for v in (r[0], r[1])}
+    labels_map = _unionfind_labels(rows)
     pdf = pd.DataFrame(
-        {"doc_id": list(ids), "component_id": [find(i) for i in ids]}
+        {"doc_id": list(labels_map), "component_id": list(labels_map.values())}
     )
     labels = active.sparkSession.createDataFrame(
         pdf, schema="doc_id long, component_id long"
@@ -296,9 +304,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _COMPONENT_CACHE:
         docs = load_table(spark, sf_dir, "documents")
+        # Lazy-checkpoint the cached labels: the frame is one row per
+        # document but its tail (isolated anti-join ∪ loop labels) is
+        # re-derived per action otherwise — and the multimodal closure
+        # alone consumes it three times (two contraction sides + final
+        # expansion). Materializes inside the first consumer's job.
         _COMPONENT_CACHE[key] = connected_components(
             docs.select("doc_id"), near_dup_edges(spark, sf_dir)
-        )
+        ).localCheckpoint(eager=False)
     return _COMPONENT_CACHE[key].withColumn(
         "is_canonical", F.col("component_id") == F.col("doc_id")
     )
@@ -435,14 +448,34 @@ def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at sf0.1 across 3+ downstream jobs).
         .localCheckpoint(eager=True)
     )
-    cnodes = (
-        contracted.select(F.col("src").alias("doc_id"))
-        .union(contracted.select(F.col("dst").alias("doc_id")))
-        .dropDuplicates()
-    )
-    clabels = connected_components(cnodes, contracted).select(
-        F.col("doc_id").alias("cid"), F.col("component_id").alias("merged")
-    )
+    # Close the contracted graph. It is one row per cross-component
+    # embedding edge — after text-chain contraction, orders of magnitude
+    # below the corpus — so under LOCAL_EDGE_LIMIT it closes as a driver
+    # union-find over ONE bounded collect of the already-checkpointed
+    # edge list (no symmetrize/persist/active scaffolding: every
+    # endpoint is a contracted node by construction, so the generic
+    # path's isolated-node and stray-endpoint handling is vacuous here;
+    # measured 1.15 s → ~0.1 s at sf0.1). Past the limit, the O(log d)
+    # distributed loop is the only shape that survives 100 TB.
+    if contracted.count() <= LOCAL_EDGE_LIMIT:
+        import pandas as pd
+
+        labels_map = _unionfind_labels(contracted.collect())
+        clabels = spark.createDataFrame(
+            pd.DataFrame(
+                {"cid": list(labels_map), "merged": list(labels_map.values())}
+            ),
+            schema="cid long, merged long",
+        )
+    else:
+        cnodes = (
+            contracted.select(F.col("src").alias("doc_id"))
+            .union(contracted.select(F.col("dst").alias("doc_id")))
+            .dropDuplicates()
+        )
+        clabels = connected_components(cnodes, contracted).select(
+            F.col("doc_id").alias("cid"), F.col("component_id").alias("merged")
+        )
     comp = text_comp.join(
         clabels, text_comp["component_id"] == clabels["cid"], "left"
     ).select(
