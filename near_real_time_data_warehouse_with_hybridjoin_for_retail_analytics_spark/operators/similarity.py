@@ -1062,6 +1062,116 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Covariance / Gram matrix: the distributed half of PCA and whitening
+# ---------------------------------------------------------------------------
+# X^T X over the corpus is THE canonical "reduce a 100 TB matrix to a
+# d×d summary" computation: every partition contributes one d×d integer
+# partial (a single BLAS matmul per Arrow batch), the shuffle carries
+# d(d+1)/2 rows per partition — independent of corpus size — and the
+# O(d³) eigensolve downstream is driver-side and free. Sums run on the
+# shared 1e-6 grid so partials are exact integers; the global combine
+# accumulates in DECIMAL(38,0) because int64 saturates near n·(q_max)²
+# ≈ 9e18 (≈ 9M unit-norm vectors on the 1e6 grid) — decimal partial
+# aggregation is Spark-exact and keeps the op safe at corpus scale.
+
+_COV_SQL = f"""
+    WITH qe AS ({{_SQL_QE}}),
+    e AS (
+      SELECT vec_id, CAST(pos AS INT) AS dim, CAST(qv AS BIGINT) AS qv
+      FROM (SELECT vec_id, unnest(q) AS qv,
+                   generate_subscripts(q, 1) AS pos
+            FROM qe)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(COUNT(*) AS BIGINT) AS nb FROM qe),
+    s AS (SELECT dim, CAST(SUM(qv) AS DOUBLE) AS sum_q FROM e GROUP BY 1),
+    g AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             CAST(SUM(a.qv * b.qv) AS DECIMAL(38,0)) AS sum_prod_q
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2
+    )
+    SELECT g.dim_i, g.dim_j, g.sum_prod_q,
+           n.nb AS n_vectors,
+           (CAST(g.sum_prod_q AS DOUBLE) / n.nd
+            - (si.sum_q / n.nd) * (sj.sum_q / n.nd))
+           / {{_COV_QQ}} AS cov
+    FROM g
+    JOIN s si ON si.dim = g.dim_i
+    JOIN s sj ON sj.dim = g.dim_j
+    CROSS JOIN n
+    ORDER BY dim_i, dim_j
+""".format(
+    _SQL_QE=_SQL_QE, _COV_QQ=float(CENTROID_Q) * float(CENTROID_Q)
+)
+
+
+@query("embedding_covariance", _COV_SQL)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus on the
+    1e-6 grid — the distributed input to PCA / whitening / SVD-based
+    dimensionality reduction (the d×d eigensolve that follows is
+    driver-side O(d³), negligible at any corpus size).
+
+    Plan: ``mapInPandas`` emits one exact int64 Gram partial per Arrow
+    batch (a single X^T·X matmul — d(d+1)/2 rows per batch, never per
+    vector), a groupBy(dim_i, dim_j) combines partials in
+    DECIMAL(38,0) (exact past int64 range, see module comment), and the
+    2080-row result joins the broadcast per-dim sums for the centering
+    term. Every integer is order-exact; ``cov`` is the one float chain
+    (three IEEE divides, one multiply, one subtract — identical operand
+    order in the oracle), so the whole matrix hash-matches DuckDB."""
+    qe = quantized_embeddings(spark, sf_dir)
+    iu = np.triu_indices(EMB_DIM)
+    n = corpus_count(spark, sf_dir)
+    nd = F.lit(float(n))
+
+    def gram_partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g = mat.T @ mat
+            yield pd.DataFrame(
+                {
+                    "dim_i": (iu[0] + 1).astype(np.int32),
+                    "dim_j": (iu[1] + 1).astype(np.int32),
+                    "psum": g[iu],
+                }
+            )
+
+    partials = qe.select("q").mapInPandas(
+        gram_partial, schema="dim_i int, dim_j int, psum long"
+    )
+    gram = partials.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("psum").cast("decimal(38,0)")).alias("sum_prod_q")
+    )
+    s = (
+        qe.select(F.posexplode("q").alias("pos", "qv"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.sum("qv").cast("double").alias("sum_q"))
+    )
+    si = s.select(F.col("dim").alias("dim_i"), F.col("sum_q").alias("si_sum"))
+    sj = s.select(F.col("dim").alias("dim_j"), F.col("sum_q").alias("sj_sum"))
+    cov = (
+        F.col("sum_prod_q").cast("double") / nd
+        - (F.col("si_sum") / nd) * (F.col("sj_sum") / nd)
+    ) / F.lit(float(CENTROID_Q) * float(CENTROID_Q))
+    return (
+        gram.join(F.broadcast(si), "dim_i")
+        .join(F.broadcast(sj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            "sum_prod_q",
+            F.lit(n).cast("long").alias("n_vectors"),
+            cov.alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization: the memory format behind IVF-PQ — the index family
 # that actually fits a 100 TB embedding corpus in RAM (a 64-dim float32
 # vector becomes PQ_M 4-bit codes = 4 bytes, a 64× compression).

@@ -106,14 +106,41 @@ def test_real_registry_head_admits_every_due_entry():
     """The durable staleness invariant on the REAL committed registry +
     CORRECTNESS artifacts (not just the simulation): every entry whose
     last passing driver row is ≥3 rounds old — or which never had one —
-    plus every forced entry must be inside the current window."""
+    plus every forced entry must be inside the current window.
+
+    Exception (forced-aware bound): in a round where pinned + forced +
+    due genuinely exceeds the window, forced entries take priority —
+    their committed rows describe code that no longer exists, while a
+    due-but-HASH-UNCHANGED entry's old row still attests byte-identical
+    source. Such overflow rounds may defer due entries, but only
+    hash-unchanged ones, and never in favor of a fresher non-forced
+    entry occupying a head slot."""
     order = list(e.queries())
     head = set(order[:WINDOW])
     last = e._last_verified()
     latest = max(last.values(), default=0)
     due = [n for n in order if last.get(n, 0) <= latest - 2]
     missing = [n for n in due if n not in head]
-    assert not missing, f"stale entries outside the driver window: {missing}"
+    if missing:
+        pinned = {n for n in e._PINNED if n in order}
+        forced = {
+            n
+            for n in e._FORCE_VERIFY + e._hash_forced(e.registry.QUERIES)
+            if n in order
+        }
+        overflow = len(pinned | forced | set(due)) > WINDOW
+        assert overflow, (
+            f"due entries outside the window without overflow: {missing}"
+        )
+        changed_missing = [n for n in missing if n in forced]
+        assert not changed_missing, (
+            f"hash-CHANGED due entries deferred: {changed_missing}"
+        )
+        filler = [n for n in order[:WINDOW] if n not in pinned | forced
+                  and n not in due]
+        assert not filler, (
+            f"fresh entries hold head slots while due wait: {filler}"
+        )
     for n in e._FORCE_VERIFY:
         if n in order:
             assert n in head, f"forced entry {n} outside the window"

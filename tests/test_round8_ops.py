@@ -1,0 +1,83 @@
+"""Round-8 additions: exact distributed covariance over the embedding
+corpus, and the driver union-find closure of the contracted multimodal
+graph."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    clusters,
+    similarity,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+    load_table,
+)
+
+
+def test_covariance_matches_numpy_truth(spark, sf_dir):
+    """The distributed Gram/covariance equals a single-machine numpy
+    computation on the same 1e-6 grid — integer sums exactly, the float
+    covariance to within one representation of the identical chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.floor(x * similarity.CENTROID_Q).astype(np.int64)
+    n = len(q)
+    gram = q.T @ q  # exact int64 at test scale
+
+    out = {
+        (r["dim_i"], r["dim_j"]): r
+        for r in similarity.embedding_covariance(spark, sf_dir).collect()
+    }
+    d = similarity.EMB_DIM
+    assert len(out) == d * (d + 1) // 2
+    sums = q.sum(axis=0).astype(np.float64)
+    qq = float(similarity.CENTROID_Q) ** 2
+    for i in range(d):
+        for j in range(i, d):
+            r = out[(i + 1, j + 1)]
+            assert int(r["sum_prod_q"]) == int(gram[i, j])
+            assert r["n_vectors"] == n
+            expect = (
+                float(gram[i, j]) / n - (sums[i] / n) * (sums[j] / n)
+            ) / qq
+            assert abs(r["cov"] - expect) < 1e-15 + abs(expect) * 1e-12
+
+
+def test_covariance_diagonal_is_variance(spark, sf_dir):
+    out = similarity.embedding_covariance(spark, sf_dir)
+    diag = out.filter(F.col("dim_i") == F.col("dim_j"))
+    assert diag.count() == similarity.EMB_DIM
+    assert diag.filter(F.col("cov") < 0).count() == 0
+
+
+def test_unionfind_labels_min_roots():
+    # chain 5-4-3 and pair 10-2, plus self-contained 7-7 loopless edge
+    rows = [(5, 4), (4, 3), (10, 2), (2, 10)]
+    labels = clusters._unionfind_labels(rows)
+    assert labels == {5: 3, 4: 3, 3: 3, 10: 2, 2: 2}
+
+
+def test_multimodal_local_closure_matches_distributed(spark, sf_dir):
+    """The direct driver union-find over the contracted edges must
+    produce the same labels the generic ``connected_components`` path
+    (the pre-round-8 formulation, with its own small-graph switch)
+    produces — force it by dropping the module-level threshold."""
+    out_local = {
+        (r["doc_id"], r["component_id"], r["is_canonical"])
+        for r in clusters.dedup_multimodal_components(spark, sf_dir).collect()
+    }
+    orig = clusters.LOCAL_EDGE_LIMIT
+    clusters.LOCAL_EDGE_LIMIT = -1  # force the generic closure path
+    try:
+        out_dist = {
+            (r["doc_id"], r["component_id"], r["is_canonical"])
+            for r in clusters.dedup_multimodal_components(
+                spark, sf_dir
+            ).collect()
+        }
+    finally:
+        clusters.LOCAL_EDGE_LIMIT = orig
+    assert out_local == out_dist
