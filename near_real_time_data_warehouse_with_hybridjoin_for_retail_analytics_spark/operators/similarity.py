@@ -1172,6 +1172,134 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding drift: per-label centroid shift across the ingest watermark
+# ---------------------------------------------------------------------------
+# The distribution-shift monitor every production embedding pipeline
+# runs before trusting an index built on yesterday's corpus: split the
+# table at the same floor(max·0.8) watermark the incremental dedup
+# reads, compute both halves' per-label centroids on the shared 1e-6
+# grid (floor-mean convention, exactly ``ann_centroid_assign``'s
+# quantizer), and report each label's L2 centroid shift plus its
+# half-counts. Labels present in only one half surface with NULL drift
+# (appeared/vanished strata — the alert case).
+
+_DRIFT_SQL = f"""
+    WITH params AS (
+      SELECT CAST(floor(CAST(MAX(vec_id) AS DOUBLE) * 0.8) AS BIGINT)
+             AS split
+      FROM embeddings
+    ),
+    counts AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN vec_id < (SELECT split FROM params)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN vec_id >= (SELECT split FROM params)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM embeddings GROUP BY 1
+    ),
+    q AS (
+      SELECT vec_id, label, CAST(pos AS INT) AS dim,
+             CAST(floor(CAST(v AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS qv
+      FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) - 1 AS pos
+            FROM embeddings)
+    ),
+    cref AS (
+      SELECT label, dim,
+             CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM q WHERE vec_id < (SELECT split FROM params) GROUP BY 1, 2
+    ),
+    cnew AS (
+      SELECT label, dim,
+             CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM q WHERE vec_id >= (SELECT split FROM params) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT r.label,
+             CAST(SUM((n.cq - r.cq) * (n.cq - r.cq)) AS BIGINT) AS drift2_q
+      FROM cref r JOIN cnew n ON n.label = r.label AND n.dim = r.dim
+      GROUP BY 1
+    )
+    SELECT c.label, c.n_ref, c.n_new, d.drift2_q,
+           sqrt(CAST(d.drift2_q AS DOUBLE)) / {float(CENTROID_Q)} AS drift
+    FROM counts c LEFT JOIN d2 d ON d.label = c.label
+    ORDER BY c.label
+"""
+
+
+@query("embedding_drift", _DRIFT_SQL)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift across the ingest watermark (module
+    comment above): L2 shift between the reference-half and
+    incoming-half centroids on the 1e-6 grid, with both half-counts.
+
+    Plan: one bounded driver scalar (the watermark), one narrow
+    groupBy(label) for the counts, one posexplode → groupBy(label, dim)
+    with map-side combine for both centroid sets (shuffle O(labels·d)
+    longs at any corpus size), a |labels|·d equi-join, and a broadcast
+    assembly join. Centroids and the squared shift are exact integers;
+    ``drift`` is one sqrt + one divide on identical operands, so the
+    report hash-matches the oracle."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    split = 0 if mx is None else math.floor(float(mx) * 0.8)
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * CENTROID_Q).cast("long").alias("qv"),
+    )
+
+    def half_centroids(cond, out: str) -> DataFrame:
+        return (
+            e.filter(cond)
+            .groupBy("label", "dim")
+            .agg(
+                F.floor(
+                    F.sum("qv").cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    cref = half_centroids(F.col("vec_id") < split, "cq_ref")
+    cnew = half_centroids(F.col("vec_id") >= split, "cq_new")
+    diff = F.col("cq_new") - F.col("cq_ref")
+    d2 = (
+        cref.join(cnew, ["label", "dim"])
+        .groupBy("label")
+        .agg(F.sum(diff * diff).alias("drift2_q"))
+    )
+    return (
+        counts.join(F.broadcast(d2), "label", "left")
+        .select(
+            "label",
+            "n_ref",
+            "n_new",
+            "drift2_q",
+            (
+                F.sqrt(F.col("drift2_q").cast("double"))
+                / F.lit(float(CENTROID_Q))
+            ).alias("drift"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization: the memory format behind IVF-PQ — the index family
 # that actually fits a 100 TB embedding corpus in RAM (a 64-dim float32
 # vector becomes PQ_M 4-bit codes = 4 bytes, a 64× compression).

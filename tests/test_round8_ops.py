@@ -53,6 +53,52 @@ def test_covariance_diagonal_is_variance(spark, sf_dir):
     assert diag.filter(F.col("cov") < 0).count() == 0
 
 
+def test_drift_matches_numpy_truth(spark, sf_dir):
+    """embedding_drift equals a single-machine recomputation: same
+    watermark, same floor-mean grid centroids, exact integer shift."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    mx = max(r["vec_id"] for r in rows)
+    split = math.floor(float(mx) * 0.8)
+    by_label: dict = {}
+    for r in rows:
+        q = np.floor(
+            np.array(r["embedding"], dtype=np.float64)
+            * similarity.CENTROID_Q
+        ).astype(np.int64)
+        by_label.setdefault(r["label"], {"ref": [], "new": []})[
+            "ref" if r["vec_id"] < split else "new"
+        ].append(q)
+
+    out = {
+        r["label"]: r
+        for r in similarity.embedding_drift(spark, sf_dir).collect()
+    }
+    assert set(out) == set(by_label)
+    for label, halves in by_label.items():
+        r = out[label]
+        assert r["n_ref"] == len(halves["ref"])
+        assert r["n_new"] == len(halves["new"])
+        if halves["ref"] and halves["new"]:
+            cref = np.floor(
+                np.stack(halves["ref"]).sum(axis=0).astype(np.float64)
+                / len(halves["ref"])
+            ).astype(np.int64)
+            cnew = np.floor(
+                np.stack(halves["new"]).sum(axis=0).astype(np.float64)
+                / len(halves["new"])
+            ).astype(np.int64)
+            d2 = int(((cnew - cref) ** 2).sum())
+            assert int(r["drift2_q"]) == d2
+            assert abs(
+                r["drift"] - math.sqrt(d2) / similarity.CENTROID_Q
+            ) < 1e-15
+        else:
+            assert r["drift2_q"] is None and r["drift"] is None
+
+
 def test_unionfind_labels_min_roots():
     # chain 5-4-3 and pair 10-2, plus self-contained 7-7 loopless edge
     rows = [(5, 4), (4, 3), (10, 2), (2, 10)]
