@@ -1211,3 +1211,205 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs)
     return payloads.mapInPandas(video_stats, VIDEO_SCHEMA)
+
+
+# --- real COMPRESSED video codec: Motion JPEG in AVI ----------------------
+# MJPEG is the compressed-video format that needs no inter-frame state:
+# every '00dc' chunk in the movi list is a complete, standalone baseline
+# JPEG file (that IS the format — it's what webcams and capture cards
+# emit). Reusing the in-repo JPEG codec closes the last
+# environment-gated modality: frames are built from payload bytes as
+# constant 8×8 tiles under unit quantization (the exactly-invertible
+# setting the still-JPEG entries pin down), so the decoded video is
+# byte-recomputable and the oracle gates the whole compressed path —
+# container walk, per-frame Huffman decode, IDCT — not just plumbing.
+MJPEG_BLOCK_ROWS = 8  # block rows per frame
+
+
+def _mjpeg_frame_bytes() -> int:
+    from .jpeg import JPEG_BLOCKS_W
+
+    return JPEG_BLOCKS_W * MJPEG_BLOCK_ROWS
+
+
+def encode_avi_mjpeg(raw: bytes) -> bytes:
+    """Real Motion-JPEG AVI writer: payload bytes are framed
+    ``_mjpeg_frame_bytes()`` per frame (zero-padded), each frame
+    becomes a complete baseline grayscale JPEG (one constant 8×8 tile
+    per byte, unit quantization — exactly invertible), and the frames
+    are stored as '00dc' chunks in a RIFF 'AVI ' container with
+    fccHandler/biCompression 'MJPG' and an idx1 index. Output plays in
+    any player with an MJPEG decoder."""
+    from .jpeg import JPEG_BLOCKS_W, encode_jpeg_blocks
+
+    fb = _mjpeg_frame_bytes()
+    n_frames = max(1, -(-len(raw) // fb))
+    data = raw + b"\x00" * (n_frames * fb - len(raw))
+    jpeg_frames = [
+        encode_jpeg_blocks(data[i * fb : (i + 1) * fb])
+        for i in range(n_frames)
+    ]
+    w_px, h_px = 8 * JPEG_BLOCKS_W, 8 * MJPEG_BLOCK_ROWS
+    buf_size = max(len(f) for f in jpeg_frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // VIDEO_FPS, buf_size * VIDEO_FPS, 0, 0x10,
+        n_frames, 0, 1, buf_size, w_px, h_px, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, VIDEO_FPS, 0, n_frames,
+        buf_size, 0, 0, 0, 0, w_px, h_px,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w_px, h_px, 1, 24, b"MJPG", 0,
+        2835, 2835, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi_body = b"".join(_riff_chunk(b"00dc", f) for f in jpeg_frames)
+    movi = _riff_list(b"movi", movi_body)
+    idx_entries = []
+    off = 4
+    for f in jpeg_frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
+    """Real MJPEG AVI parser: validates RIFF/'AVI ' magic, walks to the
+    strf BITMAPINFOHEADER and requires biCompression 'MJPG', then runs
+    the full in-repo JPEG decoder (marker walk, DQT/DHT from each
+    frame's own tables, Huffman decode, dequantize, IDCT) on every
+    '00dc' chunk. Returns (n_frames, h, w) grayscale uint8."""
+    from .jpeg import decode_jpeg_gray
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    comp = None
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal comp
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif tag == b"strf":
+                comp = payload[body_start + 16 : body_start + 20]
+                if comp != b"MJPG":
+                    raise NotImplementedError(
+                        "decode_avi_mjpeg: stream is not Motion JPEG"
+                    )
+            elif tag == b"00dc":
+                if comp is None:
+                    raise ValueError("frame before strf header")
+                frames.append(
+                    decode_jpeg_gray(bytes(payload[body_start : body_start + ln]))
+                )
+            pos = body_start + ln + (ln & 1)
+
+    walk(12, 12 + struct.unpack_from("<I", payload, 4)[0] - 4)
+    if not frames:
+        raise ValueError("no video frames found")
+    return np.stack(frames)
+
+
+def video_mjpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker running the REAL compressed-video path per
+    payload: write an actual playable MJPEG AVI, parse it back (RIFF
+    walk + full per-frame JPEG decode), and reduce the decoded frames
+    to frame count, mean pixel and total inter-frame motion."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: [] for k in ("doc_id", "n_frames", "mean_px", "motion")
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            fr = decode_avi_mjpeg(encode_avi_mjpeg(bytes(payload))).astype(
+                np.int64
+            )
+            motion = (
+                int(np.abs(fr[1:] - fr[:-1]).sum()) if len(fr) > 1 else 0
+            )
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(len(fr))
+            out["mean_px"].append(float(fr.sum()) / fr.size)
+            out["motion"].append(motion)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                "mean_px": pd.Series(out["mean_px"], dtype="float64"),
+                "motion": pd.Series(out["motion"], dtype="int64"),
+            }
+        )
+
+
+def _video_mjpeg_oracle() -> str:
+    """Byte-level replay of the MJPEG round trip: byte i of the
+    zero-padded payload is frame i // FB, tile i % FB, a constant 8×8
+    tile of value v — so the decoded pixel sum is 64·Σv, per-tile
+    motion is 64·|v − v_lag(FB)|, and the mean's double division
+    mirrors the worker's (both operands carry the exact ×64 factor,
+    a power of two, so the quotient is bit-identical)."""
+    from .jpeg import JPEG_BLOCKS_W
+
+    fb = JPEG_BLOCKS_W * MJPEG_BLOCK_ROWS
+    px_per_frame = fb * 64
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             greatest((length(text) + {fb - 1}) // {fb}, 1) AS nf
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, unnest(range(0, nf * {fb})) AS i, nf
+      FROM dims
+    ),
+    padded AS (
+      SELECT x.doc_id, x.i, x.nf,
+             coalesce(ascii(substr(d.text, CAST(x.i + 1 AS INT), 1)), 0) AS v
+      FROM idx x JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(SUM(v) * 64 AS DOUBLE) / (MAX(nf) * {px_per_frame})
+             AS mean_px,
+           CAST(coalesce(SUM(CASE WHEN i >= {fb}
+                 THEN 64 * abs(v - lag_v) END), 0) AS BIGINT) AS motion
+    FROM (SELECT *, LAG(v, {fb}) OVER (
+            PARTITION BY doc_id ORDER BY i) AS lag_v
+          FROM padded)
+    GROUP BY doc_id
+    """
+
+
+@query("multimodal_video_mjpeg", _video_mjpeg_oracle())
+def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED video modality, for real (closes the last
+    environment-gated modality): each document's payload becomes an
+    actual playable Motion-JPEG AVI — every frame a complete baseline
+    JPEG from the in-repo codec, '00dc' chunks, 'MJPG' fourcc — then
+    parses back through the RIFF walker plus the full per-frame JPEG
+    decode (tables from each frame's own markers, Huffman, IDCT), and
+    reduces to frame count, mean pixel and inter-frame motion inside
+    Arrow-batched ``mapInPandas``. Constant tiles + unit quantization
+    keep the round trip exactly invertible, so the DuckDB oracle
+    recomputes everything from the raw text bytes — a wrong container
+    offset, Huffman bit or IDCT coefficient in ANY frame breaks the
+    value hash. The genuinely lossy JPEG path stays pinned by the
+    still-image fuzz batteries; inter-frame-predicted codecs (H.26x)
+    remain out of scope."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(video_mjpeg_stats, VIDEO_SCHEMA)

@@ -106,6 +106,57 @@ def test_unionfind_labels_min_roots():
     assert labels == {5: 3, 4: 3, 3: 3, 10: 2, 2: 2}
 
 
+def test_mjpeg_avi_roundtrip_exact():
+    """Constant-tile frames under unit quantization decode back to the
+    exact padded payload bytes, through the full container + per-frame
+    JPEG decode."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    raw = bytes((7 * i + 3) % 256 for i in range(137))
+    fb = mm._mjpeg_frame_bytes()
+    nf = -(-len(raw) // fb)
+    fr = mm.decode_avi_mjpeg(mm.encode_avi_mjpeg(raw))
+    assert fr.shape == (nf, 8 * mm.MJPEG_BLOCK_ROWS, 32)
+    pad = raw + b"\x00" * (nf * fb - len(raw))
+    vals = np.frombuffer(pad, np.uint8).reshape(nf, mm.MJPEG_BLOCK_ROWS, 4)
+    tiles = fr.reshape(nf, mm.MJPEG_BLOCK_ROWS, 8, 4, 8)
+    assert np.array_equal(tiles[:, :, 0, :, 0], vals)
+    assert np.all(tiles == tiles[:, :, :1, :, :1])  # constant 8x8 tiles
+
+
+def test_mjpeg_avi_container_format():
+    """The container is a real MJPEG AVI: RIFF/'AVI ' magic, 'MJPG'
+    fccHandler and biCompression, '00dc' compressed-frame chunks each
+    holding a standalone SOI..EOI JPEG, and an idx1 index."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    avi = mm.encode_avi_mjpeg(b"x" * 80)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert b"MJPG" in avi and b"idx1" in avi
+    pos = avi.find(b"00dc")
+    assert pos > 0
+    (ln,) = np.frombuffer(avi[pos + 4 : pos + 8], np.uint32)
+    frame = avi[pos + 8 : pos + 8 + int(ln)]
+    assert frame[:2] == b"\xff\xd8" and frame[-2:] == b"\xff\xd9"
+
+
+def test_mjpeg_and_dib_decoders_reject_each_other():
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_avi_mjpeg(mm.encode_avi(b"abc"))
+    with _pytest.raises(NotImplementedError):
+        mm.decode_avi(mm.encode_avi_mjpeg(b"abc"))
+
+
 def test_multimodal_local_closure_matches_distributed(spark, sf_dir):
     """The direct driver union-find over the contracted edges must
     produce the same labels the generic ``connected_components`` path
