@@ -179,6 +179,22 @@ def run_dashboard_query(spark: SparkSession, name: str, year: int) -> DataFrame:
     return spark.sql(sql)
 
 
+def render_dashboard_chart_svg(df, name: str, dark: bool = False) -> str:
+    """Render one dashboard view to a standalone SVG string with the
+    in-repo dependency-free renderer (``plans/svgcharts.py``) — the
+    live-render path for this container, covering all four chart kinds
+    the reference wires through plotly (bar+facets, line+dash/markers,
+    sunburst, treemap). ``df``: a pandas frame (``.toPandas()`` on the
+    Spark result, the same boundary as the plotly path)."""
+    from . import svgcharts
+
+    spec = dict(CHART_SPECS[name])
+    spec.pop("title", None)
+    return svgcharts.render_spec(
+        df, spec, title=name.replace("_", " ").title(), dark=dark
+    )
+
+
 def render_dashboard_chart(df, name: str):
     """Render one view with plotly express, exactly as the reference
     wires it (guarded: plotly is not installed in this container).
