@@ -612,3 +612,77 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("double") / F.col("n_fingerprints"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture divergence: the data-card question "which source's
+# token distribution is furthest from the corpus mixture" — the
+# diagnostic a mixture-weighting pass reads before re-weighting.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_source_divergence",
+    """
+    WITH st AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    sc AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM st GROUP BY 1, 2
+    ),
+    ns AS (
+      SELECT source, CAST(SUM(c) AS DOUBLE) AS n_src,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM sc GROUP BY 1
+    ),
+    cc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ct FROM st GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus FROM st)
+    SELECT sc.source, ns.n_tokens, ns.n_distinct,
+           round(SUM((sc.c / ns.n_src)
+                 * ln((sc.c / ns.n_src) / (cc.ct / n.n_corpus))), 6)
+             AS kl_divergence
+    FROM sc JOIN ns USING (source) JOIN cc USING (token) CROSS JOIN n
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence between the source's unigram MLE and
+    the corpus mixture — KL(P_source || P_corpus) = Σ_t p_st ·
+    ln(p_st / p_t). Always finite (a source's support is a subset of
+    the corpus's), zero iff the source matches the mixture; the
+    re-weighting diagnostic beside ``sketch_source_overlap``'s set
+    view and ``curation_mix_report``'s count view.
+
+    Same two-shuffle vocabulary-relation shape as tf·idf /
+    unigram-logprob: exact integer (source, token) and (token) counts
+    joined on the token, per-source totals broadcast back, one float
+    chain per vocabulary row with the sum rounded to 6 decimals so
+    cross-engine libm/order ULP differences cannot flip the hash. At
+    100 TB the shuffles carry the vocabulary, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
+    )
+    sc = st.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    ns = sc.groupBy("source").agg(
+        F.sum("c").cast("double").alias("n_src"),
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    cc = st.groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    n = st.agg(F.count(F.lit(1)).cast("double").alias("n_corpus"))
+    p_s = F.col("c") / F.col("n_src")
+    p_c = F.col("ct") / F.col("n_corpus")
+    return (
+        sc.join(F.broadcast(ns), "source")
+        .join(cc, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source", "n_tokens", "n_distinct")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_divergence"))
+        .orderBy("source")
+    )

@@ -106,6 +106,44 @@ def test_unionfind_labels_min_roots():
     assert labels == {5: 3, 4: 3, 3: 3, 10: 2, 2: 2}
 
 
+def test_source_divergence_matches_numpy_truth(spark, sf_dir):
+    """KL(P_source || P_corpus) equals a direct numpy recomputation
+    (within the committed round-6 grid) and is nonnegative — Gibbs'
+    inequality — with totals matching exact token counts."""
+    import re as _re
+    from collections import Counter
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        textops,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for r in docs:
+        toks = _re.split(r"\s+", r["text"].strip())
+        per_src.setdefault(r["source"], Counter()).update(toks)
+        corpus.update(toks)
+    n_c = sum(corpus.values())
+
+    out = {
+        r["source"]: r
+        for r in textops.text_source_divergence(spark, sf_dir).collect()
+    }
+    assert set(out) == set(per_src)
+    for src, cnt in per_src.items():
+        r = out[src]
+        n_s = sum(cnt.values())
+        assert r["n_tokens"] == n_s
+        assert r["n_distinct"] == len(cnt)
+        kl = sum(
+            (c / n_s) * np.log((c / n_s) / (corpus[t] / n_c))
+            for t, c in cnt.items()
+        )
+        assert r["kl_divergence"] >= 0
+        assert abs(r["kl_divergence"] - kl) < 2e-6
+
+
 def test_mjpeg_avi_roundtrip_exact():
     """Constant-tile frames under unit quantization decode back to the
     exact padded payload bytes, through the full container + per-frame
