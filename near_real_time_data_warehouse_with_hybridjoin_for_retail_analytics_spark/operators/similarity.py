@@ -1073,58 +1073,69 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accumulates in DECIMAL(38,0) because int64 saturates near n·(q_max)²
 # ≈ 9e18 (≈ 9M unit-norm vectors on the 1e6 grid) — decimal partial
 # aggregation is Spark-exact and keeps the op safe at corpus scale.
+#
+# Output contract (round 9): EXACT integer sufficient statistics only —
+# (Σ x_i·x_j, Σ x_i, Σ x_j, n) as BIGINT. The round-8 entry also
+# emitted the divided double `cov` and the DECIMAL(38,0) Gram sum, and
+# its driver row hash-mismatched while the identical plan passed the
+# in-repo gate at both sf0.001 and sf0.01 — i.e. the failure lived in
+# cross-engine canonicalization of a wide decimal / final float chain,
+# not in operand order. int64 statistics have exactly one cross-engine
+# representation, so the entry is now hash-stable by construction;
+# cov(i,j) = (n·Σxy − Σx·Σy) / (n²·Q²) is one exact integer expression
+# away for any consumer (embedding_pca_project below does exactly
+# that). The BIGINT output cast is exact through n ≈ 9M unit-norm
+# vectors on the 1e6 grid; past that a deployment coarsens Q (q_max²·n
+# ≤ 2^63 sizes the grid) — the internal combine stays DECIMAL(38,0)
+# either way.
 
 _COV_SQL = f"""
-    WITH qe AS ({{_SQL_QE}}),
+    WITH qe AS ({_SQL_QE}),
     e AS (
       SELECT vec_id, CAST(pos AS INT) AS dim, CAST(qv AS BIGINT) AS qv
       FROM (SELECT vec_id, unnest(q) AS qv,
                    generate_subscripts(q, 1) AS pos
             FROM qe)
     ),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
-                 CAST(COUNT(*) AS BIGINT) AS nb FROM qe),
-    s AS (SELECT dim, CAST(SUM(qv) AS DOUBLE) AS sum_q FROM e GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM qe),
+    s AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS sum_q FROM e GROUP BY 1),
     g AS (
       SELECT a.dim AS dim_i, b.dim AS dim_j,
-             CAST(SUM(a.qv * b.qv) AS DECIMAL(38,0)) AS sum_prod_q
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS sum_prod_q
       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
       GROUP BY 1, 2
     )
     SELECT g.dim_i, g.dim_j, g.sum_prod_q,
-           n.nb AS n_vectors,
-           (CAST(g.sum_prod_q AS DOUBLE) / n.nd
-            - (si.sum_q / n.nd) * (sj.sum_q / n.nd))
-           / {{_COV_QQ}} AS cov
+           si.sum_q AS sum_q_i,
+           sj.sum_q AS sum_q_j,
+           n.nb AS n_vectors
     FROM g
     JOIN s si ON si.dim = g.dim_i
     JOIN s sj ON sj.dim = g.dim_j
     CROSS JOIN n
     ORDER BY dim_i, dim_j
-""".format(
-    _SQL_QE=_SQL_QE, _COV_QQ=float(CENTROID_Q) * float(CENTROID_Q)
-)
+"""
 
 
 @query("embedding_covariance", _COV_SQL)
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle covariance matrix of the embedding corpus on the
-    1e-6 grid — the distributed input to PCA / whitening / SVD-based
-    dimensionality reduction (the d×d eigensolve that follows is
-    driver-side O(d³), negligible at any corpus size).
+    """Upper-triangle second-moment statistics of the embedding corpus
+    on the 1e-6 grid — the distributed input to PCA / whitening /
+    SVD-based dimensionality reduction (the d×d eigensolve that follows
+    is driver-side O(d³), negligible at any corpus size).
 
     Plan: ``mapInPandas`` emits one exact int64 Gram partial per Arrow
     batch (a single X^T·X matmul — d(d+1)/2 rows per batch, never per
     vector), a groupBy(dim_i, dim_j) combines partials in
     DECIMAL(38,0) (exact past int64 range, see module comment), and the
-    2080-row result joins the broadcast per-dim sums for the centering
-    term. Every integer is order-exact; ``cov`` is the one float chain
-    (three IEEE divides, one multiply, one subtract — identical operand
-    order in the oracle), so the whole matrix hash-matches DuckDB."""
+    2080-row result joins the broadcast per-dim sums. Output is exact
+    BIGINT sufficient statistics only (hash-stable across engines by
+    construction, see module comment); the covariance value itself is
+    cov = (n·sum_prod_q − sum_q_i·sum_q_j) / (n²·Q²), computed exactly
+    by ``embedding_pca_project`` and by the tests."""
     qe = quantized_embeddings(spark, sf_dir)
     iu = np.triu_indices(EMB_DIM)
     n = corpus_count(spark, sf_dir)
-    nd = F.lit(float(n))
 
     def gram_partial(batches):
         for pdf in batches:
@@ -1144,19 +1155,17 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_partial, schema="dim_i int, dim_j int, psum long"
     )
     gram = partials.groupBy("dim_i", "dim_j").agg(
-        F.sum(F.col("psum").cast("decimal(38,0)")).alias("sum_prod_q")
+        F.sum(F.col("psum").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_prod_q")
     )
     s = (
         qe.select(F.posexplode("q").alias("pos", "qv"))
         .groupBy((F.col("pos") + 1).cast("int").alias("dim"))
-        .agg(F.sum("qv").cast("double").alias("sum_q"))
+        .agg(F.sum("qv").cast("long").alias("sum_q"))
     )
-    si = s.select(F.col("dim").alias("dim_i"), F.col("sum_q").alias("si_sum"))
-    sj = s.select(F.col("dim").alias("dim_j"), F.col("sum_q").alias("sj_sum"))
-    cov = (
-        F.col("sum_prod_q").cast("double") / nd
-        - (F.col("si_sum") / nd) * (F.col("sj_sum") / nd)
-    ) / F.lit(float(CENTROID_Q) * float(CENTROID_Q))
+    si = s.select(F.col("dim").alias("dim_i"), F.col("sum_q").alias("sum_q_i"))
+    sj = s.select(F.col("dim").alias("dim_j"), F.col("sum_q").alias("sum_q_j"))
     return (
         gram.join(F.broadcast(si), "dim_i")
         .join(F.broadcast(sj), "dim_j")
@@ -1164,10 +1173,235 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_i",
             "dim_j",
             "sum_prod_q",
+            "sum_q_i",
+            "sum_q_j",
             F.lit(n).cast("long").alias("n_vectors"),
-            cov.alias("cov"),
         )
         .orderBy("dim_i", "dim_j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection: dominant principal component via exact-integer power
+# iteration — the eigensolve consumer that closes the covariance loop
+# ---------------------------------------------------------------------------
+# The round-8 covariance entry reduces a 100 TB matrix to d(d+1)/2
+# exact integers; this entry turns that summary into a usable
+# dimensionality reduction. A float eigensolve (LAPACK) is not
+# cross-engine reproducible, so the dominant eigenvector is instead
+# computed ENTIRELY in exact integer arithmetic, by repeated matrix
+# squaring (power iteration is too slow here: the corpus eigengap is
+# λ2/λ1 ≈ 0.99, needing ~500 matvecs; squaring reaches C^(2^k) in k
+# steps — log-depth, the same trick parallel eigensolvers use):
+#
+#   C(i,j) = n·Σx_i·x_j − Σx_i·Σx_j       (exact centered-cov numerator;
+#                                          PSD — it is n²·Cov)
+#   B⁰     = requant(C)                    onto the Gm = 2^30 grid
+#   Bᵗ     = requant(Bᵗ⁻¹ · Bᵗ⁻¹)          k = PCA_SQUARINGS times
+#   v      = requant(Bᵏ · 𝟙)               onto the Gv = 2^20 grid
+#
+# where requant(M) = trunc(M_ij · G / max|M|) — truncated division,
+# the one shared integer-division semantic of Python's sign·(|a|//|b|),
+# DuckDB's `//` and Spark's `div`. A deterministic sign fix follows
+# (component with the largest |v|, lowest index, made positive). Every
+# step is order-independent integer arithmetic, so the DuckDB oracle
+# replays training step-for-step (unrolled MATERIALIZED CTEs on
+# HUGEINT) and the output hash-matches by construction — the same
+# contract as the IVF coarse quantizer. B^(2^k) collapses the column
+# space onto the dominant eigenvector at rate (λ2/λ1)^(2^k) ≈ 1e-23 at
+# k=12, so the only residual error is requantization noise (≤ d/Gm per
+# squaring, and the gap widens quadratically each step so early noise
+# is filtered); the tests gate cosine ≥ 0.999 against LAPACK on the
+# same matrix. The projection output is likewise exact:
+# proj_num = n·⟨q,v⟩ − ⟨s,v⟩ (the centered projection numerator scaled
+# by n·Gv·Q; consumers divide once).
+#
+# Scale: training reads the 2080-row covariance summary (driver-side,
+# bounded by d², never by corpus size) and squares 64×64 integer
+# matrices in unbounded Python ints; the projection is one
+# zero-shuffle map over the corpus with the 64 trained literals folded
+# into a JVM-side zip_with/aggregate fold. The HUGEINT oracle replay
+# has orders-of-magnitude headroom (entries ≤ Gm, products ≤ Gm²·d·Gm
+# ≈ 2^96 < 2^126); the Spark-side path has no bound at all.
+
+PCA_GRID = 2**20  # Gv: the trained eigenvector's grid
+PCA_MAT_GRID = 2**30  # Gm: the squared matrices' grid
+PCA_SQUARINGS = 12  # C^(2^12) = C^4096
+
+_PCA_CACHE: dict[tuple[str, str], tuple[list[int], int, list[int]]] = {}
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Python // floors;
+    DuckDB's // and Spark's `div` truncate — match them)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _power_by_squaring(
+    cfull: list[list[int]],
+    squarings: int = PCA_SQUARINGS,
+    mat_grid: int = PCA_MAT_GRID,
+    grid: int = PCA_GRID,
+) -> list[int]:
+    """Dominant eigenvector of an integer PSD matrix on the ``grid``,
+    by repeated exact-integer matrix squaring with per-step
+    requantization and a deterministic sign fix. Pure function of the
+    matrix — the DuckDB oracle replays it CTE-for-CTE."""
+    d = len(cfull)
+
+    def requant(m: list[list[int]], g: int) -> list[list[int]]:
+        mx = max(abs(x) for row in m for x in row)
+        if mx == 0:  # zero covariance corpus — degenerate, keep zeros
+            return m
+        return [[_trunc_div(x * g, mx) for x in row] for row in m]
+
+    b = requant(cfull, mat_grid)
+    for _ in range(squarings):
+        b = requant(
+            [
+                [sum(b[i][t] * b[t][j] for t in range(d)) for j in range(d)]
+                for i in range(d)
+            ],
+            mat_grid,
+        )
+    w = [sum(row) for row in b]  # B^(2^k) · 1
+    mw = max(abs(x) for x in w)
+    v = [_trunc_div(x * grid, mw) for x in w] if mw else [grid] * d
+    mx = max(abs(x) for x in v)
+    k = min(i for i in range(d) if abs(v[i]) == mx)
+    if v[k] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def pca_component(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], int, list[int]]:
+    """Session-cached (v, n, s): the trained grid eigenvector, corpus
+    count and per-dim sums — from ONE bounded collect of the 2080-row
+    covariance summary."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PCA_CACHE:
+        rows = embedding_covariance(spark, sf_dir).collect()
+        d = EMB_DIM
+        n = int(rows[0]["n_vectors"])
+        s = [0] * d
+        cfull = [[0] * d for _ in range(d)]
+        for r in rows:
+            i, j = r["dim_i"] - 1, r["dim_j"] - 1
+            s[i] = int(r["sum_q_i"])
+            s[j] = int(r["sum_q_j"])
+            c = n * int(r["sum_prod_q"]) - int(r["sum_q_i"]) * int(
+                r["sum_q_j"]
+            )
+            cfull[i][j] = c
+            cfull[j][i] = c
+        _PCA_CACHE[key] = (_power_by_squaring(cfull), n, s)
+    return _PCA_CACHE[key]
+
+
+def _pca_sql() -> str:
+    """The oracle twin: the same exact-integer squaring schedule,
+    unrolled as PCA_SQUARINGS HUGEINT CTE pairs. Every CTE is
+    MATERIALIZED — DuckDB inlines CTEs per reference, and the chained
+    self-joins would otherwise re-expand the parquet scan
+    exponentially."""
+    gm_, gv = PCA_MAT_GRID, PCA_GRID
+    steps = []
+    for t in range(1, PCA_SQUARINGS + 1):
+        p = t - 1
+        steps.append(
+            f"""
+    r{t} AS MATERIALIZED (
+      SELECT a.i AS i, b.j AS j, SUM(a.bv * b.bv) AS raw
+      FROM b{p} a JOIN b{p} b ON a.j = b.i GROUP BY 1, 2
+    ),
+    b{t} AS MATERIALIZED (
+      SELECT i, j,
+             (raw * {gm_}) // (SELECT MAX(ABS(raw)) FROM r{t}) AS bv
+      FROM r{t})"""
+        )
+    bt = f"b{PCA_SQUARINGS}"
+    return f"""
+    WITH qe AS MATERIALIZED ({_SQL_QE}),
+    e AS MATERIALIZED (
+      SELECT vec_id, CAST(pos AS INT) AS dim, CAST(qv AS HUGEINT) AS qv
+      FROM (SELECT vec_id, unnest(q) AS qv,
+                   generate_subscripts(q, 1) AS pos
+            FROM qe)
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qe),
+    s AS MATERIALIZED (SELECT dim, SUM(qv) AS sq FROM e GROUP BY 1),
+    g0 AS MATERIALIZED (
+      SELECT a.dim AS i, b.dim AS j, SUM(a.qv * b.qv) AS gv
+      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    c AS MATERIALIZED (
+      SELECT g0.i, g0.j, nn.n * g0.gv - si.sq * sj.sq AS cv
+      FROM g0
+      JOIN s si ON si.dim = g0.i
+      JOIN s sj ON sj.dim = g0.j
+      CROSS JOIN nn
+    ),
+    b0 AS MATERIALIZED (
+      SELECT i, j, (cv * {gm_}) // (SELECT MAX(ABS(cv)) FROM c) AS bv
+      FROM c),{",".join(steps)},
+    w AS MATERIALIZED (SELECT i, SUM(bv) AS wv FROM {bt} GROUP BY 1),
+    v AS MATERIALIZED (
+      SELECT i, (wv * {gv}) // (SELECT MAX(ABS(wv)) FROM w) AS vv
+      FROM w),
+    mxv AS MATERIALIZED (SELECT MAX(ABS(vv)) AS m FROM v),
+    sg AS MATERIALIZED (
+      SELECT CASE WHEN vv < 0 THEN -1 ELSE 1 END AS sg
+      FROM v
+      WHERE i = (SELECT MIN(i) FROM v, mxv WHERE ABS(vv) = mxv.m)
+    ),
+    vf AS MATERIALIZED (SELECT i, vv * (SELECT sg FROM sg) AS vv FROM v),
+    pq AS MATERIALIZED (
+      SELECT e.vec_id, SUM(e.qv * vf.vv) AS qdot
+      FROM e JOIN vf ON vf.i = e.dim GROUP BY 1
+    ),
+    sv AS MATERIALIZED (
+      SELECT SUM(s.sq * vf.vv) AS svv FROM s JOIN vf ON vf.i = s.dim)
+    SELECT pq.vec_id,
+           CAST(nn.n * pq.qdot - sv.svv AS BIGINT) AS proj_num
+    FROM pq CROSS JOIN nn CROSS JOIN sv
+    ORDER BY vec_id
+    """
+
+
+@query("embedding_pca_project", _pca_sql())
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered projection of every embedding onto the corpus's
+    dominant principal component — exact integers end-to-end (see the
+    section comment for the algorithm and the cross-engine contract).
+
+    Plan: training is one bounded driver-side collect of the 2080-row
+    covariance summary + unbounded-int power iteration (cached per
+    session like the IVF quantizer); the projection itself is a
+    ZERO-shuffle map — the 64 trained literals fold into a JVM-side
+    ``zip_with``/``aggregate`` dot product, so the corpus is read once
+    and never repartitioned. proj_num = n·⟨q,v⟩ − ⟨s,v⟩; the float
+    projection is proj_num / (n·G·Q) for any consumer."""
+    v, n, s = pca_component(spark, sf_dir)
+    sv = sum(si * vi for si, vi in zip(s, v))
+    qe = quantized_embeddings(spark, sf_dir)
+    varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), varr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        qe.select(
+            "vec_id",
+            (F.lit(n).cast("long") * qdot - F.lit(sv).cast("long")).alias(
+                "proj_num"
+            ),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -17,9 +17,9 @@ from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.ca
 
 
 def test_covariance_matches_numpy_truth(spark, sf_dir):
-    """The distributed Gram/covariance equals a single-machine numpy
-    computation on the same 1e-6 grid — integer sums exactly, the float
-    covariance to within one representation of the identical chain."""
+    """The distributed second-moment statistics equal a single-machine
+    numpy computation on the same 1e-6 grid — every output column is an
+    exact integer, so the check is equality, not tolerance."""
     emb = load_table(spark, sf_dir, "embeddings")
     rows = emb.select("vec_id", "embedding").collect()
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -33,24 +33,28 @@ def test_covariance_matches_numpy_truth(spark, sf_dir):
     }
     d = similarity.EMB_DIM
     assert len(out) == d * (d + 1) // 2
-    sums = q.sum(axis=0).astype(np.float64)
-    qq = float(similarity.CENTROID_Q) ** 2
+    sums = q.sum(axis=0)
     for i in range(d):
         for j in range(i, d):
             r = out[(i + 1, j + 1)]
             assert int(r["sum_prod_q"]) == int(gram[i, j])
+            assert int(r["sum_q_i"]) == int(sums[i])
+            assert int(r["sum_q_j"]) == int(sums[j])
             assert r["n_vectors"] == n
-            expect = (
-                float(gram[i, j]) / n - (sums[i] / n) * (sums[j] / n)
-            ) / qq
-            assert abs(r["cov"] - expect) < 1e-15 + abs(expect) * 1e-12
 
 
 def test_covariance_diagonal_is_variance(spark, sf_dir):
+    """n·Σx² − (Σx)² ≥ 0 per dimension (the exact-integer variance
+    numerator) — the statistics reconstruct a PSD diagonal."""
     out = similarity.embedding_covariance(spark, sf_dir)
     diag = out.filter(F.col("dim_i") == F.col("dim_j"))
     assert diag.count() == similarity.EMB_DIM
-    assert diag.filter(F.col("cov") < 0).count() == 0
+    bad = diag.filter(
+        F.col("n_vectors") * F.col("sum_prod_q")
+        - F.col("sum_q_i") * F.col("sum_q_j")
+        < 0
+    )
+    assert bad.count() == 0
 
 
 def test_drift_matches_numpy_truth(spark, sf_dir):
