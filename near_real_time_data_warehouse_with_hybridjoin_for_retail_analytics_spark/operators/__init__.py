@@ -46,3 +46,4 @@ def reset_session_caches() -> None:
     similarity._N_CACHE.clear()
     similarity._CENT_CACHE.clear()
     similarity._PQ_CB_CACHE.clear()
+    similarity._PCA_CACHE.clear()

@@ -97,6 +97,30 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, token, h) — the per-source DISTINCT token relation with
+    its 60-bit hash, persisted once per (session, sf) via dedup's
+    relation cache. ``sketch_source_overlap`` reads it from three
+    branches (per-source sizes, the inverted-index co-occurrence join,
+    and the KMV rank windows); without materialization each branch
+    re-pays the tokenize + dedup shuffle. At 100 TB this is the
+    "materialize the token inventory once, reuse across audits" table a
+    production pipeline writes next to the corpus."""
+    from .dedup import _cached
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "source",
+            F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
+        ).dropDuplicates(["source", "token"])
+        return toks.select(
+            "source", "token", portable_hash60("token").alias("h")
+        )
+
+    return _cached(spark, sf_dir, "source_tokens", build)
+
+
 def _bloom_gate_sql() -> str:
     # k = 7 is portable_bloom_params' constant hash count, inlined as a
     # literal because DuckDB's range() only accepts constants; a pytest
@@ -300,13 +324,12 @@ def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per ratio), so the DuckDB oracle replays sketches, merge ranks and
     both Jaccard columns bit-exactly; estimator accuracy is separately
     gated in tests."""
-    from .dedup import TOKEN_SPLIT, portable_hash60
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
-    ).dropDuplicates(["source", "token"])
-    hashed = toks.select("source", "token", portable_hash60("token").alias("h"))
+    # One persisted (source, token, h) relation feeds all three tiers
+    # (sizes, inverted-index co-occurrence, KMV ranks) — the tokenize +
+    # dedup shuffle is paid once per (session, sf), not per branch.
+    hashed = cached_source_tokens(spark, sf_dir)
+    toks = hashed
 
     wsrc = Window.partitionBy("source").orderBy("h", "token")
     sk = (
@@ -317,13 +340,17 @@ def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Enumerate sources from the raw table, not from ``hashed``: the
     # oracle's (SELECT DISTINCT source FROM hashed) is value-identical
-    # because splitting even an all-whitespace text yields the ['']
-    # singleton, so every document contributes ≥1 token row — but the
-    # ``hashed`` formulation forces a full tokenize + dedup shuffle
-    # just to list the strata, while this is a pruned single-column
-    # scan (measured ~0.5 s at sf0.1 for the collect alone).
+    # — splitting even an all-whitespace text yields the [''] singleton
+    # — EXCEPT for a source whose documents are all NULL text, which
+    # yields zero token rows; the isNotNull filter reproduces exactly
+    # that omission (round-8 advice) while keeping the enumeration a
+    # pruned two-column scan instead of a tokenize + dedup shuffle.
     sources = sorted(
-        r["source"] for r in docs.select("source").distinct().collect()
+        r["source"]
+        for r in docs.filter(F.col("text").isNotNull())
+        .select("source")
+        .distinct()
+        .collect()
     )
     pairs = spark.createDataFrame(
         [(a, b) for i, a in enumerate(sources) for b in sources[i + 1 :]],
