@@ -97,30 +97,6 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cached_source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, token, h) — the per-source DISTINCT token relation with
-    its 60-bit hash, persisted once per (session, sf) via dedup's
-    relation cache. ``sketch_source_overlap`` reads it from three
-    branches (per-source sizes, the inverted-index co-occurrence join,
-    and the KMV rank windows); without materialization each branch
-    re-pays the tokenize + dedup shuffle. At 100 TB this is the
-    "materialize the token inventory once, reuse across audits" table a
-    production pipeline writes next to the corpus."""
-    from .dedup import _cached
-
-    def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        toks = docs.select(
-            "source",
-            F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
-        ).dropDuplicates(["source", "token"])
-        return toks.select(
-            "source", "token", portable_hash60("token").alias("h")
-        )
-
-    return _cached(spark, sf_dir, "source_tokens", build)
-
-
 def _bloom_gate_sql() -> str:
     # k = 7 is portable_bloom_params' constant hash count, inlined as a
     # literal because DuckDB's range() only accepts constants; a pytest
@@ -315,21 +291,48 @@ def _source_overlap_sql() -> str:
 def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard between every pair of sources, exact AND
     KMV-estimated in one verified output (module comment above for the
-    estimator and the 100 TB story). Source pairs are enumerated from a
-    bounded driver collect of the distinct source list — sources are
-    data-card strata, metadata-sized by construction — which keeps the
-    pair relation a broadcast-sized local table instead of a
-    nested-loop theta self-join. Deterministic end-to-end (md5 hash
+    estimator and the 100 TB story). Source pairs are enumerated by a
+    broadcast theta self-join of the S-row per-source size relation —
+    sources are data-card strata, metadata-sized by construction — so
+    the pair table stays broadcast-sized with no driver collect at
+    all. Deterministic end-to-end (md5 hash
     family, (h, token) rank tiebreaks, integer counts, one IEEE divide
     per ratio), so the DuckDB oracle replays sketches, merge ranks and
     both Jaccard columns bit-exactly; estimator accuracy is separately
-    gated in tests."""
+    gated in tests.
+
+    Physical shape (round-10 rework): ONE shuffle touches token-scale
+    data — ``groupBy(token).agg(array_sort(collect_set(source)))`` with
+    map-side partial merge, so the shuffle carries ~|vocab| rows, not
+    the raw token stream. Everything downstream (per-source sizes, the
+    pairwise co-occurrence counts, the KMV (source, token, h) relation)
+    is derived from that token→sources relation, whose cardinality is
+    |vocab| ≤ corpus tokens. The three derivations share the single
+    exchange via Spark's ReusedExchange, so the documents scan and the
+    token shuffle each run once per action with no persist/cache
+    needed. Pair fanout in the exact tier is Σ C(sources_per_token, 2)
+    ≤ |vocab|·C(S, 2) with S the (metadata-sized) source count —
+    generated post-aggregation from the sorted source array, replacing
+    the former token-equality self-join whose both sides re-shuffled
+    the full (source, token) relation."""
     docs = load_table(spark, sf_dir, "documents")
-    # One persisted (source, token, h) relation feeds all three tiers
-    # (sizes, inverted-index co-occurrence, KMV ranks) — the tokenize +
-    # dedup shuffle is paid once per (session, sf), not per branch.
-    hashed = cached_source_tokens(spark, sf_dir)
-    toks = hashed
+    raw = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
+    )
+    # token → sorted source list: the one token-scale shuffle.
+    grouped = raw.groupBy("token").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    # (source, token, h) regenerated post-agg — one row per distinct
+    # (source, token), exactly the relation the oracle's `hashed` CTE
+    # names; the 60-bit hash is computed after the explode so it runs
+    # on |vocab|·avg(sources_per_token) rows, never the raw stream.
+    hashed = grouped.select(
+        F.explode("srcs").alias("source"),
+        "token",
+        portable_hash60("token").alias("h"),
+    )
 
     wsrc = Window.partitionBy("source").orderBy("h", "token")
     sk = (
@@ -338,78 +341,87 @@ def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", "h")
     )
 
-    # Enumerate sources from the raw table, not from ``hashed``: the
-    # oracle's (SELECT DISTINCT source FROM hashed) is value-identical
-    # — splitting even an all-whitespace text yields the [''] singleton
-    # — EXCEPT for a source whose documents are all NULL text, which
-    # yields zero token rows; the isNotNull filter reproduces exactly
-    # that omission (round-8 advice) while keeping the enumeration a
-    # pruned two-column scan instead of a tokenize + dedup shuffle.
-    sources = sorted(
-        r["source"]
-        for r in docs.filter(F.col("text").isNotNull())
-        .select("source")
-        .distinct()
-        .collect()
-    )
-    pairs = spark.createDataFrame(
-        [(a, b) for i, a in enumerate(sources) for b in sources[i + 1 :]],
-        "sa string, sb string",
+    # Pair enumeration: derived distributively from the per-source
+    # sizes relation (S rows, S the metadata-sized source count) with a
+    # broadcast theta self-join — no driver collect, no createDataFrame
+    # round-trip. ``sizes`` enumerates exactly the sources holding ≥ 1
+    # token row, which is the oracle's (SELECT DISTINCT source FROM
+    # hashed): a source whose documents are all NULL text yields zero
+    # token rows and is omitted on both sides (round-8 advice).
+    # Carrying (na, nb) on the pair rows also absorbs the exact tier's
+    # former two size-lookup joins.
+    sizes = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = F.broadcast(
+        sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    ).join(
+        sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb")),
+        F.col("sa") < F.col("sb"),
     )
 
-    def _tagged_union(rel: DataFrame, cols: list[str]) -> DataFrame:
-        a = pairs.join(
-            rel.withColumnRenamed("source", "sa"), "sa"
-        ).select("sa", "sb", *cols, F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-        b = pairs.join(
-            rel.withColumnRenamed("source", "sb"), "sb"
-        ).select("sa", "sb", *cols, F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
-        return (
-            a.unionByName(b)
-            .groupBy("sa", "sb", *cols)
-            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-        )
-
-    wp = Window.partitionBy("sa", "sb").orderBy("h", "token")
+    # Estimate tier: one row per (sketch token, sketch-source set) —
+    # ``ssk`` is metadata-sized (≤ S·K rows) — joined once against the
+    # broadcast pair table on "token is in either side's sketch", then
+    # a single groupBy builds the merged sketch per pair as a sorted
+    # array and folds the top-K membership product. This replaces the
+    # former two-join + union + dedup-groupBy + window chain (five
+    # exchanges) with one broadcast nested-loop join and one exchange;
+    # per-group state is bounded by 2·K structs, so the shape holds at
+    # any corpus size.
+    ssk = sk.groupBy("token", "h").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
     est = (
-        _tagged_union(sk, ["token", "h"])
-        .withColumn("rk", F.row_number().over(wp))
+        F.broadcast(pairs.select("sa", "sb"))
+        .join(
+            ssk,
+            F.expr("array_contains(ss, sa) OR array_contains(ss, sb)"),
+        )
+        .select(
+            "sa",
+            "sb",
+            "h",
+            "token",
+            F.array_contains("ss", F.col("sa")).cast("long").alias("in_a"),
+            F.array_contains("ss", F.col("sb")).cast("long").alias("in_b"),
+        )
         .groupBy("sa", "sb")
         .agg(
-            F.least(F.count(F.lit(1)), F.lit(KMV_K)).cast("long").alias("est_k"),
-            F.sum(
-                F.when(F.col("rk") <= KMV_K, F.col("in_a") * F.col("in_b"))
-                .otherwise(0)
-            ).cast("long").alias("est_matches"),
+            F.array_sort(
+                F.collect_list(F.struct("h", "token", "in_a", "in_b"))
+            ).alias("arr")
+        )
+        .select(
+            "sa",
+            "sb",
+            F.least(F.size("arr"), F.lit(KMV_K)).cast("long").alias("est_k"),
+            F.expr(
+                f"CAST(aggregate(slice(arr, 1, {KMV_K}), 0L,"
+                " (acc, x) -> acc + x.in_a * x.in_b) AS BIGINT)"
+            ).alias("est_matches"),
         )
     )
-    # Exact tier via the inverted index: tokens appearing in ≥2 sources
-    # generate their co-occurring source pairs (one equi-self-join on
-    # the token — the shingle-join shape), |A∪B| = |A|+|B|−|A∩B| from
-    # per-source sizes. No (pair × full token set) expansion.
-    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    ta, tb = toks.alias("ta"), toks.alias("tb")
+    # Exact tier via the inverted index: a token held by k sources
+    # contributes C(k, 2) co-occurring (sa, sb) pairs, generated
+    # directly from the sorted source array with JVM higher-order
+    # functions — no token-equality self-join, no re-shuffle of the
+    # (source, token) relation. |A∪B| = |A|+|B|−|A∩B| from per-source
+    # sizes carried on the pair rows.
     co = (
-        ta.join(
-            tb,
-            (F.col("ta.token") == F.col("tb.token"))
-            & (F.col("ta.source") < F.col("tb.source")),
+        grouped.filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " b -> struct(a AS sa, b AS sb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("ta.source").alias("sa"), F.col("tb.source").alias("sb")
-        )
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
         .agg(F.count(F.lit(1)).alias("n_inter0"))
     )
     exact = (
-        pairs.join(
-            sizes.select(F.col("source").alias("sa"), F.col("n").alias("na")),
-            "sa",
-        )
-        .join(
-            sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb")),
-            "sb",
-        )
-        .join(co, ["sa", "sb"], "left")
+        pairs.join(co, ["sa", "sb"], "left")
         .select(
             "sa",
             "sb",
