@@ -1087,7 +1087,11 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that). The BIGINT output cast is exact through n ≈ 9M unit-norm
 # vectors on the 1e6 grid; past that a deployment coarsens Q (q_max²·n
 # ≤ 2^63 sizes the grid) — the internal combine stays DECIMAL(38,0)
-# either way.
+# either way. The boundary is enforced LOUDLY (round-10 advice): the
+# entry raises OverflowError when n·Q² ≥ 2^63, because past it the
+# non-ANSI decimal→long cast would emit silent NULLs on Spark while
+# DuckDB's BIGINT cast raises — two different failure modes for the
+# same input.
 
 _COV_SQL = f"""
     WITH qe AS ({_SQL_QE}),
@@ -1136,6 +1140,15 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = quantized_embeddings(spark, sf_dir)
     iu = np.triu_indices(EMB_DIM)
     n = corpus_count(spark, sf_dir)
+    # Loud bound check (round-10 advice): past n·Q² ≥ 2⁶³ the final
+    # DECIMAL(38,0)→long cast would emit silent NULLs in non-ANSI
+    # Spark while DuckDB's BIGINT cast raises — fail identically-loud
+    # here instead (module comment: coarsening Q re-sizes the grid).
+    if n * int(CENTROID_Q) ** 2 >= 2**63:
+        raise OverflowError(
+            f"embedding_covariance: n={n} exceeds the exact-BIGINT "
+            "output bound n·Q² < 2^63; coarsen the embedding grid Q"
+        )
 
     def gram_partial(batches):
         for pdf in batches:
@@ -1220,9 +1233,32 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded by d², never by corpus size) and squares 64×64 integer
 # matrices in unbounded Python ints; the projection is one
 # zero-shuffle map over the corpus with the 64 trained literals folded
-# into a JVM-side zip_with/aggregate fold. The HUGEINT oracle replay
+# into a JVM-side zip_with/aggregate fold. Numeric bounds (round-10;
+# previously misstated as "the Spark-side path has no bound at all"):
+# the per-row dot fold runs in int64 — |⟨q,v⟩| ≤ d·Q·Gv = 64·10⁶·2²⁰
+# ≈ 2⁴⁶, safe at any corpus size — but the OUTPUT n·⟨q,v⟩ − ⟨s,v⟩
+# passes int64 around n ≈ 10⁶ unit-norm vectors (tighter than the
+# covariance entry's ≈ 9·10⁶ bound), where Spark's long arithmetic
+# would wrap SILENTLY while DuckDB's HUGEINT→BIGINT cast raises.
+# ``embedding_pca_project`` therefore raises OverflowError at train
+# time when n·Q·Σ|vᵢ| + |⟨s,v⟩| ≥ 2⁶³ — exact literals the trainer
+# already holds — so both engines now fail LOUDLY at the boundary
+# instead of diverging. (Emitting DECIMAL(38,0) instead would stay
+# exact past the bound, but the round-8 covariance entry proved wide
+# decimal output hash-unstable across the driver's engines — the
+# BIGINT-only contract is kept deliberately; past the bound a
+# deployment coarsens Q or Gv.) The HUGEINT oracle replay of training
 # has orders-of-magnitude headroom (entries ≤ Gm, products ≤ Gm²·d·Gm
-# ≈ 2^96 < 2^126); the Spark-side path has no bound at all.
+# ≈ 2^96 < 2^126); the Python trainer uses unbounded ints.
+#
+# Degenerate corpora (round-10): a zero centered-covariance matrix
+# (empty corpus, one embedding, or all embeddings identical after
+# quantization) takes the Python trainer's explicit fallbacks —
+# requant keeps the all-zero matrix; a zero B^k·𝟙 trains the flat
+# v = [Gv]^d. The oracle mirrors both with NULLIF-guarded divisions
+# (COALESCE back to the all-zero input) and a CASE on MAX|w| = 0, so
+# the engines agree instead of DuckDB NULL-poisoning every squaring
+# step.
 
 PCA_GRID = 2**20  # Gv: the trained eigenvector's grid
 PCA_MAT_GRID = 2**30  # Gm: the squared matrices' grid
@@ -1285,7 +1321,10 @@ def pca_component(
     if key not in _PCA_CACHE:
         rows = embedding_covariance(spark, sf_dir).collect()
         d = EMB_DIM
-        n = int(rows[0]["n_vectors"])
+        # Empty corpus: zero summary → the trainer's degenerate-input
+        # fallbacks produce the flat v; projection output is empty
+        # either way.
+        n = int(rows[0]["n_vectors"]) if rows else 0
         s = [0] * d
         cfull = [[0] * d for _ in range(d)]
         for r in rows:
@@ -1319,7 +1358,9 @@ def _pca_sql() -> str:
     ),
     b{t} AS MATERIALIZED (
       SELECT i, j,
-             (raw * {gm_}) // (SELECT MAX(ABS(raw)) FROM r{t}) AS bv
+             COALESCE((raw * {gm_})
+                      // NULLIF((SELECT MAX(ABS(raw)) FROM r{t}), 0),
+                      raw) AS bv
       FROM r{t})"""
         )
     bt = f"b{PCA_SQUARINGS}"
@@ -1346,11 +1387,17 @@ def _pca_sql() -> str:
       CROSS JOIN nn
     ),
     b0 AS MATERIALIZED (
-      SELECT i, j, (cv * {gm_}) // (SELECT MAX(ABS(cv)) FROM c) AS bv
+      SELECT i, j,
+             COALESCE((cv * {gm_})
+                      // NULLIF((SELECT MAX(ABS(cv)) FROM c), 0),
+                      cv) AS bv
       FROM c),{",".join(steps)},
     w AS MATERIALIZED (SELECT i, SUM(bv) AS wv FROM {bt} GROUP BY 1),
     v AS MATERIALIZED (
-      SELECT i, (wv * {gv}) // (SELECT MAX(ABS(wv)) FROM w) AS vv
+      SELECT i,
+             CASE WHEN (SELECT MAX(ABS(wv)) FROM w) = 0 THEN {gv}
+                  ELSE (wv * {gv}) // (SELECT MAX(ABS(wv)) FROM w)
+             END AS vv
       FROM w),
     mxv AS MATERIALIZED (SELECT MAX(ABS(vv)) AS m FROM v),
     sg AS MATERIALIZED (
@@ -1383,10 +1430,25 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     session like the IVF quantizer); the projection itself is a
     ZERO-shuffle map — the 64 trained literals fold into a JVM-side
     ``zip_with``/``aggregate`` dot product, so the corpus is read once
-    and never repartitioned. proj_num = n·⟨q,v⟩ − ⟨s,v⟩; the float
-    projection is proj_num / (n·G·Q) for any consumer."""
+    and never repartitioned. proj_num = n·⟨q,v⟩ − ⟨s,v⟩ as BIGINT,
+    with a loud train-time OverflowError at the exact int64 boundary
+    (section comment — round-10 advice); the float projection is
+    proj_num / (n·G·Q) for any consumer."""
     v, n, s = pca_component(spark, sf_dir)
     sv = sum(si * vi for si, vi in zip(s, v))
+    # Loud int64 guard (round-10 advice): under the module's |qᵢ| ≤ Q
+    # grid convention, |n·⟨q,v⟩ − ⟨s,v⟩| ≤ n·Q·Σ|vᵢ| + |⟨s,v⟩| — exact
+    # integers the trainer already holds, so the Spark side fails at
+    # train time at the same boundary where DuckDB's BIGINT cast
+    # raises, instead of wrapping silently (section comment).
+    bound = n * int(CENTROID_Q) * sum(abs(x) for x in v) + abs(sv)
+    if bound >= 2**63:
+        raise OverflowError(
+            f"embedding_pca_project: proj_num bound {bound} exceeds "
+            "int64; coarsen the embedding grid Q or PCA_GRID "
+            "(section comment: the BIGINT output contract is "
+            "deliberate)"
+        )
     qe = quantized_embeddings(spark, sf_dir)
     varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
     qdot = F.aggregate(

@@ -1,0 +1,109 @@
+"""Round-10 hardening: degenerate-corpus agreement between the PCA
+trainer and its DuckDB oracle (all-identical embeddings give a zero
+centered covariance — the oracle's requant divisions used to
+NULL-poison, round-10 advice), plus the loud int64 overflow guards on
+the covariance / projection output boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    similarity,
+)
+
+
+def _write_embeddings(path, vecs: np.ndarray) -> str:
+    """Write a minimal sf-dir holding only embeddings.parquet with the
+    testdata schema (vec_id BIGINT, embedding FLOAT[], label INT)."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(1, len(vecs) + 1, dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": np.zeros(len(vecs), dtype=np.int32),
+        }
+    )
+    pdf.to_parquet(str(path / "embeddings.parquet"), index=False)
+    return str(path)
+
+
+def _oracle_rows(sql: str, sf: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+@pytest.fixture()
+def degenerate_sf(tmp_path):
+    """Five byte-identical embeddings: centered covariance is exactly
+    zero after quantization."""
+    d = similarity.EMB_DIM
+    v = np.linspace(-0.5, 0.5, d)
+    return _write_embeddings(tmp_path, np.tile(v, (5, 1)))
+
+
+def test_trainer_flat_fallback_on_zero_covariance(spark, degenerate_sf):
+    v, n, s = similarity.pca_component(spark, degenerate_sf)
+    assert n == 5
+    assert v == [similarity.PCA_GRID] * similarity.EMB_DIM
+
+
+def test_oracle_matches_spark_on_zero_covariance(spark, degenerate_sf):
+    """The NULLIF/COALESCE-guarded oracle replays the trainer's
+    keep-zeros + flat-v fallbacks instead of NULL-poisoning — Spark and
+    DuckDB emit identical (vec_id, proj_num) rows."""
+    sdf = similarity.embedding_pca_project(spark, degenerate_sf)
+    s_rows = sorted(tuple(r) for r in sdf.collect())
+    d_rows = sorted(
+        _oracle_rows(similarity._pca_sql(), degenerate_sf)
+    )
+    assert [(int(a), int(b)) for a, b in s_rows] == [
+        (int(a), int(b)) for a, b in d_rows
+    ]
+    assert len(s_rows) == 5
+    # No NULL poisoning on either side.
+    assert all(b is not None for _, b in s_rows)
+    assert all(b is not None for _, b in d_rows)
+
+
+def test_single_vector_corpus(spark, tmp_path):
+    """n = 1: covariance numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ is identically
+    zero; the flat fallback trains and both engines project it."""
+    d = similarity.EMB_DIM
+    sf = _write_embeddings(tmp_path, np.ones((1, d)) * 0.25)
+    v, n, s = similarity.pca_component(spark, sf)
+    assert n == 1 and v == [similarity.PCA_GRID] * d
+    s_rows = [tuple(r) for r in similarity.embedding_pca_project(spark, sf).collect()]
+    d_rows = _oracle_rows(similarity._pca_sql(), sf)
+    assert [(int(a), int(b)) for a, b in s_rows] == [
+        (int(a), int(b)) for a, b in d_rows
+    ]
+
+
+def test_projection_overflow_guard_is_loud(spark, sf_dir, monkeypatch):
+    """Past the documented n·Q·Σ|vᵢ| + |⟨s,v⟩| < 2⁶³ bound the entry
+    raises instead of silently wrapping (round-10 advice: Spark longs
+    wrap where DuckDB raises)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    v, n, s = similarity.pca_component(spark, sf_dir)
+    # Forge a cached trainer result with an absurd corpus count; the
+    # projection must refuse before building a plan.
+    monkeypatch.setitem(similarity._PCA_CACHE, key, (v, 10**13, s))
+    with pytest.raises(OverflowError, match="proj_num bound"):
+        similarity.embedding_pca_project(spark, sf_dir)
+
+
+def test_covariance_overflow_guard_is_loud(spark, sf_dir, monkeypatch):
+    """n·Q² ≥ 2⁶³ raises instead of emitting silent NULL rows from the
+    non-ANSI decimal→long cast."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    monkeypatch.setitem(similarity._N_CACHE, key, 10**13)
+    with pytest.raises(OverflowError, match="exact-BIGINT"):
+        similarity.embedding_covariance(spark, sf_dir)
