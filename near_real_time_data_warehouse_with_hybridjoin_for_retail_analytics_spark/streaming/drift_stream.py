@@ -1,0 +1,193 @@
+"""Streaming embedding-drift gate: the ingest twin of
+``operators.similarity.embedding_drift``.
+
+The batch operator answers "how far have the post-watermark centroids
+moved from the reference half" over a static table. A production
+ingest pipeline asks the same question CONTINUOUSLY: every arriving
+micro-batch of vectors nudges the incoming-half centroids, and the
+drift report against the frozen reference must stay current so the
+gate can halt ingest (or trigger re-indexing) the moment a label's
+centroid walks. This module runs exactly that, in the repo's standard
+gate shape (``run_incremental_dedup_stream`` /
+``run_embedding_dedup_stream`` in ``dedup_stream.py``): a static
+precomputed reference relation + ``foreachBatch`` over the vector
+feed, with parquet state and an ``availableNow`` trigger so tests
+replay files deterministically.
+
+State design (the 100 TB story): the reference is per-(label, dim)
+integer sums and counts — O(labels·d) longs, built once from the
+pre-watermark corpus and broadcast at report time. Each micro-batch
+contributes one per-(label, dim) partial-sum relation of the same
+O(labels·d) size (a groupBy with map-side combine — shuffle is
+independent of batch row count), appended to the state directory
+tagged with its batch id. The accumulated incoming-half sums are the
+sum of partials — associative integer addition, so the report after
+batch k is byte-identical to the batch operator run over the union of
+batches 1..k (pinned by the pytest equivalence gate). Replays are
+absorbed structurally: partials are deterministic per (batch_id,
+label, dim), so a crash-retry's duplicate append deduplicates exactly
+on those keys before accumulation — the same replay-idempotence
+contract as the dedup gates.
+
+Centroid arithmetic is the shared 1e-6 grid floor-mean
+(``ann_centroid_assign``'s quantizer), so stream and batch agree to
+the bit, not to a tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..catalog import load_table
+from ..operators.similarity import CENTROID_Q
+
+# Vector feed schema: same as the embedding dedup gate plus the label
+# stratum the drift monitor reports on.
+DRIFT_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _label_dim_sums(df: DataFrame, sum_col: str, cnt_col: str) -> DataFrame:
+    """(label, dim, Σqv, count) on the shared 1e-6 grid — the
+    sufficient statistics of a floor-mean centroid set."""
+    return (
+        df.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "label",
+            F.col("pos").cast("int").alias("dim"),
+            F.floor(F.col("v").cast("double") * CENTROID_Q)
+            .cast("long")
+            .alias("qv"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("qv").cast("long").alias(sum_col),
+            F.count(F.lit(1)).cast("long").alias(cnt_col),
+        )
+    )
+
+
+def drift_reference(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """The frozen pre-watermark state: per-(label, dim) sums/counts of
+    the reference half at the batch operator's floor(max·0.8) split.
+    Returns (reference relation, split) — the split tells the caller
+    which vectors belong to the incoming feed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    split = 0 if mx is None else math.floor(float(mx) * 0.8)
+    ref = _label_dim_sums(
+        emb.filter(F.col("vec_id") < split), "sum_ref", "cnt_ref"
+    )
+    return ref, split
+
+
+def drift_report(ref: DataFrame, new_sums: DataFrame) -> DataFrame:
+    """(label, n_ref, n_new, drift2_q, drift) from the two sufficient-
+    statistic relations — the exact output contract of the batch
+    ``embedding_drift`` entry (labels present on only one side surface
+    with NULL drift, the appeared/vanished alert case)."""
+    nref = ref.groupBy("label").agg(
+        F.max("cnt_ref").cast("long").alias("n_ref")
+    )
+    nnew = new_sums.groupBy("label").agg(
+        F.max("cnt_new").cast("long").alias("n_new")
+    )
+    counts = (
+        nref.join(nnew, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    cref = ref.select(
+        "label",
+        "dim",
+        F.floor(F.col("sum_ref").cast("double") / F.col("cnt_ref"))
+        .cast("long")
+        .alias("cq_ref"),
+    )
+    cnew = new_sums.select(
+        "label",
+        "dim",
+        F.floor(F.col("sum_new").cast("double") / F.col("cnt_new"))
+        .cast("long")
+        .alias("cq_new"),
+    )
+    diff = F.col("cq_new") - F.col("cq_ref")
+    d2 = (
+        cref.join(cnew, ["label", "dim"])
+        .groupBy("label")
+        .agg(F.sum(diff * diff).cast("long").alias("drift2_q"))
+    )
+    return (
+        counts.join(F.broadcast(d2), "label", "left")
+        .select(
+            "label",
+            "n_ref",
+            "n_new",
+            "drift2_q",
+            (
+                F.sqrt(F.col("drift2_q").cast("double"))
+                / F.lit(float(CENTROID_Q))
+            ).alias("drift"),
+        )
+        .orderBy("label")
+    )
+
+
+def run_embedding_drift_stream(
+    spark: SparkSession,
+    input_dir: str,
+    ref: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Continuous drift monitoring over a (vec_id, embedding, label)
+    parquet feed. Each micro-batch appends its per-(label, dim)
+    partial sums to ``state_dir`` (tagged with the batch id), folds
+    the accumulated state, and overwrites ``out_dir`` with the
+    current drift report against the frozen ``ref`` relation — after
+    every batch, ``out_dir`` holds exactly what the batch operator
+    would report over everything ingested so far."""
+
+    raw = (
+        spark.readStream.schema(DRIFT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        partial = _label_dim_sums(batch_df, "sum_new", "cnt_new").withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        partial.write.mode("append").parquet(state_dir)
+        # Crash-retry replays re-append identical partial rows for the
+        # same batch_id; the (batch_id, label, dim) dedup restores
+        # exactly-once accumulation (rows are deterministic functions
+        # of the batch, so "arbitrary survivor" is exact here).
+        acc = (
+            spark.read.parquet(state_dir)
+            .dropDuplicates(["batch_id", "label", "dim"])
+            .groupBy("label", "dim")
+            .agg(
+                F.sum("sum_new").cast("long").alias("sum_new"),
+                F.sum("cnt_new").cast("long").alias("cnt_new"),
+            )
+        )
+        drift_report(ref, acc).write.mode("overwrite").parquet(out_dir)
+
+    writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
+    if checkpoint is not None:
+        # Exactly-once across restarts: committed batches are never
+        # re-consumed, and an uncommitted batch's partial replay is
+        # absorbed by the batch_id dedup above.
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
