@@ -1413,3 +1413,247 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs)
     return payloads.mapInPandas(video_mjpeg_stats, VIDEO_SCHEMA)
+
+
+# --- real INTER-FRAME-PREDICTED video codec: DV01 delta frames ------------
+# The one video property MJPEG cannot exercise is decoder STATE: in a
+# predicted codec a frame is not decodable alone — it is a function of
+# the previously RECONSTRUCTED frame, so any decode error propagates
+# until the next key frame. DV01 is a minimal clean-room codec built
+# around exactly that property (conceptually an H.26x GOP stripped of
+# motion search and transform coding — I-frames every DV_KEY_INT
+# frames, P-frames in between): a P-frame stores only the per-tile
+# residual vs the previous frame, wrap-around mod 256 (exactly
+# invertible on uint8), run-length packed. The decoder MUST carry the
+# reconstructed tile state across frames; the oracle recomputes mean,
+# motion and the exact compressed byte count from the raw payload, so
+# a wrong residual, run length or key-frame boundary in ANY frame
+# breaks the value hash. Full motion-compensated H.26x decode stays
+# out of scope (SCALE.md records why); DV01 pins the inter-frame
+# state-propagation contract those codecs share.
+DV_TILES = 32  # tiles per frame (4 block-cols × 8 block-rows, as MJPEG)
+DV_TILE = 8  # tile edge in pixels
+DV_KEY_INT = 4  # I-frame every 4th frame
+
+
+def encode_video_delta(raw: bytes) -> bytes:
+    """DV01 writer: payload bytes are framed DV_TILES per frame
+    (zero-padded); frame f's tile values are bytes f·T..(f+1)·T. Every
+    DV_KEY_INT-th frame is an I-frame (raw tile bytes); the rest are
+    P-frames storing (run_len, residual) byte pairs over the mod-256
+    tile deltas vs the previous frame. Header: b'DV01' +
+    <HHHH>(tiles, tile_px, n_frames, key_interval); each frame chunk:
+    1 tag byte ('I'/'P') + u16 body length + body."""
+    t = DV_TILES
+    n_frames = max(1, -(-len(raw) // t))
+    data = raw + b"\x00" * (n_frames * t - len(raw))
+    out = [b"DV01", struct.pack("<HHHH", t, DV_TILE, n_frames, DV_KEY_INT)]
+    prev: bytes | None = None
+    for f in range(n_frames):
+        cur = data[f * t : (f + 1) * t]
+        if f % DV_KEY_INT == 0:
+            out.append(b"I" + struct.pack("<H", t) + cur)
+        else:
+            res = bytes((c - p) & 0xFF for c, p in zip(cur, prev))
+            body = bytearray()
+            i = 0
+            while i < t:
+                j = i
+                while j < t and res[j] == res[i] and j - i < 255:
+                    j += 1
+                body += bytes((j - i, res[i]))
+                i = j
+            out.append(b"P" + struct.pack("<H", len(body)) + bytes(body))
+        prev = cur
+    return b"".join(out)
+
+
+def decode_video_delta(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """DV01 parser: validates the magic, then walks frame chunks
+    carrying the RECONSTRUCTED tile state — I-frames reset it,
+    P-frames apply RLE-unpacked mod-256 residuals to the previous
+    frame's reconstruction (the inter-frame dependency that defines
+    predicted codecs). Returns ((n_frames, h, w) uint8 pixels,
+    n_keyframes, encoded_byte_length)."""
+    if payload[:4] != b"DV01":
+        raise ValueError("not a DV01 payload")
+    t, tile_px, n_frames, key_int = struct.unpack_from("<HHHH", payload, 4)
+    pos = 12
+    tiles: list[np.ndarray] = []
+    prev: np.ndarray | None = None
+    n_key = 0
+    for f in range(n_frames):
+        tag = payload[pos : pos + 1]
+        (ln,) = struct.unpack_from("<H", payload, pos + 1)
+        body = payload[pos + 3 : pos + 3 + ln]
+        pos += 3 + ln
+        if tag == b"I":
+            if ln != t:
+                raise ValueError("I-frame length mismatch")
+            cur = np.frombuffer(body, dtype=np.uint8).copy()
+            n_key += 1
+        elif tag == b"P":
+            if prev is None:
+                raise ValueError("P-frame before any I-frame")
+            res = np.empty(t, dtype=np.uint8)
+            i = k = 0
+            while k < ln:
+                run, val = body[k], body[k + 1]
+                res[i : i + run] = val
+                i += run
+                k += 2
+            if i != t:
+                raise ValueError("P-frame runs do not cover the frame")
+            cur = prev + res  # uint8 wrap-around == mod-256 inverse
+        else:
+            raise ValueError(f"unknown frame tag {tag!r}")
+        tiles.append(cur)
+        prev = cur
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    # Expand constant 8×8 tiles to pixel frames: 4 tile-cols per row.
+    cols = 4
+    rows = t // cols
+    grid = np.stack(tiles).reshape(n_frames, rows, cols)
+    px = np.repeat(np.repeat(grid, tile_px, axis=1), tile_px, axis=2)
+    return px, n_key, len(payload)
+
+
+DV_SCHEMA = (
+    "doc_id long, n_frames long, n_key long, mean_px double, "
+    "motion long, enc_bytes long, compress_ratio double"
+)
+
+
+def video_delta_stats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the REAL predicted-video path: encode the
+    payload to DV01, decode it back through the stateful inter-frame
+    reconstruction, and reduce the decoded pixels to frame count,
+    key-frame count, mean pixel, total motion and the exact
+    compression ratio (encoded bytes / raw tile bytes)."""
+    for pdf in batches:
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id",
+                "n_frames",
+                "n_key",
+                "mean_px",
+                "motion",
+                "enc_bytes",
+                "compress_ratio",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            enc = encode_video_delta(bytes(payload))
+            px, n_key, enc_len = decode_video_delta(enc)
+            fr = px.astype(np.int64)
+            cols["doc_id"].append(doc_id)
+            cols["n_frames"].append(len(fr))
+            cols["n_key"].append(n_key)
+            cols["mean_px"].append(float(fr.sum()) / fr.size)
+            cols["motion"].append(
+                int(np.abs(fr[1:] - fr[:-1]).sum()) if len(fr) > 1 else 0
+            )
+            cols["enc_bytes"].append(enc_len)
+            cols["compress_ratio"].append(
+                float(enc_len) / (len(fr) * DV_TILES)
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                "n_frames": pd.Series(cols["n_frames"], dtype="int64"),
+                "n_key": pd.Series(cols["n_key"], dtype="int64"),
+                "mean_px": pd.Series(cols["mean_px"], dtype="float64"),
+                "motion": pd.Series(cols["motion"], dtype="int64"),
+                "enc_bytes": pd.Series(cols["enc_bytes"], dtype="int64"),
+                "compress_ratio": pd.Series(
+                    cols["compress_ratio"], dtype="float64"
+                ),
+            }
+        )
+
+
+def _video_delta_oracle() -> str:
+    """Byte-level replay of the DV01 round trip from the raw text
+    bytes: byte i is frame i // T, tile i % T. Key frames are
+    f % K = 0 → n_key = ceil(nf / K); the per-frame RLE cost is
+    2·(number of run starts in the mod-256 residual sequence), so
+    enc_bytes = 12 + 3·nf + T·n_key + 2·Σruns — the oracle prices
+    every run boundary the encoder emits, and mean/motion gate the
+    stateful reconstruction itself."""
+    t, k = DV_TILES, DV_KEY_INT
+    px_per_frame = t * 64
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             greatest((length(text) + {t - 1}) // {t}, 1) AS nf
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, unnest(range(0, nf * {t})) AS i, nf
+      FROM dims
+    ),
+    padded AS (
+      SELECT x.doc_id, x.i, x.nf, x.i // {t} AS f, x.i % {t} AS tile,
+             coalesce(ascii(substr(d.text, CAST(x.i + 1 AS INT), 1)), 0) AS v
+      FROM idx x JOIN documents d USING (doc_id)
+    ),
+    res AS (
+      SELECT *,
+             ((v - LAG(v, {t}) OVER w + 256) % 256) AS r
+      FROM padded
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    runs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN f % {k} <> 0 AND (tile = 0 OR r <> prev_r)
+                 THEN 1 ELSE 0 END) AS n_runs
+      FROM (SELECT *, LAG(r) OVER (
+              PARTITION BY doc_id ORDER BY i) AS prev_r
+            FROM res)
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(MAX(p.nf) AS BIGINT) AS n_frames,
+           CAST((MAX(p.nf) + {k - 1}) // {k} AS BIGINT) AS n_key,
+           CAST(SUM(p.v) * 64 AS DOUBLE) / (MAX(p.nf) * {px_per_frame})
+             AS mean_px,
+           CAST(coalesce(SUM(CASE WHEN p.i >= {t}
+                 THEN 64 * abs(p.v - lag_v) END), 0) AS BIGINT) AS motion,
+           CAST(12 + 3 * MAX(p.nf)
+                + {t} * ((MAX(p.nf) + {k - 1}) // {k})
+                + 2 * MAX(ru.n_runs) AS BIGINT) AS enc_bytes,
+           CAST(12 + 3 * MAX(p.nf)
+                + {t} * ((MAX(p.nf) + {k - 1}) // {k})
+                + 2 * MAX(ru.n_runs) AS DOUBLE)
+             / (MAX(p.nf) * {t}) AS compress_ratio
+    FROM (SELECT *, LAG(v, {t}) OVER (
+            PARTITION BY doc_id ORDER BY i) AS lag_v
+          FROM padded) p
+    JOIN runs ru USING (doc_id)
+    GROUP BY p.doc_id
+    """
+
+
+@query("multimodal_video_delta", _video_delta_oracle())
+def multimodal_video_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREDICTED video modality: each document's payload becomes a
+    DV01 inter-frame-coded clip (I-frame GOP headers every DV_KEY_INT
+    frames, run-length-packed mod-256 residual P-frames between), then
+    decodes back through the stateful reconstruction — every P-frame
+    is a function of the previous frame's DECODED tiles, the defining
+    property of H.26x-class codecs that the standalone-frame MJPEG
+    entry cannot exercise. Stats (frame/key counts, mean pixel,
+    motion, exact encoded byte count and compression ratio) come from
+    the decoded pixels and real byte lengths inside Arrow-batched
+    ``mapInPandas``; the DuckDB oracle reprices every residual run and
+    key-frame boundary from the raw text bytes, so a single wrong
+    run length, residual or state carry breaks the value hash.
+    Zero-shuffle per-row kernel — the same 100 TB shape as the other
+    multimodal entries."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(video_delta_stats, DV_SCHEMA)

@@ -107,3 +107,59 @@ def test_covariance_overflow_guard_is_loud(spark, sf_dir, monkeypatch):
     monkeypatch.setitem(similarity._N_CACHE, key, 10**13)
     with pytest.raises(OverflowError, match="exact-BIGINT"):
         similarity.embedding_covariance(spark, sf_dir)
+
+
+# --- DV01 inter-frame video codec -----------------------------------------
+
+
+def test_dv01_roundtrip_fuzz():
+    """Lossless round trip over random payloads of every residue class
+    mod the frame size, including empty."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in [0, 1, 31, 32, 33, 127, 128, 129, 500]:
+        raw = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        px, n_key, ln = mm.decode_video_delta(mm.encode_video_delta(raw))
+        t = mm.DV_TILES
+        nf = max(1, -(-n // t))
+        data = raw + b"\x00" * (nf * t - n)
+        tiles = np.frombuffer(data, dtype=np.uint8).reshape(nf, t)
+        assert np.array_equal(px[:, :: mm.DV_TILE, :: mm.DV_TILE]
+                              .reshape(nf, t), tiles)
+        assert n_key == (nf + mm.DV_KEY_INT - 1) // mm.DV_KEY_INT
+
+
+def test_dv01_p_frames_carry_state():
+    """The defining inter-frame property: corrupting an I-frame's
+    payload corrupts every dependent P-frame's reconstruction until
+    the next key frame resynchronizes the decoder."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    t, k = mm.DV_TILES, mm.DV_KEY_INT
+    raw = bytes(range(200)) * 2  # > 2 GOPs of varied frames
+    enc = bytearray(mm.encode_video_delta(raw))
+    # Flip one tile byte inside the FIRST I-frame body (header is 12
+    # bytes, then tag+len = 3).
+    enc[15] ^= 0xFF
+    good = mm.decode_video_delta(mm.encode_video_delta(raw))[0]
+    bad = mm.decode_video_delta(bytes(enc))[0]
+    nf = good.shape[0]
+    for f in range(nf):
+        same = np.array_equal(good[f], bad[f])
+        # frames 0..k-1 inherit the corruption; the next I-frame (k)
+        # resynchronizes everything after it.
+        assert same == (f >= k), f
+
+
+def test_dv01_low_motion_compresses():
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    raw = bytes([9]) * (mm.DV_TILES * 10)
+    assert len(mm.encode_video_delta(raw)) < len(raw)
