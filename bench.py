@@ -9,9 +9,10 @@ collected to the driver) so timings measure the engine, not result
 transfer. A warm-up pass of the first query absorbs one-time JVM/codegen
 cost so per-query numbers reflect steady state.
 
-Each query is timed ``BENCH_RUNS`` times (default 2) and the minimum is
-reported: this host shows multi-second noisy-neighbor CPU bursts, and
-min-of-N measures the engine rather than the neighbor. Set
+Each query is timed ``BENCH_RUNS`` times (default 3 — the pass count
+SCALE.md's variance-adjudication method is written around) and the
+minimum is reported: this host shows multi-second noisy-neighbor CPU
+bursts, and min-of-N measures the engine rather than the neighbor. Set
 ``SPARK_GRAFT_BENCH_RUNS=1`` for a single-pass run.
 
 Set ``SPARK_GRAFT_BENCH_DETAIL=/path.json`` to additionally dump the
@@ -101,7 +102,10 @@ def main() -> None:
 
     _stage_shared(spark, sf_dir, dedup)
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # 3 passes by default (round-9 verdict): SCALE.md's variance
+    # adjudication separates noise from regression via 3-pass spreads;
+    # two passes cannot (e.g. q02 measured 4.56/0.85 s in r9).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     passes: list[dict[str, float]] = []
     timings: dict[str, float] = {}
     for p in range(runs):
