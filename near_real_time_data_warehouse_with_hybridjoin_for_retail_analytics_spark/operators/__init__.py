@@ -47,3 +47,4 @@ def reset_session_caches() -> None:
     similarity._CENT_CACHE.clear()
     similarity._PQ_CB_CACHE.clear()
     similarity._PCA_CACHE.clear()
+    textops._BPE_CACHE.clear()

@@ -686,3 +686,274 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_divergence"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training: tokenizer-vocabulary induction over the corpus
+# ---------------------------------------------------------------------------
+# The one tokenizer operation a training-data pipeline RUNS AT CORPUS
+# SCALE is not encoding (that's per-row) but vocabulary induction:
+# byte-pair-encoding merge training à la Sennrich (ACL 2016) — count
+# adjacent symbol pairs weighted by word frequency, merge the most
+# frequent pair, re-segment, repeat. The distributed shape mirrors
+# what production tokenizer trainers do: ONE corpus-scale shuffle
+# builds the word-frequency relation (groupBy(word) with map-side
+# combine — the shuffle carries |word vocab| rows, not the token
+# stream), and every training round after that runs on the
+# vocab-sized segmentation relation: one pair-explode + groupBy
+# (shuffle O(|vocab| · avg word length)), one 1-row argmax collect,
+# one zero-shuffle higher-order-function re-segmentation. Rounds are
+# Spark actions over a persisted segmentation (previous round
+# unpersisted), so lineage never re-expands — the iterative-algorithm
+# pattern of MLlib trainers.
+#
+# Determinism: pair counts are exact longs; the argmax tie-break is
+# (count DESC, lhs ASC, rhs ASC); re-segmentation is left-to-right
+# greedy non-overlapping (Sennrich's re.sub semantics), implemented as
+# an array fold on Spark and, on the oracle side, as the positional
+# even-offset-within-run rule — provably the same greedy (a merged
+# symbol can never equal lhs, since merged = lhs||rhs with rhs
+# non-empty, so a fold's fresh merge never re-matches within the
+# round). The DuckDB oracle unrolls all BPE_MERGES rounds as
+# MATERIALIZED CTE chains — the same replay-the-training contract as
+# the PCA power-iteration oracle.
+
+BPE_MERGES = 8
+# Counted driver-fallback bound (the clusters.py union-find pattern):
+# below this many distinct words the training rounds run driver-side
+# on one bounded collect of the word-frequency relation — byte-
+# identical semantics (pytest-pinned vs the distributed rounds), ~10
+# Spark jobs cheaper. Above it, the distributed per-round path runs.
+BPE_LOCAL_VOCAB_LIMIT = 1_000_000
+
+
+def _bpe_pairs(seg: DataFrame) -> DataFrame:
+    """(lhs, rhs, c): adjacent-pair frequencies over a segmentation
+    relation (word, f, syms), every adjacent position counted
+    (Sennrich's get_stats)."""
+    pairs = F.expr(
+        "transform(slice(syms, 2, size(syms) - 1),"
+        " (x, i) -> struct(element_at(syms, i + 1) AS lhs, x AS rhs))"
+    )
+    return (
+        seg.filter(F.size("syms") >= 2)
+        .select("f", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("f").cast("long").alias("c"))
+    )
+
+
+def _bpe_apply(seg: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Greedy left-to-right merge of (lhs, rhs) in every word's symbol
+    array — a zero-shuffle JVM fold."""
+    merged = lhs + rhs
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return seg.select(
+        "word",
+        "f",
+        F.aggregate(
+            "syms", F.expr("cast(array() as array<string>)"), step
+        ).alias("syms"),
+    )
+
+
+_BPE_CACHE: dict[tuple[str, str], list[tuple[int, str, str, str, int]]] = {}
+
+
+def _bpe_train_local(
+    wordfreqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side training rounds over a bounded word-frequency list —
+    the same pair counting (every adjacent position), argmax tie-break
+    (count DESC, lhs, rhs) and greedy left-to-right fold as the
+    distributed path."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(w), f) for w, f in wordfreqs
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = lhs + rhs
+        merges.append((rank, lhs, rhs, merged, c))
+        nxt: list[tuple[list[str], int]] = []
+        for syms, f in vocab:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            nxt.append((out, f))
+        vocab = nxt
+    return merges
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Train ``n_merges`` BPE merges; returns
+    [(rank, lhs, rhs, merged, pair_count), ...] (cached per session —
+    the merge table is the metadata-sized training artifact)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        words = (
+            _tokens(spark, sf_dir)
+            .filter((F.col("token").isNotNull()) & (F.col("token") != ""))
+            .groupBy(F.col("token").alias("word"))
+            .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        )
+        n_vocab = words.count()
+        if n_vocab <= BPE_LOCAL_VOCAB_LIMIT:
+            rows = words.collect()  # bounded: ≤ BPE_LOCAL_VOCAB_LIMIT
+            _BPE_CACHE[key] = _bpe_train_local(
+                [(r["word"], int(r["f"])) for r in rows], n_merges
+            )
+            return _BPE_CACHE[key]
+        seg = words.select(
+            "word",
+            "f",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("syms"),
+        ).persist()
+        merges: list[tuple[int, str, str, str, int]] = []
+        prev: DataFrame | None = None
+        for rank in range(1, n_merges + 1):
+            # One action per round: the argmax collect materializes the
+            # persisted segmentation as a side effect, so no separate
+            # count() job is needed; the previous round's cache is
+            # released once its successor is materialized.
+            best = (
+                _bpe_pairs(seg)
+                .orderBy(F.col("c").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+            if not best:
+                break
+            lhs, rhs, c = best[0]["lhs"], best[0]["rhs"], int(best[0]["c"])
+            merges.append((rank, lhs, rhs, lhs + rhs, c))
+            prev, seg = seg, _bpe_apply(seg, lhs, rhs).persist()
+        seg.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        _BPE_CACHE[key] = merges
+    return _BPE_CACHE[key]
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled training round: pair counts + deterministic argmax
+    over seg{r-1}, then the positional greedy re-segmentation (merge
+    starts = even offsets within each run of consecutive matches —
+    runs only arise when lhs = rhs)."""
+    p = r - 1
+    return f"""
+    ex{r} AS MATERIALIZED (
+      SELECT word, f, unnest(syms) AS s, generate_subscripts(syms, 1) AS i
+      FROM seg{p}
+    ),
+    pc{r} AS MATERIALIZED (
+      SELECT s AS lhs, nxt AS rhs, CAST(SUM(f) AS BIGINT) AS c
+      FROM (SELECT word, f, s, i,
+                   LEAD(s) OVER (PARTITION BY word ORDER BY i) AS nxt
+            FROM ex{r})
+      WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT lhs, rhs, c FROM pc{r} ORDER BY c DESC, lhs, rhs LIMIT 1
+    ),
+    mk{r} AS MATERIALIZED (
+      SELECT word, f, i, s,
+             LEAD(s) OVER w AS nxt,
+             COALESCE(s = (SELECT lhs FROM best{r})
+                      AND LEAD(s) OVER w = (SELECT rhs FROM best{r}),
+                      FALSE) AS m
+      FROM ex{r}
+      WINDOW w AS (PARTITION BY word ORDER BY i)
+    ),
+    st{r} AS MATERIALIZED (
+      SELECT word, f, i, s, nxt,
+             m AND ((i - MIN(i) OVER (PARTITION BY word, rg)) % 2 = 0)
+               AS strt
+      FROM (SELECT *,
+                   CASE WHEN m THEN i - ROW_NUMBER()
+                        OVER (PARTITION BY word, m ORDER BY i) END AS rg
+            FROM mk{r})
+    ),
+    seg{r} AS MATERIALIZED (
+      SELECT word, f,
+             list(CASE WHEN strt THEN s || nxt ELSE s END ORDER BY i)
+               AS syms
+      FROM (SELECT *, COALESCE(LAG(strt) OVER (
+              PARTITION BY word ORDER BY i), FALSE) AS prev_strt
+            FROM st{r})
+      WHERE NOT prev_strt
+      GROUP BY word, f
+    )"""
+
+
+def _bpe_train_sql(n_merges: int = BPE_MERGES) -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, n_merges + 1))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" c AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE word IS NOT NULL AND word <> ''
+      GROUP BY 1
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT word, f,
+             list_transform(range(0, length(word)),
+                            i -> substr(word, CAST(i + 1 AS INT), 1))
+               AS syms
+      FROM w0
+    ),{rounds}
+    SELECT * FROM ({finals}) ORDER BY merge_rank
+    """
+
+
+@query("text_bpe_train", _bpe_train_sql())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table — {BPE_MERGES} rows of
+    (merge_rank, lhs, rhs, merged, pair_count) induced from the
+    corpus's word-frequency relation (section comment for the
+    distributed shape, the determinism contract, and the unrolled
+    oracle replay). The merge table is the metadata-sized artifact a
+    tokenizer ships; the corpus is touched once (word counts), every
+    round after runs on the vocab-sized segmentation."""
+    merges = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string, "
+        "pair_count long"
+    ).orderBy("merge_rank")

@@ -163,3 +163,50 @@ def test_dv01_low_motion_compresses():
 
     raw = bytes([9]) * (mm.DV_TILES * 10)
     assert len(mm.encode_video_delta(raw)) < len(raw)
+
+
+# --- BPE merge training ----------------------------------------------------
+
+
+def test_bpe_distributed_rounds_match_local(spark, sf_dir, monkeypatch):
+    """The distributed per-round path (the 100 TB shape) and the
+    counted driver fallback train byte-identical merge tables."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        textops,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    textops._BPE_CACHE.pop(key, None)
+    local = textops.bpe_train(spark, sf_dir)
+    textops._BPE_CACHE.pop(key, None)
+    monkeypatch.setattr(textops, "BPE_LOCAL_VOCAB_LIMIT", 0)
+    dist = textops.bpe_train(spark, sf_dir)
+    textops._BPE_CACHE.pop(key, None)
+    assert dist == local
+    assert len(local) == textops.BPE_MERGES
+
+
+def test_bpe_greedy_merge_semantics():
+    """Hand-checked Sennrich semantics: overlapping pair counting,
+    (count DESC, lhs, rhs) tie-break, left-to-right non-overlapping
+    application (the 'aaaa' -> [aa, aa] case)."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.textops import (
+        _bpe_train_local,
+    )
+
+    # 'aaaa' x3: pair (a,a) counted 3 positions x 3 = 9; merge -> each
+    # word becomes [aa, aa]; round 2 merges (aa, aa) with count 3.
+    merges = _bpe_train_local([("aaaa", 3)], 2)
+    assert merges[0] == (1, "a", "a", "aa", 9)
+    assert merges[1] == (2, "aa", "aa", "aaaa", 3)
+
+    # Tie-break: 'ab' and 'cd' both count 1 -> (a,b) < (c,d) wins.
+    merges = _bpe_train_local([("ab", 1), ("cd", 1)], 1)
+    assert merges[0] == (1, "a", "b", "ab", 1)
+
+    # Frequency weighting: 'cd' x5 beats 'ab' x1.
+    merges = _bpe_train_local([("ab", 1), ("cd", 5)], 1)
+    assert merges[0] == (1, "c", "d", "cd", 5)
+
+    # Exhaustion: single-char words have no pairs -> fewer rounds.
+    assert _bpe_train_local([("x", 7)], 3) == []
