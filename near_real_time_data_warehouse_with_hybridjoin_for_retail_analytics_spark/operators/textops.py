@@ -957,3 +957,100 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "merge_rank int, lhs string, rhs string, merged string, "
         "pair_count long"
     ).orderBy("merge_rank")
+
+
+def bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_sub): each word's subword count under the trained merge
+    table — the distinct-word relation segmented by applying the
+    cached merges in rank order as chained zero-shuffle folds."""
+    merges = bpe_train(spark, sf_dir)
+    words = (
+        _tokens(spark, sf_dir)
+        .filter((F.col("token").isNotNull()) & (F.col("token") != ""))
+        .select(F.col("token").alias("word"))
+        .distinct()
+    )
+    seg = words.select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    for _, lhs, rhs, _, _ in merges:
+        seg = _bpe_apply(seg.withColumn("f", F.lit(0)), lhs, rhs).drop("f")
+    return seg.select("word", F.size("syms").cast("long").alias("n_sub"))
+
+
+def _bpe_encode_sql() -> str:
+    """Per-document stats under the trained vocab: the oracle reruns
+    the full unrolled training chain, then prices every document's
+    word stream against the final segmentation seg{BPE_MERGES}."""
+    n = BPE_MERGES
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, n + 1))
+    return f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE word IS NOT NULL AND word <> ''
+      GROUP BY 1
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT word, f,
+             list_transform(range(0, length(word)),
+                            i -> substr(word, CAST(i + 1 AS INT), 1))
+               AS syms
+      FROM w0
+    ),{rounds},
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      WHERE word IS NOT NULL AND word <> ''
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(dw.word)) AS DOUBLE) / SUM(len(s.syms))
+             AS chars_per_token
+    FROM dw JOIN seg{n} s USING (word)
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@query("text_bpe_encode", _bpe_encode_sql())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting under the TRAINED BPE vocabulary —
+    the number every data-budget computation actually needs (token
+    counts under the tokenizer you will train with, not whitespace
+    counts). Plan: the distinct-word relation is segmented once by
+    applying the cached merge table in rank order (chained JVM folds,
+    zero shuffle, vocab-sized), then the (doc_id, word) stream joins
+    it on word and aggregates per doc — the join shuffles on word,
+    the same key the word-count shuffle already used, and the
+    aggregation carries four longs per doc. The oracle replays the
+    entire training chain AND the encoding join, so the entry gates
+    train + apply end-to-end."""
+    toks = (
+        _tokens(spark, sf_dir)
+        .filter((F.col("token").isNotNull()) & (F.col("token") != ""))
+        .select("doc_id", F.col("token").alias("word"))
+    )
+    seg = bpe_segmentation(spark, sf_dir)
+    return (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            (
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_sub")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
