@@ -54,6 +54,13 @@ ENTRIES = [
     "events_funnel",
     "etl_events_hourly",
     "multimodal_decode_stats_jpeg_progressive",
+    # round-10 additions / reworks: the single-shuffle overlap plan,
+    # the predicted-video Arrow kernel, and BPE training (word-count
+    # shuffle + vocab-sized rounds — expect e ≈ 0 until the vocabulary
+    # itself grows with sf).
+    "sketch_source_overlap",
+    "multimodal_video_delta",
+    "text_bpe_train",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
