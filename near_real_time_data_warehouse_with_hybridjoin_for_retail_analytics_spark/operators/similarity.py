@@ -1231,7 +1231,16 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: training reads the 2080-row covariance summary (driver-side,
 # bounded by d², never by corpus size) and squares 64×64 integer
-# matrices in unbounded Python ints; the projection is one
+# matrices in unbounded Python ints. Driver-side training cost bound
+# (stated per the round-9 review): each squaring is d³ multiplies of
+# ≈60-bit ints (entries requantized to Gm = 2^30 every step, so
+# operands never grow), i.e. PCA_SQUARINGS·d³ word-sized products —
+# ~3ms at d=64, ~3s at d=640, and at d ≳ 2000 (minutes) the
+# driver-side trainer stops being the right tool: the documented
+# migration is the same exact-integer matmul expressed as the
+# d²-row × d²-row Spark join (shuffle O(d³) longs per squaring,
+# embarrassingly parallel), with the oracle replay unchanged. The
+# projection is one
 # zero-shuffle map over the corpus with the 64 trained literals folded
 # into a JVM-side zip_with/aggregate fold. Numeric bounds (round-10;
 # previously misstated as "the Spark-side path has no bound at all"):
