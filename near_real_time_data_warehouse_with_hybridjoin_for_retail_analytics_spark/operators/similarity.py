@@ -1242,7 +1242,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embarrassingly parallel), with the oracle replay unchanged. The
 # projection is one
 # zero-shuffle map over the corpus with the 64 trained literals folded
-# into a JVM-side zip_with/aggregate fold. Numeric bounds (round-10;
+# into an Arrow-batched exact-int64 matvec kernel (round 10 — the
+# equivalent zip_with/aggregate literal tree costs ~2 s of codegen per
+# query, the `_bucket_udf` trade-off). Numeric bounds (round-10;
 # previously misstated as "the Spark-side path has no bound at all"):
 # the per-row dot fold runs in int64 — |⟨q,v⟩| ≤ d·Q·Gv = 64·10⁶·2²⁰
 # ≈ 2⁴⁶, safe at any corpus size — but the OUTPUT n·⟨q,v⟩ − ⟨s,v⟩
@@ -1437,9 +1439,9 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: training is one bounded driver-side collect of the 2080-row
     covariance summary + unbounded-int power iteration (cached per
     session like the IVF quantizer); the projection itself is a
-    ZERO-shuffle map — the 64 trained literals fold into a JVM-side
-    ``zip_with``/``aggregate`` dot product, so the corpus is read once
-    and never repartitioned. proj_num = n·⟨q,v⟩ − ⟨s,v⟩ as BIGINT,
+    ZERO-shuffle map — one exact-int64 Arrow matvec per batch against
+    the 64 trained literals, so the corpus is read once and never
+    repartitioned. proj_num = n·⟨q,v⟩ − ⟨s,v⟩ as BIGINT,
     with a loud train-time OverflowError at the exact int64 boundary
     (section comment — round-10 advice); the float projection is
     proj_num / (n·G·Q) for any consumer."""
@@ -1459,20 +1461,25 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deliberate)"
         )
     qe = quantized_embeddings(spark, sf_dir)
-    varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
-    qdot = F.aggregate(
-        F.zip_with(F.col("q"), varr, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    return (
-        qe.select(
-            "vec_id",
-            (F.lit(n).cast("long") * qdot - F.lit(sv).cast("long")).alias(
-                "proj_num"
-            ),
-        )
-        .orderBy("vec_id")
+    # Arrow-batched int64 matvec kernel, the ``_bucket_udf`` rationale:
+    # the equivalent zip_with/aggregate tree over 64 literals computes
+    # the same integers UDF-free but pays ~2 s of whole-stage-codegen
+    # compilation per query (measured round 10), while the kernel is
+    # one exact matmul per batch. Still zero-shuffle, one corpus read;
+    # all intermediates fit int64 under the train-time guard above
+    # (per-product ≤ Q·Gv ≈ 2⁴⁰, |qdot| ≤ 2⁴⁶, |n·qdot − sv| < 2⁶³).
+    vec = np.array(v, dtype=np.int64)
+    n_i, sv_i = int(n), int(sv)
+
+    @F.pandas_udf("long")
+    def _proj(q: pd.Series) -> pd.Series:
+        if not len(q):
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = np.stack(q.to_numpy()).astype(np.int64)
+        return pd.Series(n_i * (mat @ vec) - sv_i)
+
+    return qe.select("vec_id", _proj("q").alias("proj_num")).orderBy(
+        "vec_id"
     )
 
 
