@@ -829,11 +829,16 @@ def ann_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     is assigned to the label whose (quantized-mean) centroid it is
     most cosine-similar to; output is (true label, predicted label,
     count) — the cluster-purity / prototype-classifier readout a
-    labeling pipeline tracks. Fully declarative: one posexplode, three
-    integer aggregations, one broadcast join on dim (the centroid
-    relation is |labels|·d rows), one window argmax. Shuffle volume is
-    O(n·d + n·|labels|) rows of longs — no pairwise blow-up; exact
-    same integer arithmetic on both engines (see quantization note)."""
+    labeling pipeline tracks. Physical shape (round-10 rework): ONE
+    posexplode + groupBy builds the |labels|·d centroid relation,
+    which is a BOUNDED driver collect (the IVF-quantizer precedent);
+    the n·|labels| integer dot/norm table then comes from one exact
+    int64 matmul per Arrow batch against the collected centroid
+    matrix — zero shuffle, replacing the former dim-join whose
+    intermediate was n·d·|labels| rows. The cosine (round-6 double)
+    and the window argmax stay JVM-side on operand-identical exact
+    integers, so the oracle hash contract is untouched. Per-product
+    bound qv·cq ≤ Q² = 10¹², ×d = 6.4·10¹³ — safely int64."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -845,19 +850,56 @@ def ann_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("int").alias("dim"),
         F.floor(F.col("v").cast("double") * CENTROID_Q).cast("long").alias("qv"),
     )
-    vstats = q.groupBy("vec_id", "label").agg(
-        F.sum(F.col("qv") * F.col("qv")).alias("v2")
-    )
     cmean = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
         F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
         .cast("long")
         .alias("cq")
     )
-    cnorm = cmean.groupBy("clabel").agg(F.sum(F.col("cq") * F.col("cq")).alias("c2"))
-    dots = (
-        q.join(F.broadcast(cmean), "dim")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(F.sum(F.col("qv") * F.col("cq")).alias("dot"))
+    crows = cmean.collect()  # bounded: |labels|·d rows
+    labels = sorted({int(r["clabel"]) for r in crows})
+    lidx = {l: i for i, l in enumerate(labels)}
+    cmat = np.zeros((len(labels), EMB_DIM), dtype=np.int64)
+    for r in crows:
+        cmat[lidx[int(r["clabel"])], int(r["dim"]) - 1] = int(r["cq"])
+    c2 = (cmat * cmat).sum(axis=1)
+    larr = np.array(labels, dtype=np.int64)
+    c2arr = c2.astype(np.int64)
+
+    qe = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * CENTROID_Q).cast("long"),
+        ).alias("q"),
+    )
+
+    def score_batches(batches):
+        nl = len(labels)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            dots = mat @ cmat.T  # (batch, |labels|) exact int64
+            v2 = (mat * mat).sum(axis=1)
+            nb = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), nl
+                    ),
+                    "label": np.repeat(pdf["label"].to_numpy(np.int64), nl),
+                    "clabel": np.tile(larr, nb),
+                    "dot": dots.ravel(),
+                    "v2": np.repeat(v2, nl),
+                    "c2": np.tile(c2arr, nb),
+                }
+            )
+
+    scored_raw = qe.mapInPandas(
+        score_batches,
+        schema="vec_id long, label long, clabel long, dot long, "
+        "v2 long, c2 long",
     )
     cos = F.round(
         F.col("dot").cast("double")
@@ -867,11 +909,7 @@ def ann_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    scored = (
-        dots.join(vstats, ["vec_id", "label"])
-        .join(F.broadcast(cnorm), "clabel")
-        .withColumn("cos", cos)
-    )
+    scored = scored_raw.withColumn("cos", cos)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
