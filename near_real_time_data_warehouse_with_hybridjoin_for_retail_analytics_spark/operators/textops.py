@@ -585,23 +585,21 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter key for span-level dedup: docs above a threshold get
     their boilerplate cut or are dropped).
 
-    Scale shape: the fingerprint document-frequency relation is the
-    classic inverted index — ONE shuffle on the fingerprint key with
-    map-side partial counts; the join back to the per-doc fingerprints
-    is fingerprint-keyed with no possible blow-up (one df row per
-    fingerprint), and a boilerplate fingerprint shared by millions of
-    docs is just a high count, not a hot task. Everything before the
-    shuffle is per-row higher-order functions (rolling md5 grams +
-    window minima) inside codegen. One IEEE divide per doc at the end;
-    the oracle replays the identical pipeline, so the driver
-    hash-checks every value."""
+    Scale shape: the fingerprint document frequency is the classic
+    inverted index, computed as a count-over-window on the ONE
+    fingerprint-keyed shuffle (round 10 — the former groupBy + join
+    formulation re-ran the md5-heavy winnowing once per branch because
+    the aggregate's map-side partials broke exchange reuse); a
+    boilerplate fingerprint shared by millions of docs is just a high
+    count, not a hot task. Everything before the shuffle is per-row
+    higher-order functions (rolling md5 grams + window minima) inside
+    codegen. One IEEE divide per doc at the end; the oracle replays
+    the identical pipeline, so the driver hash-checks every value."""
     fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
-    df_counts = fps.groupBy("fingerprint").agg(
-        F.count(F.lit(1)).alias("nd")
-    )
+    wfp = Window.partitionBy("fingerprint")
     shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (
-        fps.join(df_counts, "fingerprint")
+        fps.withColumn("nd", F.count(F.lit(1)).over(wfp))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
