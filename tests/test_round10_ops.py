@@ -210,3 +210,58 @@ def test_bpe_greedy_merge_semantics():
 
     # Exhaustion: single-char words have no pairs -> fewer rounds.
     assert _bpe_train_local([("x", 7)], 3) == []
+
+
+def test_bpe_fold_equals_positional_greedy():
+    """The oracle applies a merge with the positional rule (merge
+    starts = even offsets within each run of consecutive matches);
+    Spark and the local trainer use a left-to-right fold. Property:
+    identical on random symbol sequences, including lhs == rhs runs."""
+    import random
+
+    rng = random.Random(42)
+
+    def fold(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    def positional(syms, a, b):
+        n = len(syms)
+        match = [
+            i < n - 1 and syms[i] == a and syms[i + 1] == b
+            for i in range(n)
+        ]
+        # runs of consecutive matches; keep even offsets
+        starts = []
+        i = 0
+        while i < n:
+            if match[i]:
+                run_start = i
+                while i < n and match[i]:
+                    if (i - run_start) % 2 == 0:
+                        starts.append(i)
+                    i += 1
+            else:
+                i += 1
+        keep = []
+        skip = set()
+        for i in range(n):
+            if i in skip:
+                continue
+            if i in set(starts):
+                keep.append(a + b)
+                skip.add(i + 1)
+            else:
+                keep.append(syms[i])
+        return keep
+
+    alphabet = ["a", "b", "ab", "aa", "c"]
+    for _ in range(500):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        assert fold(syms, a, b) == positional(syms, a, b), (syms, a, b)
