@@ -1323,33 +1323,39 @@ def _trunc_div(a: int, b: int) -> int:
     return q if (a < 0) == (b < 0) else -q
 
 
-def _power_by_squaring(
-    cfull: list[list[int]],
+def _requant_mat(m: list[list[int]], g: int) -> list[list[int]]:
+    """requant(M) = trunc(M_ij · g / max|M|) entry-wise; the all-zero
+    matrix (degenerate corpus) is kept as-is."""
+    mx = max(abs(x) for row in m for x in row)
+    if mx == 0:  # zero covariance corpus — degenerate, keep zeros
+        return [row[:] for row in m]
+    return [[_trunc_div(x * g, mx) for x in row] for row in m]
+
+
+def _grid_eigvec(
+    b0: list[list[int]],
     squarings: int = PCA_SQUARINGS,
     mat_grid: int = PCA_MAT_GRID,
     grid: int = PCA_GRID,
 ) -> list[int]:
-    """Dominant eigenvector of an integer PSD matrix on the ``grid``,
-    by repeated exact-integer matrix squaring with per-step
-    requantization and a deterministic sign fix. Pure function of the
-    matrix — the DuckDB oracle replays it CTE-for-CTE."""
-    d = len(cfull)
-
-    def requant(m: list[list[int]], g: int) -> list[list[int]]:
-        mx = max(abs(x) for row in m for x in row)
-        if mx == 0:  # zero covariance corpus — degenerate, keep zeros
-            return m
-        return [[_trunc_div(x * g, mx) for x in row] for row in m]
-
-    b = requant(cfull, mat_grid)
+    """The squaring loop proper: dominant eigenvector of an
+    ALREADY-requantized symmetric grid matrix. Split out of
+    ``_power_by_squaring`` so the deflation trainer
+    (``_train_topk``) can feed it the deflated grid matrix the
+    DuckDB oracle replays. Symmetry (invariant through requant,
+    squaring and deflation) lets each squaring compute the upper
+    triangle once: (B²)_ij = row_i · row_j."""
+    d = len(b0)
+    b = b0
     for _ in range(squarings):
-        b = requant(
-            [
-                [sum(b[i][t] * b[t][j] for t in range(d)) for j in range(d)]
-                for i in range(d)
-            ],
-            mat_grid,
-        )
+        nb = [[0] * d for _ in range(d)]
+        for i in range(d):
+            bi = b[i]
+            for j in range(i, d):
+                val = sum(x * y for x, y in zip(bi, b[j]))
+                nb[i][j] = val
+                nb[j][i] = val
+        b = _requant_mat(nb, mat_grid)
     w = [sum(row) for row in b]  # B^(2^k) · 1
     mw = max(abs(x) for x in w)
     v = [_trunc_div(x * grid, mw) for x in w] if mw else [grid] * d
@@ -1360,14 +1366,35 @@ def _power_by_squaring(
     return v
 
 
-def pca_component(
+def _power_by_squaring(
+    cfull: list[list[int]],
+    squarings: int = PCA_SQUARINGS,
+    mat_grid: int = PCA_MAT_GRID,
+    grid: int = PCA_GRID,
+) -> list[int]:
+    """Dominant eigenvector of an integer symmetric PSD matrix on the
+    ``grid``, by repeated exact-integer matrix squaring with per-step
+    requantization and a deterministic sign fix. Pure function of the
+    matrix — the DuckDB oracle replays it CTE-for-CTE."""
+    return _grid_eigvec(
+        _requant_mat(cfull, mat_grid), squarings, mat_grid, grid
+    )
+
+
+_COV_SUMMARY_CACHE: dict[
+    tuple[str, str], tuple[list[list[int]], int, list[int]]
+] = {}
+
+
+def _covariance_summary(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[int], int, list[int]]:
-    """Session-cached (v, n, s): the trained grid eigenvector, corpus
-    count and per-dim sums — from ONE bounded collect of the 2080-row
-    covariance summary."""
+) -> tuple[list[list[int]], int, list[int]]:
+    """Session-cached (cfull, n, s): the exact centered-covariance
+    numerator matrix n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, corpus count and per-dim sums
+    — from ONE bounded collect of the 2080-row covariance summary,
+    shared by the single-component and top-K trainers."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PCA_CACHE:
+    if key not in _COV_SUMMARY_CACHE:
         rows = embedding_covariance(spark, sf_dir).collect()
         d = EMB_DIM
         # Empty corpus: zero summary → the trainer's degenerate-input
@@ -1385,6 +1412,18 @@ def pca_component(
             )
             cfull[i][j] = c
             cfull[j][i] = c
+        _COV_SUMMARY_CACHE[key] = (cfull, n, s)
+    return _COV_SUMMARY_CACHE[key]
+
+
+def pca_component(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], int, list[int]]:
+    """Session-cached (v, n, s): the trained grid eigenvector, corpus
+    count and per-dim sums."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PCA_CACHE:
+        cfull, n, s = _covariance_summary(spark, sf_dir)
         _PCA_CACHE[key] = (_power_by_squaring(cfull), n, s)
     return _PCA_CACHE[key]
 
@@ -1518,6 +1557,275 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return qe.select("vec_id", _proj("q").alias("proj_num")).orderBy(
         "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K PCA: deflation on the same exact-integer machinery
+# ---------------------------------------------------------------------------
+# ``embedding_pca_project`` proves the exact-integer eigensolve
+# contract on ONE component; this entry turns it into the K-column
+# dimensionality reducer the dedup/ANN family would actually consume.
+# Components 2..K come from Hotelling deflation, kept entirely on the
+# integer grid so the DuckDB oracle still replays training
+# step-for-step:
+#
+#   B₁   = requant(C)                      the Gm-grid covariance
+#   v_c  = grid_eigvec(B_c)                the 12-squaring loop above
+#   B_c₊₁= requant(B_c − trunc((v_cᵀB_c v_c)·v_c v_cᵀ / (v_cᵀv_c)²))
+#
+# i.e. B' = B − λ̂·v̂v̂ᵀ with λ̂ = v̂ᵀBv̂ and v̂ = v/‖v‖, expressed as one
+# exact truncated division per entry (v_1 is bit-identical to the
+# single-component entry's vector — same B₁, same loop). HUGEINT
+# headroom in the oracle replay: B entries ≤ Gm = 2³⁰ after requant, so
+# v_cᵀB_c v_c ≤ d²·Gv²·Gm ≈ 2⁸², and the worst deflation numerator
+# (v_cᵀB_c v_c)·v_i·v_j ≤ 2¹²² < 2¹²⁶; the denominator (v_cᵀv_c)² is
+# ≥ Gv⁴ > 0 because the sign-fixed vector always attains max|v| = Gv
+# (or the flat degenerate fallback, all Gv). Hotelling deflation with
+# an APPROXIMATE eigenvector leaks O(requant noise) of the removed
+# component into later ones — the tests gate captured variance of the
+# trained K-subspace ≥ 0.98× the LAPACK top-K optimum and
+# cross-component |cos| ≤ 0.05, the standard acceptance for a
+# quantized deflation ladder. Degenerate corpora: a zero B trains the
+# flat v on every component (λ̂ = 0 leaves B zero), and both engines
+# agree via the same NULLIF/COALESCE guards as the single-component
+# entry.
+#
+# Output: (vec_id, component, proj_num) with
+# proj_num = n·⟨q,v_c⟩ − ⟨s,v_c⟩, the same exact-BIGINT projection
+# contract (and the same loud per-component OverflowError at the int64
+# boundary). Scale: training is K bounded driver-side eigensolves of
+# the SAME 2080-row summary (K·PCA_SQUARINGS·d³/2 word products — the
+# d ≳ 2000 migration note above applies unchanged); the projection is
+# one zero-shuffle Arrow matmul per batch against the d×K literal
+# matrix, emitting K rows per vector.
+
+PCA_TOPK = 4  # K trained components
+
+_PCA_TOPK_CACHE: dict[
+    tuple[str, str], tuple[list[list[int]], int, list[int]]
+] = {}
+
+
+def _deflate(b: list[list[int]], v: list[int]) -> list[list[int]]:
+    """One Hotelling deflation step on the grid, then re-quantized to
+    Gm: B' = requant(B − trunc((vᵀBv)·v_i·v_j / (vᵀv)²)). Exact
+    integers with truncated division throughout — the oracle replays
+    it as three CTEs."""
+    d = len(b)
+    lam = sum(
+        v[i] * sum(x * y for x, y in zip(b[i], v)) for i in range(d)
+    )
+    n2 = sum(x * x for x in v)  # ≥ Gv² > 0: sign-fixed max|v| = Gv
+    den = n2 * n2
+    out = [
+        [
+            b[i][j] - _trunc_div(lam * v[i] * v[j], den)
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    return _requant_mat(out, PCA_MAT_GRID)
+
+
+def _train_topk(
+    cfull: list[list[int]], k: int = PCA_TOPK
+) -> list[list[int]]:
+    """K grid eigenvectors by deflation; element 0 is bit-identical to
+    ``_power_by_squaring(cfull)``."""
+    m = _requant_mat(cfull, PCA_MAT_GRID)
+    vs = []
+    for c in range(k):
+        vs.append(_grid_eigvec(m))
+        if c + 1 < k:
+            m = _deflate(m, vs[-1])
+    return vs
+
+
+def pca_topk_components(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[int]], int, list[int]]:
+    """Session-cached ([v_1..v_K], n, s) from the shared covariance
+    summary collect."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PCA_TOPK_CACHE:
+        cfull, n, s = _covariance_summary(spark, sf_dir)
+        _PCA_TOPK_CACHE[key] = (_train_topk(cfull), n, s)
+    return _PCA_TOPK_CACHE[key]
+
+
+def _pca_topk_sql() -> str:
+    """The oracle twin of the deflation ladder: PCA_TOPK unrolled
+    copies of the squaring schedule with the deflation CTE trio
+    between them, all MATERIALIZED HUGEINT (headroom in the section
+    comment)."""
+    gm_, gv = PCA_MAT_GRID, PCA_GRID
+    parts = []
+    for c in range(1, PCA_TOPK + 1):
+        for t in range(1, PCA_SQUARINGS + 1):
+            p = f"c{c}b{t - 1}"
+            parts.append(
+                f"""
+    c{c}r{t} AS MATERIALIZED (
+      SELECT a.i AS i, b.j AS j, SUM(a.bv * b.bv) AS raw
+      FROM {p} a JOIN {p} b ON a.j = b.i GROUP BY 1, 2
+    ),
+    c{c}b{t} AS MATERIALIZED (
+      SELECT i, j,
+             COALESCE((raw * {gm_})
+                      // NULLIF((SELECT MAX(ABS(raw)) FROM c{c}r{t}), 0),
+                      raw) AS bv
+      FROM c{c}r{t})"""
+            )
+        bt = f"c{c}b{PCA_SQUARINGS}"
+        parts.append(
+            f"""
+    c{c}w AS MATERIALIZED (SELECT i, SUM(bv) AS wv FROM {bt} GROUP BY 1),
+    c{c}v AS MATERIALIZED (
+      SELECT i,
+             CASE WHEN (SELECT MAX(ABS(wv)) FROM c{c}w) = 0 THEN {gv}
+                  ELSE (wv * {gv}) // (SELECT MAX(ABS(wv)) FROM c{c}w)
+             END AS vv
+      FROM c{c}w),
+    c{c}mxv AS MATERIALIZED (SELECT MAX(ABS(vv)) AS m FROM c{c}v),
+    c{c}sg AS MATERIALIZED (
+      SELECT CASE WHEN vv < 0 THEN -1 ELSE 1 END AS sg
+      FROM c{c}v
+      WHERE i = (SELECT MIN(i) FROM c{c}v, c{c}mxv
+                 WHERE ABS(vv) = c{c}mxv.m)
+    ),
+    c{c}vf AS MATERIALIZED (
+      SELECT i, vv * (SELECT sg FROM c{c}sg) AS vv FROM c{c}v)"""
+        )
+        if c < PCA_TOPK:
+            parts.append(
+                f"""
+    c{c}lam AS MATERIALIZED (
+      SELECT SUM(va.vv * b.bv * vb.vv) AS num
+      FROM c{c}b0 b
+      JOIN c{c}vf va ON va.i = b.i
+      JOIN c{c}vf vb ON vb.i = b.j
+    ),
+    c{c}n2 AS MATERIALIZED (SELECT SUM(vv * vv) AS n2 FROM c{c}vf),
+    c{c}d AS MATERIALIZED (
+      SELECT b.i, b.j,
+             b.bv - (lam.num * va.vv * vb.vv) // (n2.n2 * n2.n2) AS bv
+      FROM c{c}b0 b
+      JOIN c{c}vf va ON va.i = b.i
+      JOIN c{c}vf vb ON vb.i = b.j
+      CROSS JOIN c{c}lam lam CROSS JOIN c{c}n2 n2
+    ),
+    c{c + 1}b0 AS MATERIALIZED (
+      SELECT i, j,
+             COALESCE((bv * {gm_})
+                      // NULLIF((SELECT MAX(ABS(bv)) FROM c{c}d), 0),
+                      bv) AS bv
+      FROM c{c}d)"""
+            )
+        parts.append(
+            f"""
+    c{c}pq AS MATERIALIZED (
+      SELECT e.vec_id, SUM(e.qv * vf.vv) AS qdot
+      FROM e JOIN c{c}vf vf ON vf.i = e.dim GROUP BY 1
+    ),
+    c{c}sv AS MATERIALIZED (
+      SELECT SUM(s.sq * vf.vv) AS svv
+      FROM s JOIN c{c}vf vf ON vf.i = s.dim)"""
+        )
+    projections = "\n      UNION ALL\n".join(
+        f"""      SELECT pq.vec_id, CAST({c} AS INT) AS component,
+             CAST(nn.n * pq.qdot - sv.svv AS BIGINT) AS proj_num
+      FROM c{c}pq pq CROSS JOIN nn CROSS JOIN c{c}sv sv"""
+        for c in range(1, PCA_TOPK + 1)
+    )
+    return f"""
+    WITH qe AS MATERIALIZED ({_SQL_QE}),
+    e AS MATERIALIZED (
+      SELECT vec_id, CAST(pos AS INT) AS dim, CAST(qv AS HUGEINT) AS qv
+      FROM (SELECT vec_id, unnest(q) AS qv,
+                   generate_subscripts(q, 1) AS pos
+            FROM qe)
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qe),
+    s AS MATERIALIZED (SELECT dim, SUM(qv) AS sq FROM e GROUP BY 1),
+    g0 AS MATERIALIZED (
+      SELECT a.dim AS i, b.dim AS j, SUM(a.qv * b.qv) AS gv
+      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    cm AS MATERIALIZED (
+      SELECT g0.i, g0.j, nn.n * g0.gv - si.sq * sj.sq AS cv
+      FROM g0
+      JOIN s si ON si.dim = g0.i
+      JOIN s sj ON sj.dim = g0.j
+      CROSS JOIN nn
+    ),
+    c1b0 AS MATERIALIZED (
+      SELECT i, j,
+             COALESCE((cv * {gm_})
+                      // NULLIF((SELECT MAX(ABS(cv)) FROM cm), 0),
+                      cv) AS bv
+      FROM cm),{",".join(parts)}
+    SELECT vec_id, component, proj_num FROM (
+{projections}
+    )
+    ORDER BY vec_id, component
+    """
+
+
+@query("embedding_pca_topk", _pca_topk_sql())
+def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered projection of every embedding onto the corpus's top-K
+    principal components, trained by exact-integer deflation (section
+    comment) — the K-column reduction consumers feed to downstream
+    dedup/ANN.
+
+    Plan: training is K driver-side eigensolves of the shared
+    2080-row covariance summary (ONE bounded collect, session-cached);
+    the projection is a ZERO-shuffle map — one exact-int64 Arrow
+    batch×d @ d×K matmul per batch against the trained literal matrix,
+    emitting (vec_id, component, proj_num) with the same loud int64
+    guard per component as ``embedding_pca_project``."""
+    vs, n, s = pca_topk_components(spark, sf_dir)
+    svs = [sum(si * vi for si, vi in zip(s, v)) for v in vs]
+    for c, (v, sv) in enumerate(zip(vs, svs), 1):
+        bound = n * int(CENTROID_Q) * sum(abs(x) for x in v) + abs(sv)
+        if bound >= 2**63:
+            raise OverflowError(
+                f"embedding_pca_topk: component {c} proj_num bound "
+                f"{bound} exceeds int64; coarsen the embedding grid Q "
+                "or PCA_GRID"
+            )
+    k = len(vs)
+    vmat = np.array(vs, dtype=np.int64).T  # d × K
+    sv_arr = np.array(svs, dtype=np.int64)
+    comps = np.arange(1, k + 1, dtype=np.int32)
+    n_i = int(n)
+
+    def project_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            proj = n_i * (mat @ vmat) - sv_arr  # batch × K
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), k
+                    ),
+                    "component": np.tile(comps, len(pdf)),
+                    "proj_num": proj.reshape(-1),
+                }
+            )
+
+    qe = quantized_embeddings(spark, sf_dir)
+    return (
+        qe.select("vec_id", "q")
+        .mapInPandas(
+            project_batches,
+            schema="vec_id long, component int, proj_num long",
+        )
+        .orderBy("vec_id", "component")
     )
 
 

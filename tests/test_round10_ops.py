@@ -109,6 +109,77 @@ def test_covariance_overflow_guard_is_loud(spark, sf_dir, monkeypatch):
         similarity.embedding_covariance(spark, sf_dir)
 
 
+# --- Top-K PCA by exact-integer deflation ----------------------------------
+
+
+def test_pca_topk_component1_is_the_single_component(spark, sf_dir):
+    """Deflation changes nothing about component 1: the ladder's first
+    vector is bit-identical to ``embedding_pca_project``'s."""
+    vs, n, s = similarity.pca_topk_components(spark, sf_dir)
+    v1, n1, s1 = similarity.pca_component(spark, sf_dir)
+    assert vs[0] == v1 and (n, s) == (n1, s1)
+    assert len(vs) == similarity.PCA_TOPK
+
+
+def test_pca_topk_variance_explained_vs_lapack(spark, sf_dir):
+    """The acceptance gate from the round-9 review: the trained
+    K-subspace captures ≥ 0.98× the variance of the LAPACK top-K
+    optimum, and the deflated components stay near-orthogonal
+    (|cos| ≤ 0.05) despite grid requantization noise."""
+    vs, _, _ = similarity.pca_topk_components(spark, sf_dir)
+    cfull, _, _ = similarity._covariance_summary(spark, sf_dir)
+    c = np.array(cfull, dtype=np.float64)
+    evals = np.linalg.eigvalsh(c)[::-1][: similarity.PCA_TOPK]
+    vn = np.array(vs, dtype=np.float64)
+    vn /= np.linalg.norm(vn, axis=1, keepdims=True)
+    captured = np.array([row @ c @ row for row in vn])
+    assert captured.sum() >= 0.98 * evals.sum()
+    cross = vn @ vn.T - np.eye(len(vs))
+    assert np.abs(cross).max() <= 0.05
+
+
+def test_pca_topk_oracle_matches_spark(spark, sf_dir):
+    """Full-value parity of the K-component projection against the
+    unrolled deflation-ladder oracle on the real sf0.001 corpus."""
+    sdf = similarity.embedding_pca_topk(spark, sf_dir)
+    s_rows = sorted(tuple(int(x) for x in r) for r in sdf.collect())
+    d_rows = sorted(
+        tuple(int(x) for x in r)
+        for r in _oracle_rows(similarity._pca_topk_sql(), sf_dir)
+    )
+    assert s_rows == d_rows
+    assert len(s_rows) > 0
+
+
+def test_pca_topk_degenerate_corpus_agrees(spark, degenerate_sf):
+    """Zero centered covariance: every component trains the flat
+    fallback vector on BOTH engines (λ̂ = 0 keeps the zero matrix
+    through each deflation), so the K projections per vector are
+    identical across components and across engines."""
+    sdf = similarity.embedding_pca_topk(spark, degenerate_sf)
+    s_rows = sorted(tuple(int(x) for x in r) for r in sdf.collect())
+    d_rows = sorted(
+        tuple(int(x) for x in r)
+        for r in _oracle_rows(similarity._pca_topk_sql(), degenerate_sf)
+    )
+    assert s_rows == d_rows
+    assert len(s_rows) == 5 * similarity.PCA_TOPK
+    by_vec = {}
+    for vec_id, comp, proj in s_rows:
+        by_vec.setdefault(vec_id, set()).add(proj)
+    assert all(len(p) == 1 for p in by_vec.values())
+
+
+def test_pca_topk_overflow_guard_is_loud(spark, sf_dir, monkeypatch):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    vs, n, s = similarity.pca_topk_components(spark, sf_dir)
+    monkeypatch.setitem(
+        similarity._PCA_TOPK_CACHE, key, (vs, 10**13, s)
+    )
+    with pytest.raises(OverflowError, match="proj_num bound"):
+        similarity.embedding_pca_topk(spark, sf_dir)
+
+
 # --- DV01 inter-frame video codec -----------------------------------------
 
 
