@@ -1825,6 +1825,23 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitting (vec_id, component, proj_num) with the same loud int64
     guard per component as ``embedding_pca_project``."""
     vmat, sv_arr, n_i = _guarded_topk_literals(spark, sf_dir)
+    qe = quantized_embeddings(spark, sf_dir)
+    return project_topk(qe, vmat, sv_arr, n_i).orderBy(
+        "vec_id", "component"
+    )
+
+
+TOPK_PROJ_SCHEMA = "vec_id long, component int, proj_num long"
+
+
+def project_topk(
+    qe: DataFrame, vmat: np.ndarray, sv_arr: np.ndarray, n_i: int
+) -> DataFrame:
+    """Zero-shuffle K-component projection of a (vec_id, q) relation
+    against frozen trained literals — one exact-int64 batch×d @ d×K
+    Arrow matmul per batch. Shared by the batch entry and the
+    streaming ingest gate (``streaming.pca_stream``); works on static
+    AND streaming DataFrames (stateless map)."""
     k = vmat.shape[1]
     comps = np.arange(1, k + 1, dtype=np.int32)
 
@@ -1836,22 +1853,14 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             proj = n_i * (mat @ vmat) - sv_arr  # batch × K
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy(), k
-                    ),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
                     "component": np.tile(comps, len(pdf)),
                     "proj_num": proj.reshape(-1),
                 }
             )
 
-    qe = quantized_embeddings(spark, sf_dir)
-    return (
-        qe.select("vec_id", "q")
-        .mapInPandas(
-            project_batches,
-            schema="vec_id long, component int, proj_num long",
-        )
-        .orderBy("vec_id", "component")
+    return qe.select("vec_id", "q").mapInPandas(
+        project_batches, schema=TOPK_PROJ_SCHEMA
     )
 
 
