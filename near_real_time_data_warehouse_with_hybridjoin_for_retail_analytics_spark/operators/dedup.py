@@ -1688,3 +1688,76 @@ def load_near_index(spark: SparkSession, path: str) -> NearDupIndex:
     return NearDupIndex(
         *(spark.read.parquet(f"{path}/{name}") for name in _INDEX_PARTS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (near-superset / quotation detection)
+# ---------------------------------------------------------------------------
+# Jaccard resemblance misses ASYMMETRIC duplication: a short document
+# wholly quoted inside a long one scores low Jaccard (the union is
+# dominated by the long side) but containment |S(a)∩S(b)| / min(|S(a)|,
+# |S(b)|) ≈ 1. Broder's original resemblance/containment pair — the
+# containment side is what catches boilerplate inclusion, nested
+# crawls, and quote-expanded reposts that near-dup dedup leaves behind.
+CONTAINMENT_THRESHOLD = 0.15
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common_shingles,
+           CAST(common_shingles AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+           CAST(common_shingles AS DOUBLE)
+             / (sa.n + sb.n - common_shingles) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common_shingles AS DOUBLE) / LEAST(sa.n, sb.n)
+            >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs whose smaller side is ≥ τ contained in the larger —
+    emitted with the Jaccard score alongside so a curation pass can
+    split "near-identical" (both high) from "nested/quoted" (high
+    containment, low Jaccard) and keep the superset document.
+
+    Both scores are ONE double division of exact integer operands —
+    engine-exact, hash-checkable, no rounding needed (house rule, see
+    [[dedup_ngram_jaccard]]). The plan reuses the session-persisted
+    shingle and size relations; the inverted-index self-join is the
+    same bounded pattern as the exact-Jaccard tier (shingle buckets key
+    the quadratic work; at 100 TB identity-collapse plus a document-
+    frequency cap on stop-shingles — drop shingles appearing in > f·N
+    docs, which carry no discriminative mass — keep buckets small)."""
+    sh = cached_shingles(spark, sf_dir)
+    sizes = cached_shingle_sizes(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("common_shingles").cast("double") / F.least("na", "nb")
+    jac = F.col("common_shingles").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common_shingles")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .withColumn("jaccard", jac)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "common_shingles", "containment", "jaccard")
+    )

@@ -110,6 +110,94 @@ def sample_hash_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(_hash_bucket() <= thr).select("doc_id", "lang")
 
 
+# Systematic probability-proportional-to-size (PPS) sampling: walk the
+# corpus in deterministic hash order, accumulate integer weights
+# (n_chars), and pick every document whose cumulative-weight interval
+# crosses a multiple of total/K — the classic systematic PPS rule, kept
+# EXACT by comparing floor(cum·K/total) before/after each doc instead
+# of materializing the (rational) stride. K=40 expected picks; a doc
+# with w ≥ total/K is picked with certainty (can never be skipped),
+# others with probability K·w/total. Everything is int64: the only
+# overflow surface is cum·K ≤ total·K, which clears int64 until the
+# corpus holds ~2^63/K ≈ 2.3·10^17 chars (≈ 230 TB of text at K=40).
+PPS_K = 40
+
+
+@query(
+    "sample_weighted_pps",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    tot AS (SELECT SUM(n_chars) AS total FROM documents)
+    SELECT w.doc_id, w.lang, CAST(w.n_chars AS BIGINT) AS n_chars
+    FROM w, tot
+    WHERE (cum * {PPS_K}) // total > ((cum - n_chars) * {PPS_K}) // total
+    """,
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (PPS) sample of ~K documents, selection probability
+    proportional to n_chars — the sample a data-card or eval set draws
+    when long documents should be seen proportionally to the tokens
+    they contribute, not one-doc-one-vote.
+
+    The oracle states the rule as ONE global cumulative sum; a global
+    ordered window is a single-partition sort at scale, so the Spark
+    plan computes the identical prefix sum hierarchically: the md5
+    hash's first byte partitions the hash order into 256 contiguous
+    buckets, per-bucket subtotals (256 rows) turn into bucket offsets
+    with one tiny window, and the per-doc cumulative sum is then a
+    PARTITIONED window (offset + within-bucket running sum) — the
+    two-level prefix-sum every distributed scan uses, no global sort
+    anywhere. Output and rule are bit-identical to the oracle because
+    ordering by h equals ordering by (first-byte(h), h)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    docs = docs.withColumn("b", F.substring("h", 1, 2))
+    # 256-row bucket subtotals → exclusive running offsets (tiny window)
+    offsets = (
+        docs.groupBy("b")
+        .agg(F.sum("n_chars").alias("bw"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bw").over(
+                    Window.orderBy("b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("bw")
+    )
+    total = docs.agg(F.sum("n_chars").alias("total"))
+    within = F.sum("n_chars").over(
+        Window.partitionBy("b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.col("off") + within).alias("cum")
+    picked = (
+        docs.join(F.broadcast(offsets), "b")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "lang", "n_chars", cum, "total")
+        .filter(
+            F.expr(f"(cum * {PPS_K}) DIV total")
+            > F.expr(f"((cum - n_chars) * {PPS_K}) DIV total")
+        )
+    )
+    return picked.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 # Train/val/test thresholds on the first md5 hex byte of a salted id:
 # 'cb' → 204/256 ≈ 79.7% train, 'e5' → next 26/256 ≈ 10.2% val, rest
 # ≈ 10.2% test. The salt decorrelates the split from the sampling

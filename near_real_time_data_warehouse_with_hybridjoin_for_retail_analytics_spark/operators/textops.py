@@ -1052,3 +1052,121 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking (integer-exact accumulation)
+# ---------------------------------------------------------------------------
+# Okapi BM25 with the standard k1=1.2, b=0.75 over a fixed query-term
+# set. Per-term scores are ONE float expression over exact-integer
+# inputs (tf, df, dl, N, total_tokens), rounded to 6 decimals and
+# converted to integer micro-units BEFORE the per-doc sum — so the
+# cross-engine hash never depends on double-summation order, the same
+# discipline as [[events_anomaly_zscore]]'s exact moments. ln() ULP
+# differences between libm and the JVM are absorbed by the round-6.
+BM25_TERMS = ("dup", "hash", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "text_bm25",
+    f"""
+    WITH toks AS ({{_SQL_TOKENS}}),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({_BM25_IN}) GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY 1
+    ),
+    term AS (
+      SELECT tf.doc_id,
+             CAST(round(1000000 * round(
+               ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * ((1 - {BM25_B})
+                  + {BM25_B} * CAST(dl.dl * c.n_docs AS DOUBLE)
+                              / c.total_tokens)),
+             6), 0) AS BIGINT) AS s_micro
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus c
+    )
+    SELECT doc_id, score_micro, n_terms
+    FROM (
+      SELECT doc_id,
+             CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             ROW_NUMBER() OVER (
+               ORDER BY SUM(s_micro) DESC, doc_id) AS rk
+      FROM term GROUP BY doc_id
+    )
+    WHERE rk <= {BM25_TOPK}
+    """.replace("{_SQL_TOKENS}", _SQL_TOKENS),
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents for a fixed query-term set under Okapi BM25 —
+    the lexical retrieval baseline every corpus-search / eval-harness
+    pipeline keeps next to its embedding index, and the hard-negative
+    miner's first stage. Scores are accumulated as integer micro-units
+    (see module comment) so the ranking and the hash are engine-exact;
+    ties break on doc_id.
+
+    Plan: tf restricted to the query terms BEFORE any shuffle (the IN
+    filter pushes to the token explode, so the (doc, token) aggregate
+    carries query terms only — at 100 TB the tf relation is |terms|·
+    |matching docs|, not the corpus token count); df aggregates that
+    same tiny relation; dl is the one corpus-wide aggregate and it
+    reuses the (doc_id)-keyed shuffle shape shared across the text
+    family; corpus totals broadcast as a 1-row frame."""
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        (1 - BM25_B)
+        + BM25_B
+        * (F.col("dl") * F.col("n_docs")).cast("double")
+        / F.col("total_tokens")
+    )
+    s_micro = F.round(
+        1000000 * F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / denom, 6), 0
+    ).cast("long")
+    term = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", s_micro.alias("s_micro"))
+    )
+    scored = term.groupBy("doc_id").agg(
+        F.sum("s_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    # sort+limit compiles to TakeOrderedAndProject — per-partition
+    # top-k then a k-row driver merge, never a single-partition window
+    return (
+        scored.orderBy(F.desc("score_micro"), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", "score_micro", "n_terms")
+    )

@@ -231,3 +231,92 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) >= Z_THRESHOLD)
         .select("event_type", "window_start", F.col("c").alias("n_events"), "zscore")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense gap-fill rollup (time_bucket_gapfill + LOCF, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gapfill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+    ),
+    series AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM span
+    ),
+    f AS (
+      SELECT s.event_type, s.h, hourly.c
+      FROM series s
+      LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+    )
+    SELECT event_type, h AS window_start,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_events,
+           CAST(last_value(c IGNORE NULLS) OVER w AS BIGINT) AS carried,
+           CAST(date_diff('hour',
+                last_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+                  OVER w,
+                h) AS BIGINT) AS hours_since_obs
+    FROM f
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup with gap-fill — the `time_bucket_gapfill`
+    readout a time-series store serves: every hour between each type's
+    first and last observation materializes a row, missing hours carry
+    n_events=0 plus a last-observation-carried-forward count and the
+    gap's age in hours (dashboards draw the flat-line, alerting keys on
+    the staleness). All columns are exact BIGINTs (counts and hour
+    diffs), so the oracle hash-checks values, not just shape.
+
+    Plan: one aggregation to hour buckets, a |types|-row span frame
+    whose `sequence()` explode regenerates the dense axis (output is
+    bounded by types x hours in the span — independent of event count,
+    the same cardinality argument as [[events_rollup_multi]]), a left
+    join back, and one window per type for the two LOCF columns. At
+    100 TB the only guard needed is the span itself: a sensor silent
+    for years would explode years of rows, so production would clamp
+    `mn` to a retention floor — the testdata span is one month."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    series = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    filled = series.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("n_events"),
+        F.last("c", ignorenulls=True).over(w).cast("long").alias("carried"),
+        F.expr(
+            "timestampdiff(HOUR, "
+            "last(CASE WHEN c IS NOT NULL THEN h END, true) OVER ("
+            "PARTITION BY event_type ORDER BY h "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), h)"
+        )
+        .cast("long")
+        .alias("hours_since_obs"),
+    )
