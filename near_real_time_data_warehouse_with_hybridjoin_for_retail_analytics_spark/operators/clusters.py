@@ -338,6 +338,173 @@ def dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank centrality within duplicate clusters
+# ---------------------------------------------------------------------------
+# Min-id canonical selection (dedup_components) keeps an arbitrary
+# member of each duplicate cluster. A curation pipeline often wants the
+# most REPRESENTATIVE member instead — the document most similar to the
+# rest of its cluster — which is exactly eigenvector centrality on the
+# near-dup graph. This entry runs damped power iteration (PageRank,
+# Brin & Page 1998) over the symmetrized near-dup edges, entirely on an
+# integer grid so the DuckDB oracle replays every iteration
+# bit-for-bit:
+#
+#   rank_0(i) = GRID                         (= 10^6)
+#   rank_t(i) = (15·GRID)//100
+#             + (85 · Σ_{j→i} rank_{t-1}(j)//outdeg(j)) // 100
+#
+# Truncating division replaces the usual float arithmetic; both engines
+# truncate positive int64 identically (Spark `DIV`, DuckDB `//`).
+# Deviations from textbook PageRank, on purpose: no dangling-mass
+# redistribution (isolated docs just keep the teleport rank — they are
+# singleton clusters, their rank never competes) and no global
+# normalization (ranks are compared only WITHIN a component, so the
+# constant factor is irrelevant). Fixed PR_ITERS iterations rather than
+# convergence detection keeps the oracle an unrolled CTE chain.
+#
+# int64 bound: rank ≤ GRID·(deg_max+1) after any round, so the summed
+# numerator 85·Σ contrib ≤ 85·deg_max·GRID·(deg_max+1) — safe for
+# deg_max up to ~10^5 duplicate neighbors; a cluster denser than that
+# is a pathological mirror-farm the dedup pass collapses by fingerprint
+# long before PageRank sees it.
+#
+# 100 TB shape: each iteration is ONE shuffle join (edges ⋈ ranks on
+# src) + ONE groupBy(dst) — the textbook distributed PageRank round.
+# State is (node, rank) longs, orders of magnitude below the corpus;
+# the edge frame is checkpointed once and re-read per round, and hash
+# partitioning on the join key is stable across rounds so AQE reuses
+# the exchange layout.
+PR_ITERS = 4
+PR_GRID = 1_000_000
+_PR_TELEPORT = (15 * PR_GRID) // 100
+
+
+def _sql_pagerank_iters(n: int) -> str:
+    """r1..rN CTEs, each one damped integer power-iteration round."""
+    ctes = []
+    for t in range(1, n + 1):
+        prev = f"r{t - 1}"
+        ctes.append(
+            f"""r{t} AS (
+      SELECT n.node,
+             CAST({_PR_TELEPORT} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS s
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN {prev} r ON r.node = e.src
+        GROUP BY 1
+      ) s ON s.node = n.node
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_SQL_PAGERANK = f"""
+    WITH RECURSIVE
+    sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    jacc AS (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NEAR_DUP_JACCARD}
+    ),
+    exact AS (
+      SELECT min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS src,
+             doc_id AS dst
+      FROM documents
+    ),
+    fwd AS (
+      SELECT src, dst FROM jacc
+      UNION SELECT src, dst FROM exact WHERE src < dst
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+    r0 AS (
+      SELECT doc_id AS node, CAST({PR_GRID} AS BIGINT) AS rank FROM documents
+    ),
+    {_sql_pagerank_iters(PR_ITERS)},
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+      FROM walk GROUP BY node
+    )
+    SELECT r.node AS doc_id,
+           comp.component_id,
+           r.rank AS pr_rank,
+           ROW_NUMBER() OVER (
+             PARTITION BY comp.component_id ORDER BY r.rank DESC, r.node
+           ) = 1 AS is_central
+    FROM r{PR_ITERS} r JOIN comp ON comp.doc_id = r.node
+"""
+
+
+@query("dedup_pagerank", _SQL_PAGERANK)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-grid PageRank over the near-dup graph: every document
+    gets a centrality rank, and the top-ranked member of each duplicate
+    component (ties → min doc_id) is flagged ``is_central`` — the
+    keep-the-most-representative-duplicate policy, as opposed to
+    ``dedup_components``'s keep-the-min-id. Exact across engines by
+    construction (see the module-constant comment block); the oracle
+    unrolls the same {PR_ITERS} rounds as HUGEINT-free BIGINT CTEs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fwd = near_dup_edges(spark, sf_dir)
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg), consumed once per iteration — checkpoint so the
+    # shingle-mining lineage is paid once, not PR_ITERS times.
+    edges = sym.join(deg, "src").localCheckpoint(eager=True)
+    rank = docs.select(
+        F.col("doc_id").alias("node"),
+        F.lit(PR_GRID).cast("long").alias("rank"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(rank, edges["src"] == rank["node"])
+            .select("dst", F.expr("rank DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            docs.select(F.col("doc_id").alias("node"))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(_PR_TELEPORT)
+                    + F.expr("(85 * coalesce(s, 0L)) DIV 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    ranked = comp.join(rank, comp["doc_id"] == rank["node"]).select(
+        "doc_id", "component_id", F.col("rank").alias("pr_rank")
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("pr_rank").desc(), F.col("doc_id")
+    )
+    return ranked.withColumn("is_central", F.row_number().over(w) == 1)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal clustering: text ∪ embedding evidence
 # ---------------------------------------------------------------------------
 _SQL_MULTIMODAL_COMPONENTS = f"""

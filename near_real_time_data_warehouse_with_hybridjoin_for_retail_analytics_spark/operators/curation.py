@@ -758,3 +758,126 @@ def curation_epochs_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+# Xie et al., "Data Selection for Language Models via Importance
+# Resampling" (NeurIPS 2023): score every raw document by the
+# log-likelihood ratio of a TARGET distribution vs the RAW distribution
+# over hashed n-gram features, then resample proportionally. This entry
+# computes the per-document mean log-ratio under hashed unigram
+# features: target = the English slice of the corpus (the domain a
+# pipeline typically up-samples toward), raw = the whole corpus,
+# DSIR_BUCKETS hash buckets with add-1 smoothing so no bucket has zero
+# mass. Counts are exact integers; the only floats are the final
+# ln/divide, rounded to 6 decimals per the engine's cross-libm
+# convention (see text_unigram_logprob).
+#
+# 100 TB shape: the feature table is DSIR_BUCKETS rows — broadcast —
+# so scoring is one map-side broadcast join over the (doc_id, bucket)
+# token stream plus one groupBy(doc_id) with map-side partial
+# aggregation. Training (the two bucket histograms) is one extra
+# groupBy over the same stream. Nothing scales with the vocabulary.
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "curation_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+      FROM toks
+    ),
+    tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM h
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    tott AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h
+      WHERE lang = '{DSIR_TARGET_LANG}'
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1),
+    totr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+    lr AS (
+      SELECT raw.b,
+             ln(CAST(COALESCE(tgt.c, 0) + 1 AS DOUBLE)
+                / (tott.n + {DSIR_BUCKETS}))
+           - ln(CAST(raw.c + 1 AS DOUBLE) / (totr.n + {DSIR_BUCKETS}))
+               AS llr
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tott CROSS JOIN totr
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(lr.llr) / COUNT(*), 6) AS mean_llr,
+           round(SUM(lr.llr) / COUNT(*), 6) > 0 AS toward_target
+    FROM h JOIN lr USING (b)
+    GROUP BY h.doc_id
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight (mean hashed-unigram
+    log-likelihood ratio, target = the DSIR_TARGET_LANG slice vs the
+    raw corpus)
+    plus the resampling direction flag — the score a quality-targeted
+    resampler feeds into its Gumbel top-k draw. Module comment block
+    has the method citation and the 100 TB shape."""
+    from .dedup import portable_hash60
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
+    )
+    h = toks.select(
+        "doc_id",
+        "lang",
+        (portable_hash60("token") % DSIR_BUCKETS).alias("b"),
+    )
+    tgt = (
+        h.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = h.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tott = h.filter(F.col("lang") == DSIR_TARGET_LANG).agg(
+        F.count(F.lit(1)).alias("tn")
+    )
+    totr = h.agg(F.count(F.lit(1)).alias("rn"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tott))
+        .crossJoin(F.broadcast(totr))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + 1).cast("double")
+                    / (F.col("tn") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("rc") + 1).cast("double")
+                    / (F.col("rn") + DSIR_BUCKETS)
+                )
+            ).alias("llr"),
+        )
+    )
+    mean_llr = F.round(F.sum("llr") / F.count(F.lit(1)), 6)
+    return (
+        h.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            mean_llr.alias("mean_llr"),
+            (mean_llr > 0).alias("toward_target"),
+        )
+    )

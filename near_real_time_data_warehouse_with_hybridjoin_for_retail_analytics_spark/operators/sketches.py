@@ -537,3 +537,104 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table (the OTHER canonical cardinality sketch)
+# ---------------------------------------------------------------------------
+# KMV (above) is this engine's verified estimator; HLL is what every
+# production system actually merges (Spark's approx_count_distinct,
+# Redis PFCOUNT, BigQuery HLL_COUNT). Spark's own sketch bytes are
+# engine-private, so this entry materializes the REGISTER TABLE of a
+# clean-room HLL — per (source, register): the max leading-zero rank —
+# from the same md5 hash family both engines compute bit-identically.
+# Register = the first 8 hash bits (HLL_P = 8, 256 registers); rho =
+# 1 + leading-zero count of the NEXT 64 bits, derived from the hex
+# string with pure integer/CASE arithmetic (no floats anywhere). The
+# register table IS the sketch: downstream, registers merge with MAX
+# (the one HLL invariant) and the harmonic estimate is one fold over
+# 256 rows. Emitting registers instead of the estimate keeps the entry
+# exact across engines — the float harmonic sum would be the only
+# unverifiable step.
+#
+# 100 TB shape: map-side partial MAX per (source, register) — bounded
+# state (sources × 256 rows), one shuffle of that tiny frame. The
+# distinct-token pre-pass dedups hash inputs per source first, which at
+# 100 TB is the vocabulary relation, not the corpus.
+HLL_P = 8  # 2^8 = 256 registers
+
+# rho contribution of the first nonzero hex digit: value 8-f → first
+# one-bit at bit 1 of the nibble, 4-7 → 2, 2-3 → 3, 1 → 4.
+_HLL_DIGIT_BITS = (
+    "CASE WHEN d >= '8' THEN 1 "
+    "WHEN d >= '4' THEN 2 "
+    "WHEN d >= '2' THEN 3 "
+    "ELSE 4 END"
+)
+
+
+@query(
+    "sketch_hll_registers",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    hashed AS (
+      SELECT source,
+             CAST('0x' || substr(md5(token), 1, 2) AS BIGINT) AS register,
+             substr(md5(token), 3, 16) AS tail
+      FROM toks
+    ),
+    rho AS (
+      SELECT source, register,
+             length(regexp_extract(tail, '^0*')) AS z,
+             substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1) AS d
+      FROM hashed
+    )
+    SELECT source, register,
+           CAST(MAX(CASE WHEN d = '' THEN 65
+                         ELSE 4 * z + {_HLL_DIGIT_BITS} END) AS BIGINT)
+             AS max_rho
+    FROM rho
+    GROUP BY 1, 2
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-room HyperLogLog register table per source over distinct
+    tokens: (source, register, max_rho) with 2^HLL_P registers and rho
+    computed by integer hex arithmetic — deterministic in both engines,
+    mergeable downstream with MAX. See the module comment block for why
+    the registers (not the float estimate) are the verified surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
+    ).dropDuplicates(["source", "token"])
+    h = F.md5("token")
+    tail = F.substring(h, 3, 16)
+    z = F.length(F.regexp_extract(tail, "^0*", 0))
+    # substring() with a computed start needs the SQL form (the Python
+    # helper only takes literal positions).
+    d = F.expr(
+        "substring(substring(md5(token), 3, 16),"
+        " length(regexp_extract(substring(md5(token), 3, 16), '^0*', 0)) + 1,"
+        " 1)"
+    )
+    rho = F.when(d == "", F.lit(65)).otherwise(
+        4 * z
+        + F.when(d >= "8", 1)
+        .when(d >= "4", 2)
+        .when(d >= "2", 3)
+        .otherwise(4)
+    )
+    return (
+        toks.select(
+            "source",
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("register"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("source", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )

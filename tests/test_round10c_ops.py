@@ -1,0 +1,199 @@
+"""Round-10 additions, third wave: integer-grid PageRank centrality,
+DSIR importance weights, and the HLL register sketch. Semantic
+invariants only — engine-vs-oracle value equality is the driver gate's
+job (tools/check_correctness.py replays it locally)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    clusters,
+    curation,
+    sketches,
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_one_central_per_component(spark, sf_dir):
+    rows = clusters.dedup_pagerank(spark, sf_dir).collect()
+    comps = {r.component_id for r in rows}
+    central = [r for r in rows if r.is_central]
+    assert len(central) == len(comps)  # exactly one keeper per cluster
+    assert len({r.doc_id for r in rows}) == len(rows)  # one row per doc
+
+
+def test_pagerank_central_has_max_rank(spark, sf_dir):
+    rows = clusters.dedup_pagerank(spark, sf_dir).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for members in by_comp.values():
+        best = max(members, key=lambda r: (r.pr_rank, -r.doc_id))
+        central = [r for r in members if r.is_central]
+        assert central == [best] or (
+            central[0].pr_rank == best.pr_rank
+            and central[0].doc_id <= best.doc_id
+        )
+
+
+def test_pagerank_singletons_hold_teleport_rank(spark, sf_dir):
+    """An isolated doc receives no contributions: after the first round
+    its rank is exactly the teleport term and never changes."""
+    rows = clusters.dedup_pagerank(spark, sf_dir).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    singles = [m[0] for m in by_comp.values() if len(m) == 1]
+    assert singles, "testdata should contain singleton docs"
+    assert all(r.pr_rank == clusters._PR_TELEPORT for r in singles)
+    # and every connected doc outranks the teleport floor
+    linked = [m for m in by_comp.values() if len(m) > 1]
+    for members in linked:
+        assert max(r.pr_rank for r in members) > clusters._PR_TELEPORT
+
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """Replay the integer recurrence in pure Python over the same edge
+    set — the Spark loop must reproduce it exactly (no float drift)."""
+    edges = clusters.near_dup_edges(spark, sf_dir).collect()
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    sym: dict = {}
+    for e in edges:
+        sym.setdefault(e.src, set()).add(e.dst)
+        sym.setdefault(e.dst, set()).add(e.src)
+    rank = {d: clusters.PR_GRID for d in docs}
+    for _ in range(clusters.PR_ITERS):
+        contrib: dict = {d: 0 for d in docs}
+        for j, nbrs in sym.items():
+            c = rank[j] // len(nbrs)
+            for i in nbrs:
+                contrib[i] += c
+        rank = {
+            d: clusters._PR_TELEPORT + (85 * contrib[d]) // 100 for d in docs
+        }
+    got = {
+        r.doc_id: r.pr_rank
+        for r in clusters.dedup_pagerank(spark, sf_dir).collect()
+    }
+    assert got == rank
+
+
+# ---------------------------------------------------------------------------
+# curation_dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_covers_corpus_and_flags_match_sign(spark, sf_dir):
+    rows = curation.curation_dsir_weights(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.toward_target == (r.mean_llr > 0)
+        assert r.n_tokens >= 1
+
+
+def test_dsir_target_slice_scores_higher(spark, sf_dir):
+    """The defining property of an importance weight: documents drawn
+    from the target distribution score higher on average than the rest
+    of the raw corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    scored = curation.curation_dsir_weights(spark, sf_dir).join(
+        docs, "doc_id"
+    )
+    avg = {
+        r.grp: r.m
+        for r in scored.groupBy(
+            (F.col("lang") == curation.DSIR_TARGET_LANG).alias("grp")
+        )
+        .agg(F.avg("mean_llr").alias("m"))
+        .collect()
+    }
+    assert avg[True] > avg[False]
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_registers
+# ---------------------------------------------------------------------------
+
+
+def _rho(token: str) -> tuple[int, int]:
+    h = hashlib.md5(token.encode()).hexdigest()
+    register = int(h[:2], 16)
+    bits = bin(int(h[2:18], 16))[2:].zfill(64)
+    rho = 65 if "1" not in bits else bits.index("1") + 1
+    return register, rho
+
+
+def test_hll_registers_match_reference_bit_math(spark, sf_dir):
+    """The hex CASE arithmetic must equal the straightforward binary
+    leading-zero count."""
+    rows = sketches.sketch_hll_registers(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    expect: dict = {}
+    for d in docs:
+        for t in set(d.text.strip().split()):
+            reg, rho = _rho(t)
+            key = (d.source, reg)
+            expect[key] = max(expect.get(key, 0), rho)
+    # tokens are distinct per (source, token) in the operator — rebuild
+    # that dedup here
+    expect2: dict = {}
+    for d in docs:
+        for t in d.text.strip().split():
+            reg, rho = _rho(t)
+            key = (d.source, reg)
+            expect2[key] = max(expect2.get(key, 0), rho)
+    got = {(r.source, r.register): r.max_rho for r in rows}
+    assert got == expect2 == expect  # max over dups = max over distinct
+    assert all(0 <= reg < 2**sketches.HLL_P for _, reg in got)
+    assert all(1 <= v <= 65 for v in got.values())
+
+
+def test_hll_estimate_tracks_exact_cardinality(spark, sf_dir):
+    """Fold the register table into the standard HLL estimate and check
+    it lands within the sketch's error envelope of the exact distinct
+    count — the registers must actually BE a working sketch."""
+    m = 2**sketches.HLL_P
+    regs = sketches.sketch_hll_registers(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in regs:
+        by_source.setdefault(r.source, {})[r.register] = r.max_rho
+    exact = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        .groupBy("source")
+        .agg(F.count_distinct("token").alias("n"))
+        .collect()
+    }
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for source, table in by_source.items():
+        s = sum(2.0 ** -table.get(j, 0) for j in range(m))
+        est = alpha * m * m / s
+        zeros = m - len(table)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)  # small-range correction
+        # 1.04/sqrt(m) ~ 6.5% standard error; allow 4 sigma
+        assert abs(est - exact[source]) / exact[source] < 0.26, (
+            source,
+            est,
+            exact[source],
+        )
