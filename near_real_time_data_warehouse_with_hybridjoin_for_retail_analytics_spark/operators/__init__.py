@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     curation,
     dedup,
     funnels,
+    layout,
     multimodal,
     sampling,
     similarity,

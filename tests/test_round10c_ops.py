@@ -197,3 +197,71 @@ def test_hll_estimate_tracks_exact_cardinality(spark, sf_dir):
             est,
             exact[source],
         )
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder_events
+# ---------------------------------------------------------------------------
+
+
+def _morton(u: int, t: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((u >> i) & 1) << (2 * i)
+        z |= ((t >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_buckets_match_python_morton(spark, sf_dir):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        layout,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_micros(ts) DIV 3600000000").alias("h"))
+        .collect()
+    )
+    expect: dict = {}
+    for r in ev:
+        u, t = r.user_id & layout._MASK, r.h & layout._MASK
+        b = _morton(u, t, layout.Z_BITS) >> layout._BUCKET_SHIFT
+        st = expect.setdefault(b, [0, 10**18, -1, 10**18, -1])
+        st[0] += 1
+        st[1], st[2] = min(st[1], r.user_id), max(st[2], r.user_id)
+        st[3], st[4] = min(st[3], r.h), max(st[4], r.h)
+    got = {
+        r.file_bucket: [r.n_events, r.min_user, r.max_user, r.min_hour, r.max_hour]
+        for r in layout.layout_zorder_events(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == len(ev)  # nothing dropped
+
+
+def test_zorder_buckets_are_narrow_in_both_dimensions(spark, sf_dir):
+    """The point of the layout: every file bucket confines BOTH masked
+    dimensions to one aligned 2^13 block (top-3 bits fixed), so a
+    predicate on either dimension prunes ~7/8 of the buckets."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        layout,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_micros(ts) DIV 3600000000").alias("h"))
+        .collect()
+    )
+    block = 1 << (layout.Z_BITS - 3)  # 8192-wide aligned band per dim
+    bands: dict = {}
+    for r in ev:
+        u, t = r.user_id & layout._MASK, r.h & layout._MASK
+        b = _morton(u, t, layout.Z_BITS) >> layout._BUCKET_SHIFT
+        bands.setdefault(b, set()).add((u // block, t // block))
+    for b, pairs in bands.items():
+        assert len(pairs) == 1, (b, pairs)
