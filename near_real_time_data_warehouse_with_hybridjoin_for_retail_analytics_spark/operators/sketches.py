@@ -607,7 +607,13 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed by integer hex arithmetic — deterministic in both engines,
     mergeable downstream with MAX. See the module comment block for why
     the registers (not the float estimate) are the verified surface."""
-    docs = load_table(spark, sf_dir, "documents")
+    return hll_register_table(load_table(spark, sf_dir, "documents"))
+
+
+def hll_register_table(docs: DataFrame) -> DataFrame:
+    """(source, register, max_rho) over any (source, text) frame — the
+    frame-level core shared by the batch entry above and the streaming
+    ingest gate (``streaming.hll_stream``)."""
     toks = docs.select(
         "source",
         F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
