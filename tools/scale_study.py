@@ -61,6 +61,14 @@ ENTRIES = [
     "sketch_source_overlap",
     "multimodal_video_delta",
     "text_bpe_train",
+    # round-10 third wave: the 4-round integer power iteration (edge
+    # mining dominates until the graph grows), the broadcast-scored
+    # DSIR weights (expect e ≈ 1: one token-stream pass), and the two
+    # single-exchange bounded-state aggregates (expect e ≈ 1 scan-bound).
+    "dedup_pagerank",
+    "curation_dsir_weights",
+    "sketch_hll_registers",
+    "layout_zorder_events",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
