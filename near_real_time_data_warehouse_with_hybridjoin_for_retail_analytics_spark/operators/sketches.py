@@ -644,3 +644,111 @@ def hll_register_table(docs: DataFrame) -> DataFrame:
         .groupBy("source", "register")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (the canonical FREQUENCY sketch)
+# ---------------------------------------------------------------------------
+# KMV answers "how many distinct"; HLL's registers answer it mergeably;
+# Count-Min (Cormode & Muthukrishnan 2005) answers "how often does THIS
+# key occur" in bounded space: CMS_DEPTH independent hash rows of
+# CMS_WIDTH counters, point estimate = min over rows of the addressed
+# cell — never an underestimate, overestimate bounded by collisions
+# (ε ≈ e/width of the total count, δ ≈ e^-depth). Everything here is
+# exact integer arithmetic on the shared md5 hash family (row i salts
+# the hash with 'cms{i}:'), so the DuckDB oracle replays the cell
+# table AND the estimates bit-for-bit.
+#
+# The entry builds the 4×256-cell table over the corpus token stream
+# and reads it back for the top-CMS_TOPK exact tokens, emitting exact
+# and estimated counts side by side — the overestimate invariant
+# (n_cms ≥ n_exact, equality unless the token's every row collides) is
+# pytest-gated and visible in the output.
+#
+# 100 TB shape: the cell table is a bounded-state commutative aggregate
+# (DEPTH·WIDTH int64 cells) — map-side partial counts, one tiny
+# shuffle, cells merge by + across partitions/batches/clusters exactly
+# like HLL registers merge by MAX. Point queries join a broadcast
+# 1024-row frame. Nothing scales with the vocabulary.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(i: str) -> str:
+    """DuckDB bucket expression for salted row ``i`` (an SQL ref)."""
+    return (
+        f"CAST('0x' || substr(md5('cms' || CAST({i} AS VARCHAR) || ':' "
+        f"|| token), 1, 15) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+@query(
+    "sketch_count_min",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    rows_ AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+    cells AS (
+      SELECT i, {_cms_bucket_sql('i')} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN rows_
+      GROUP BY 1, 2
+    ),
+    top_exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY 1
+      ORDER BY n_exact DESC, token
+      LIMIT {CMS_TOPK}
+    ),
+    probes AS (
+      SELECT token, n_exact, i, {_cms_bucket_sql('i')} AS bucket
+      FROM top_exact CROSS JOIN rows_
+    )
+    SELECT p.token, MAX(p.n_exact) AS n_exact,
+           CAST(MIN(c.cnt) AS BIGINT) AS n_cms
+    FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.token
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream: build
+    the DEPTH×WIDTH cell table, then read back point estimates for the
+    top-K exact tokens — (token, n_exact, n_cms) with the CMS
+    overestimate invariant on display. Section comment has the bounds
+    and the 100 TB merge shape."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
+    )
+    rows = spark.range(CMS_DEPTH).select(F.col("id").cast("long").alias("i"))
+    salted = F.concat(
+        F.lit("cms"), F.col("i").cast("string"), F.lit(":"), F.col("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+        % CMS_WIDTH
+    )
+    cells = (
+        toks.crossJoin(F.broadcast(rows))
+        .groupBy("i", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(CMS_TOPK)
+    )
+    probes = top_exact.crossJoin(F.broadcast(rows)).select(
+        "token", "n_exact", "i", bucket.alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("n_exact").alias("n_exact"),
+            F.min("cnt").alias("n_cms"),
+        )
+    )

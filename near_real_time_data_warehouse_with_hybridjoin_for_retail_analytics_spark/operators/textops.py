@@ -1170,3 +1170,103 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOPK)
         .select("doc_id", "score_micro", "n_terms")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model score (sequence-aware quality signal)
+# ---------------------------------------------------------------------------
+# The unigram score above is blind to word ORDER — shuffled boilerplate
+# scores identically to prose. The bigram MLE with add-1 smoothing over
+# the corpus vocabulary is the cheapest sequence-aware upgrade:
+# p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). Counts are exact integers
+# from two shuffles (bigram relation, unigram relation); the only
+# floats are the final ln/divide, rounded to 6 decimals per the
+# engine's cross-libm convention. Docs with fewer than two tokens have
+# no bigrams and drop out (deterministically, in both engines).
+#
+# 100 TB shape: the (w1, w2) relation is the bigram VOCABULARY — far
+# below the corpus token stream — and the per-doc scoring join keys on
+# it with map-side partial aggregation on doc_id. The lead() window
+# shuffles on doc_id once; everything else reuses that partitioning.
+
+
+@query(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token,
+             generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1)
+               AS pos
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, token AS w1,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    bigrams AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+    c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT token AS w1, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ),
+    v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS nv FROM toks)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(SUM(ln(CAST(c2.c + 1 AS DOUBLE) / (c1.c + v.nv)))
+                 / COUNT(*), 6) AS mean_logprob2
+    FROM bigrams b
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-bigram log-probability of each document under the
+    corpus's own add-1-smoothed bigram MLE — the sequence-aware
+    companion to ``text_unigram_logprob`` (token-salad boilerplate
+    scores low here even when its unigram mix looks normal). Section
+    comment has the smoothing convention and the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), TOKEN_SPLIT)).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1")).select(
+        F.col("token").alias("w1"), "c1"
+    )
+    v = toks.agg(F.count_distinct("token").alias("nv"))
+    return (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("c2") + 1).cast("double")
+                        / (F.col("c1") + F.col("nv"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logprob2"),
+        )
+    )
