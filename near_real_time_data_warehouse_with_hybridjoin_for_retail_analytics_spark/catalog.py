@@ -154,7 +154,7 @@ def _load_plain(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-_STAR_VERSION = "v2"  # v2: money/units measures pre-cast at ETL time
+_STAR_VERSION = "v3"  # v2: measures pre-cast; v3: + derived date parts/cents
 
 
 def ensure_star(
@@ -221,6 +221,23 @@ def ensure_star(
                 F.col("l_extendedprice").cast("decimal(18,4)"),
             )
             .withColumn("l_quantity", F.col("l_quantity").cast("long"))
+            # v3: pre-derive the per-row date parts and the exact
+            # integer ten-thousandths the hot aggregations consume —
+            # the same move the reference's ETL makes when it resolves
+            # date_id/month at load time (star_schema.sql:36-44), so
+            # query-side derivation collapses to a column read. Values
+            # identical by construction: the expressions are the ones
+            # the queries would otherwise evaluate per row (queries
+            # fall back to inline derivation when the star is off).
+            .withColumn("l_month", F.month("l_shipdate").cast("int"))
+            .withColumn(
+                "l_weekend", F.dayofweek("l_shipdate").isin(1, 7)
+            )
+            .withColumn("l_date", F.to_date("l_shipdate"))
+            .withColumn(
+                "l_cents",
+                (F.col("l_extendedprice") * 10000).cast("long"),
+            )
             .repartitionByRange(_SPLIT_FILES, "l_year", "l_shipdate")
             .sortWithinPartitions("l_year", "l_shipdate")
             .write.mode("overwrite")

@@ -70,6 +70,15 @@ QTY = "l_quantity"
 # parquet (original columns only, no computed floats).
 
 
+def _pref(f: DataFrame, name: str, fallback) -> "F.Column":
+    """Prefer a star-materialized derived column (v3: l_month,
+    l_weekend, l_date, l_cents — catalog.ensure_star) over inline
+    per-row derivation; the fallback keeps no-ingest and bucketed
+    modes correct. Identical values either way — the star stores the
+    very expression the fallback evaluates."""
+    return F.col(name) if name in f.columns else fallback
+
+
 def _fact_part(spark, sf_dir) -> DataFrame:
     """lineitem ⋈ broadcast(part), materialized once per corpus."""
 
@@ -181,11 +190,13 @@ _SQL_LATEST_YEAR = (
     """,
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _fact_part(spark, sf_dir)
     return (
-        _fact_part(spark, sf_dir)
-        .groupBy(
-            month_i("l_shipdate").alias("monthnum"),
-            is_weekend("l_shipdate").alias("is_weekend"),
+        f.groupBy(
+            _pref(f, "l_month", month_i("l_shipdate")).alias("monthnum"),
+            _pref(f, "l_weekend", is_weekend("l_shipdate")).alias(
+                "is_weekend"
+            ),
             F.col("p_brand").alias("brand"),
         )
         .agg(dsum(REV).alias("total_revenue"))
@@ -630,12 +641,12 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 600k-row exchange then carries an 8-byte key instead of two
     # strings, and supplier⋈nation is 1:1 so grouping by s_suppkey is
     # exactly grouping by (n_name, s_name) — values unchanged.
+    f = _fact_supplier(spark, sf_dir)
     m = (
-        _fact_supplier(spark, sf_dir)
-        .groupBy(
+        f.groupBy(
             F.col("l_suppkey").alias("sk"),
-            year_i("l_shipdate").alias("sale_year"),
-            month_i("l_shipdate").alias("monthnum"),
+            _pref(f, "l_year", year_i("l_shipdate")).alias("sale_year"),
+            _pref(f, "l_month", month_i("l_shipdate")).alias("monthnum"),
         )
         .agg(dsum(REV).alias("revenue"))
     )
@@ -789,10 +800,15 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's CAST(decimal AS DOUBLE) of the same rational
     # (verified bitwise over all 15,644 daily rows at sf0.1). The fact
     # comes from the materialized star, whose measures are pre-cast.
-    daily = _fact_part(spark, sf_dir).groupBy(
+    f = _fact_part(spark, sf_dir)
+    daily = f.groupBy(
         F.col("l_partkey").alias("partkey"),
-        F.to_date("l_shipdate").alias("sale_date"),
-    ).agg(F.sum((dec(REV) * 10000).cast("long")).alias("daily_c"))
+        _pref(f, "l_date", F.to_date("l_shipdate")).alias("sale_date"),
+    ).agg(
+        F.sum(
+            _pref(f, "l_cents", (dec(REV) * 10000).cast("long"))
+        ).alias("daily_c")
+    )
     # Level 2 as a window over `daily` instead of a groupBy+join back:
     # one exchange to partkey (of already partially-aggregated daily
     # rows) replaces the stats aggregation AND the join re-shuffle of
