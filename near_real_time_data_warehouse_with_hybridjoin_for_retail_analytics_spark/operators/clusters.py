@@ -45,6 +45,11 @@ from .dedup import (
     _sql_emb_cand_ctes,
     dedup_ngram_jaccard,
 )
+from .multimodal import (
+    PHASH_MAX_HAMMING,
+    _SQL_PHASH_HAMMING,
+    _sql_phash_bands,
+)
 
 MAX_ROUNDS = 50  # safety net; diameter-bound convergence is expected
 
@@ -532,10 +537,17 @@ _SQL_MULTIMODAL_COMPONENTS = f"""
       SELECT vec_a AS src, vec_b AS dst FROM escore
       WHERE sim >= {NEAR_DUP_COSINE}
     ),
+    {_sql_phash_bands()},
+    ph AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM pbands a JOIN pbands b ON a.doc_id < b.doc_id
+      WHERE {_SQL_PHASH_HAMMING} <= {PHASH_MAX_HAMMING}
+    ),
     fwd AS (
       SELECT src, dst FROM jacc
       UNION SELECT src, dst FROM exact WHERE src < dst
       UNION SELECT src, dst FROM emb
+      UNION SELECT src, dst FROM ph
     ),
     edges AS MATERIALIZED (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
     walk(node, lbl) AS (
@@ -553,8 +565,9 @@ _SQL_MULTIMODAL_COMPONENTS = f"""
 @query("dedup_multimodal_components", _SQL_MULTIMODAL_COMPONENTS)
 def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters over the UNION of evidence modalities: exact
-    fingerprints, trigram-Jaccard text pairs, and embedding-cosine
-    pairs (doc_id ≡ vec_id in the testdata). Pairs any single method
+    fingerprints, trigram-Jaccard text pairs, embedding-cosine pairs
+    (doc_id ≡ vec_id in the testdata), and perceptual-hash (dHash)
+    image pairs from the real-decoder path. Pairs any single method
     misses still merge when another modality links them — the strongest
     (and most aggressive) dedup the pipeline offers; same component
     loop, bigger edge set.
@@ -585,6 +598,7 @@ def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component's labels equals the min over its documents."""
     from .artifacts import materialized
     from .dedup import NEAR_DUP_COSINE, dedup_embedding_candidates
+    from .multimodal import dedup_phash
 
     emb_edges = materialized(
         spark,
@@ -593,6 +607,18 @@ def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"v1:cos{NEAR_DUP_COSINE}",
         lambda: dedup_embedding_candidates(spark, sf_dir),
     ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    # Image evidence (round 11): perceptual-hash near-dup pairs from the
+    # real-decoder dHash path. Banded + pigeonhole-lossless, so these
+    # edges are the exact within-threshold pair set, also read from the
+    # artifact store the pair-mining pass already wrote.
+    phash_edges = materialized(
+        spark,
+        sf_dir,
+        "phash_pairs",
+        f"v1:h{PHASH_MAX_HAMMING}",
+        lambda: dedup_phash(spark, sf_dir),
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    emb_edges = emb_edges.unionByName(phash_edges)
 
     text_comp = dedup_components(spark, sf_dir).select(
         "doc_id", "component_id"

@@ -545,6 +545,11 @@ SPAN_DUP_SHARE = 0.25  # doc counts as span-duplicated above this share
 
 def _dedup_report_sql() -> str:
     from .dedup import _simhash_sql
+    from .multimodal import (
+        PHASH_MAX_HAMMING,
+        _SQL_PHASH_HAMMING,
+        _sql_phash_bands,
+    )
     from .textops import _WINNOW_SQL
 
     return f"""
@@ -565,6 +570,17 @@ def _dedup_report_sql() -> str:
              CAST(COUNT(DISTINCT d) AS BIGINT) AS n_affected
       FROM (SELECT doc_a AS d FROM sim UNION ALL SELECT doc_b FROM sim)
     ),
+    {_sql_phash_bands()},
+    phash AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pbands a JOIN pbands b ON a.doc_id < b.doc_id
+      WHERE {_SQL_PHASH_HAMMING} <= {PHASH_MAX_HAMMING}
+    ),
+    phash_r AS (
+      SELECT 'near_phash' AS modality,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_affected
+      FROM (SELECT doc_a AS d FROM phash UNION ALL SELECT doc_b FROM phash)
+    ),
     fp_w AS (SELECT * FROM ({_WINNOW_SQL})),
     df_w AS (SELECT fingerprint, COUNT(*) AS nd FROM fp_w GROUP BY 1),
     span_doc AS (
@@ -583,6 +599,7 @@ def _dedup_report_sql() -> str:
            CAST(n_affected AS DOUBLE) / (SELECT n_docs FROM n) AS affected_rate
     FROM (SELECT * FROM exact_r UNION ALL
           SELECT * FROM near_r UNION ALL
+          SELECT * FROM phash_r UNION ALL
           SELECT * FROM span_r)
     """
 
@@ -592,7 +609,9 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup section of a corpus data card: per modality, how many
     documents are duplication-affected and the corpus rate —
     'exact' (member of a byte/canonical-identical group of ≥2),
-    'near_simhash' (endpoint of a Hamming≤3 pair), 'span' (≥25 % of
+    'near_simhash' (endpoint of a Hamming≤3 pair), 'near_phash'
+    (endpoint of a perceptual-hash image pair from the real-decoder
+    dHash path — round 11), 'span' (≥25 % of
     winnowed fingerprints shared with other docs). The near-dup and
     span inputs are read from the materialized artifact store
     (``artifacts.materialized`` — built once per corpus, the batch twin
@@ -605,6 +624,7 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact tier stays inline — one fingerprint groupBy."""
     from .artifacts import materialized
     from .dedup import SIMHASH_MAX_HAMMING, dedup_simhash
+    from .multimodal import PHASH_MAX_HAMMING, dedup_phash
     from .textops import text_duplicate_spans
 
     docs = load_table(spark, sf_dir, "documents")
@@ -635,6 +655,20 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("near_simhash").alias("modality"), "n_affected")
     )
 
+    phash = materialized(
+        spark,
+        sf_dir,
+        "phash_pairs",
+        f"v1:h{PHASH_MAX_HAMMING}",
+        lambda: dedup_phash(spark, sf_dir),
+    )
+    near_img = (
+        phash.select(F.col("doc_a").alias("d"))
+        .unionAll(phash.select(F.col("doc_b").alias("d")))
+        .agg(F.countDistinct("d").cast("long").alias("n_affected"))
+        .select(F.lit("near_phash").alias("modality"), "n_affected")
+    )
+
     span = (
         materialized(
             spark,
@@ -654,6 +688,7 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         exact.unionByName(near)
+        .unionByName(near_img)
         .unionByName(span)
         .withColumn(
             "affected_rate",

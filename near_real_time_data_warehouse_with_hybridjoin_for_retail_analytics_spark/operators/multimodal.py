@@ -1657,3 +1657,195 @@ def multimodal_video_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs)
     return payloads.mapInPandas(video_delta_stats, DV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (dHash over the real image decoders)
+# ---------------------------------------------------------------------------
+# The missing dedup modality before round 11: text near-dup (MinHash/
+# SimHash) and embedding near-dup exist, but images deduped only via
+# generic LSH edges. dHash is the standard perceptual hash: shrink to a
+# (G+1)xG grayscale thumbnail, emit one bit per horizontal neighbor
+# comparison (gray[r,c] > gray[r,c+1]) — robust to re-encoding and
+# brightness-preserving edits because it keys on gradient signs, not
+# absolute pixel values. 64 bits, banded 4x16 for bucketed candidate
+# generation exactly like the MinHash LSH path (dedup.py banding).
+#
+# PHASH_MAX_HAMMING < PHASH_NBANDS makes the banding PROVABLY lossless
+# (pigeonhole: ≤3 differing bits cannot touch all 4 disjoint 16-bit
+# bands, so every within-threshold pair collides in at least one band).
+# The DuckDB oracle therefore computes the ALL-PAIRS truth — the
+# driver's per-round hash match doubles as a recall-1.0 proof of the
+# banded plan, not just a value check.
+PHASH_GRID = 8  # dHash grid: 8x8 bits from a 9x8 grayscale thumbnail
+PHASH_NBANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_MAX_HAMMING = 3  # < PHASH_NBANDS => banding lossless by pigeonhole
+
+PHASH_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def phash_dhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker running the REAL image path per payload:
+    encode as an actual 24-bit BMP, parse back through the
+    header-reading decoder, nearest-neighbor-resize to the
+    (G+1)xG thumbnail, grayscale (channel sum — order-free integer
+    arithmetic), then the dHash horizontal-gradient bits packed
+    little-endian into 4 disjoint 16-bit band values."""
+    weights = 1 << np.arange(PHASH_BAND_BITS, dtype=np.int64)
+    g = PHASH_GRID
+    for pdf in batches:
+        ids: list[int] = []
+        bands: list[list[int]] = [[] for _ in range(PHASH_NBANDS)]
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, img = decode_image(encode_bmp(bytes(payload)))
+            small = resize_nearest(img, g + 1, g)
+            gray = small.astype(np.int64).sum(axis=2)
+            bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64).ravel()
+            ids.append(doc_id)
+            for j in range(PHASH_NBANDS):
+                seg = bits[j * PHASH_BAND_BITS : (j + 1) * PHASH_BAND_BITS]
+                bands[j].append(int((seg * weights).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                **{
+                    f"b{j}": pd.Series(bands[j], dtype="int64")
+                    for j in range(PHASH_NBANDS)
+                },
+            }
+        )
+
+
+def phash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3): per-document 64-bit dHash as 4 disjoint 16-bit
+    band values, computed through the real BMP encode/decode round
+    trip. Zero-shuffle Arrow-batched kernel — per-row local work only,
+    the shape that scales with cores at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_binary_payload(docs).mapInPandas(
+        phash_dhash_bands, PHASH_SCHEMA
+    )
+
+
+def _sql_phash_bands() -> str:
+    """CTE chain replaying the dHash from the raw text bytes (the BMP
+    round trip is identity on the padded pixel array, so byte i ->
+    pixel (i//3 // 16, i//3 % 16) channel i%3); ends with ``pbands``
+    (doc_id, b0..b3). Shared by the dedup_phash oracle and the
+    multimodal-components / dedup-report oracle extensions."""
+    w, w3 = BMP_WIDTH, 3 * BMP_WIDTH
+    g = PHASH_GRID
+    band_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN idx // {PHASH_BAND_BITS} = {j} "
+        f"THEN bit << (idx % {PHASH_BAND_BITS}) ELSE 0 END) AS BIGINT) AS b{j}"
+        for j in range(PHASH_NBANDS)
+    )
+    return f"""pdims AS (
+      SELECT doc_id, text, length(text) AS len,
+             greatest((length(text) + {w3 - 1}) // {w3}, 1) AS h
+      FROM documents),
+    pgrid AS (
+      SELECT d.doc_id, r.r, c.c,
+             (((r.r * d.h) // {g}) * {w} + (c.c * {w}) // {g + 1}) * 3 AS base,
+             d.text, d.len
+      FROM pdims d
+      CROSS JOIN range(0, {g}) r(r) CROSS JOIN range(0, {g + 1}) c(c)),
+    pgray AS (
+      SELECT doc_id, r, c,
+             (CASE WHEN base < len
+                   THEN ascii(substr(text, CAST(base + 1 AS INT), 1)) ELSE 0 END
+              + CASE WHEN base + 1 < len
+                     THEN ascii(substr(text, CAST(base + 2 AS INT), 1)) ELSE 0 END
+              + CASE WHEN base + 2 < len
+                     THEN ascii(substr(text, CAST(base + 3 AS INT), 1)) ELSE 0 END
+             ) AS g
+      FROM pgrid),
+    pbits AS (
+      SELECT a.doc_id, a.r * {g} + a.c AS idx,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      FROM pgray a
+      JOIN pgray b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < {g}),
+    pbands AS (
+      SELECT doc_id,
+         {band_cols}
+      FROM pbits GROUP BY doc_id)"""
+
+
+_SQL_PHASH_HAMMING = " + ".join(
+    f"bit_count(xor(a.b{j}, b.b{j}))" for j in range(PHASH_NBANDS)
+)
+
+
+def _phash_sql() -> str:
+    return f"""
+    WITH {_sql_phash_bands()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_SQL_PHASH_HAMMING} AS INT) AS hamming
+    FROM pbands a JOIN pbands b ON a.doc_id < b.doc_id
+    WHERE {_SQL_PHASH_HAMMING} <= {PHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_phash", _phash_sql())
+def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: (doc_a, doc_b, hamming) pairs
+    whose dHash Hamming distance is ≤ PHASH_MAX_HAMMING. Candidates
+    come from a banded bucket join (one shuffle of (band, 16-bit key)
+    rows — O(corpus), never all-pairs), then the exact 64-bit Hamming
+    verification runs only on within-bucket pairs. Because the
+    threshold is below the band count, the banded plan finds EVERY
+    within-threshold pair (pigeonhole) — the all-pairs DuckDB oracle
+    hash-matching this output each round is a standing recall-1.0
+    proof, not just a value check. Band values are session-persisted
+    via the artifact store (built once per corpus, like the MinHash
+    rep-bands) — at 100 TB the pair mining reads the hash table the
+    decode pass already wrote."""
+    from .artifacts import materialized
+    from .dedup import _bucket_pairs
+
+    bands = materialized(
+        spark,
+        sf_dir,
+        "phash_bands",
+        "v1:dhash8",
+        lambda: phash_bands_df(spark, sf_dir),
+    )
+    keyed = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), F.col(f"b{j}").alias("bh")
+                    )
+                    for j in range(PHASH_NBANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.band", "s.bh")
+    cands = (
+        _bucket_pairs(keyed, ["band", "bh"], "doc_id")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .dropDuplicates()
+    )
+    ha = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(PHASH_NBANDS)],
+    )
+    hb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"hb{j}") for j in range(PHASH_NBANDS)],
+    )
+    hamming = None
+    for j in range(PHASH_NBANDS):
+        term = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"hb{j}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cands.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
