@@ -683,6 +683,42 @@ def _cms_bucket_sql(i: str) -> str:
     )
 
 
+def cms_bucket_col(token_col, i_col):
+    """The salted-row CMS bucket, same integers as ``_cms_bucket_sql``
+    (and therefore the DuckDB oracle): row i hashes 'cms{i}:' || token
+    through the shared md5 family, 60-bit prefix mod WIDTH."""
+    salted = F.concat(
+        F.lit("cms"), i_col.cast("string"), F.lit(":"), token_col
+    )
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_cell_table(docs: DataFrame) -> DataFrame:
+    """Per-source CMS cell table (source, i, bucket, cnt) over the
+    documents' token stream — the bounded-state partial the streaming
+    ingest gate appends per micro-batch and SUM-merges (cells merge by
+    + across batches/partitions/clusters). |sources|·DEPTH·WIDTH rows,
+    independent of corpus size."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
+    )
+    rows = spark.range(CMS_DEPTH).select(F.col("id").cast("long").alias("i"))
+    return (
+        toks.crossJoin(F.broadcast(rows))
+        .groupBy(
+            "source",
+            "i",
+            cms_bucket_col(F.col("token"), F.col("i")).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 @query(
     "sketch_count_min",
     f"""
@@ -723,13 +759,7 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token")
     )
     rows = spark.range(CMS_DEPTH).select(F.col("id").cast("long").alias("i"))
-    salted = F.concat(
-        F.lit("cms"), F.col("i").cast("string"), F.lit(":"), F.col("token")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-        % CMS_WIDTH
-    )
+    bucket = cms_bucket_col(F.col("token"), F.col("i"))
     cells = (
         toks.crossJoin(F.broadcast(rows))
         .groupBy("i", bucket.alias("bucket"))

@@ -1,0 +1,97 @@
+"""Streaming Count-Min ingest gate: the ingest twin of
+``operators.sketches.sketch_count_min``, completing the streaming
+sketch triad (KMV distinct gate, HLL register gate, CMS frequency
+gate).
+
+Per (source, row, bucket) the state is a running SUM of token arrivals
+— bounded at |sources|·CMS_DEPTH·CMS_WIDTH rows no matter how much
+text has flowed past, and mergeable by construction: cells(A) +
+cells(B) = cells(A ∪ B) exactly (Count-Min's linearity, the property
+that lets production CMS pipelines merge per-shard sketches with one
+vector add). Because the bucket arithmetic is the same salted-md5
+family the batch operator uses (``cms_bucket_col`` ==
+``_cms_bucket_sql``), the merged cell table after batch n is
+BIT-IDENTICAL to ``cms_cell_table`` run over the union of batches 1..n
+— pinned by the pytest equivalence gate (tests/test_streaming_cms.py).
+
+Gate shape mirrors the other ingest gates (dedup, drift, KMV, HLL):
+parquet feed → ``foreachBatch`` → per-batch partial cell tables
+appended to the state directory tagged with the batch id → SUM-merged
+report overwritten after every batch. One contrast with the HLL gate
+matters for correctness and is therefore load-bearing here: MAX is
+idempotent under replay, + is NOT — a crash-retried micro-batch that
+re-appended its partial would double-count every token it carried. The
+(batch_id, source, i, bucket) dedup before the merge is what restores
+exactly-once semantics over an at-least-once foreachBatch, the same
+mechanism the hybrid-join sink uses for its idempotent-replay
+guarantee. A deployment watches per-source cell mass for the ingest
+alarms Count-Min exists for: a token flood from one source (junk or
+attack traffic) shifts that source's total count within one
+micro-batch, long before any exact per-token count could be afforded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sketches import cms_cell_table
+
+DOCS_CMS_SCHEMA = "doc_id long, text string, source string"
+
+
+def batch_cms_partial(df: DataFrame) -> DataFrame:
+    """One micro-batch's (source, i, bucket, cnt) partial — exactly the
+    batch operator's cell construction over the batch rows."""
+    return cms_cell_table(df)
+
+
+def cms_report(state: DataFrame) -> DataFrame:
+    """SUM-merge accumulated cell partials into the current
+    (source, i, bucket, cnt) table — operand-identical to the batch
+    operator over the union of all batches seen so far (CMS
+    linearity)."""
+    return (
+        state.groupBy("source", "i", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy("source", "i", "bucket")
+    )
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Continuous per-source token-frequency sketching over a
+    (doc_id, text, source) parquet feed. Each micro-batch appends its
+    ≤ |sources|·DEPTH·WIDTH-row partial to ``state_dir`` (batch-id
+    tagged), dedupes replayed partials on (batch_id, source, i, bucket)
+    — the step that makes the non-idempotent + merge exactly-once —
+    then SUM-merges and overwrites ``out_dir`` with the current cell
+    table."""
+
+    raw = (
+        spark.readStream.schema(DOCS_CMS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_cms_partial(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        partial.write.mode("append").parquet(state_dir)
+        acc = spark.read.parquet(state_dir).dropDuplicates(
+            ["batch_id", "source", "i", "bucket"]
+        )
+        cms_report(acc).write.mode("overwrite").parquet(out_dir)
+
+    writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
