@@ -2707,3 +2707,136 @@ def load_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     for r in brows:
         cb[r["m"], r["k"], r["d"]] = r["v"]
     _PQ_CB_CACHE[(spark.sparkContext.applicationId, sf_dir)] = cb
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: append without retraining
+# ---------------------------------------------------------------------------
+# The persisted IVF index above is train-once; production corpora grow
+# daily. The IVF append contract (FAISS `add` after `train`) is:
+# centroids are FROZEN, new vectors are assigned to their nearest
+# existing centroid, and only list memberships/sizes change. Appending
+# is therefore (a) linear in the increment — one probe per new vector
+# against k centroid literals, no shuffle of history — and (b) exactly
+# equivalent to re-assigning the whole corpus under the same quantizer
+# (assignment is per-vector and centroid-only), which is the invariant
+# tests/test_ann_append.py pins: append ∘ assign ≡ bulk assign, and
+# indexed vectors' home lists never move.
+#
+# Boundary: the same deterministic watermark as dedup_incremental —
+# vec_id < floor(max_vec_id · INCR_SPLIT_FRAC) plays the indexed
+# corpus (yesterday's build), the rest is today's increment.
+ANN_APPEND_SPLIT_FRAC = 0.8
+
+
+def _ann_split(spark: SparkSession, sf_dir: str) -> int:
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]  # bounded scalar
+    return int(max_id * ANN_APPEND_SPLIT_FRAC)
+
+
+def _ann_append_sql() -> str:
+    # Same coarse-quantizer CTE chain as the IVF oracle, but `qe`/`n2`
+    # are the INDEXED slice, so training (and the derived nclusters)
+    # replays yesterday's build; params count the indexed slice too.
+    coarse = _sql_ivf_coarse().replace(
+        "(SELECT COUNT(*) FROM embeddings) AS n",
+        "(SELECT COUNT(*) FROM qe) AS n",
+    )
+    d1 = EMB_DIM + 1
+    return f"""
+    WITH split AS (
+      SELECT CAST(floor(MAX(vec_id) * {ANN_APPEND_SPLIT_FRAC}) AS BIGINT) AS w
+      FROM embeddings
+    ),
+    qe_all AS ({_SQL_QE}),
+    qe AS (SELECT * FROM qe_all WHERE vec_id < (SELECT w FROM split)),
+    n2 AS ({_SQL_N2}),
+    {coarse},
+    inc AS (SELECT * FROM qe_all WHERE vec_id >= (SELECT w FROM split)),
+    incn2 AS (
+      SELECT vec_id,
+             greatest(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT),
+                      1) AS n2
+      FROM inc
+    ),
+    dinc AS (
+      SELECT v.vec_id, c.j,
+             CAST(list_sum(list_transform(range(1, {d1}),
+                  i -> v.q[i] * c.q[i])) AS DOUBLE)
+               / (sqrt(CAST(n.n2 AS DOUBLE))
+                  * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cos
+      FROM inc v JOIN incn2 n ON n.vec_id = v.vec_id
+      CROSS JOIN carr c JOIN cn ON cn.j = c.j
+    ),
+    assign AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, j) AS rk FROM dinc)
+      WHERE rk = 1
+    ),
+    sizes AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS n_indexed
+              FROM mem GROUP BY j),
+    appended AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS n_appended
+                 FROM assign GROUP BY j)
+    SELECT a.vec_id, CAST(a.j AS INT) AS cluster,
+           coalesce(s.n_indexed, 0) AS n_indexed,
+           coalesce(s.n_indexed, 0) + ap.n_appended AS n_total
+    FROM assign a
+    LEFT JOIN sizes s ON s.j = a.j
+    JOIN appended ap ON ap.j = a.j
+    """
+
+
+@query("ann_index_append", _ann_append_sql())
+def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append today's vectors to yesterday's IVF index WITHOUT
+    retraining: the coarse quantizer is trained on the indexed slice
+    only (vec_id below the watermark — replaying yesterday's
+    deterministic build), each incoming vector probes the frozen
+    centroid literals once (Arrow-batched int64 matmul, linear in the
+    increment, history never rescanned), and the output reports the
+    assignment plus the affected lists' before/after sizes:
+    (vec_id, cluster, n_indexed, n_total).
+
+    Centroid-frozen assignment is per-vector, so append ≡ bulk
+    re-assignment under the same quantizer and indexed vectors' home
+    lists never move — the invariants tests/test_ann_append.py pins.
+    Deterministic end-to-end on the integer grid, so the DuckDB oracle
+    replays training, the watermark, assignment and the size
+    arithmetic exactly (full value-hash check)."""
+    w = _ann_split(spark, sf_dir)
+    qe_all = quantized_embeddings(spark, sf_dir)
+    qe_idx = qe_all.filter(F.col("vec_id") < w)
+    n_indexed_corpus = qe_idx.count()  # bounded scalar (params input)
+    ncl, _ = derived_ivf_params(n_indexed_corpus)
+    # Direct train (not the coarse_quantizer session cache): the cache
+    # is keyed (app, sf, nclusters) and holds the FULL-corpus quantizer
+    # — the appended index must replay the indexed-slice build.
+    cents = _train_coarse_quantizer(qe_idx, ncl)
+
+    home = F.element_at(_probe_udf(cents, 1)(F.col("q")), 1)
+    idx_home = qe_idx.select(
+        "vec_id", home.alias("cluster")
+    )
+    sizes = idx_home.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_indexed")
+    )
+    inc_home = qe_all.filter(F.col("vec_id") >= w).select(
+        "vec_id", home.alias("cluster")
+    )
+    appended = inc_home.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_appended")
+    )
+    return (
+        inc_home.join(F.broadcast(sizes), "cluster", "left")
+        .join(F.broadcast(appended), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_indexed", F.lit(0)).alias("n_indexed"),
+            (F.coalesce("n_indexed", F.lit(0)) + F.col("n_appended")).alias(
+                "n_total"
+            ),
+        )
+    )
