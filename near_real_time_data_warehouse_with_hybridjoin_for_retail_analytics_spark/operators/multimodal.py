@@ -1849,3 +1849,161 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental image dedup: classify incoming images against the index
+# ---------------------------------------------------------------------------
+# The image twin of dedup_incremental (text) and
+# dedup_embedding_incremental (vectors): incoming documents (doc_id
+# above the shared deterministic 0.8·max watermark) are classified
+# against the INDEXED corpus only — cross-boundary band join, never
+# incoming×incoming or indexed×indexed — so daily ingest stays linear
+# in the increment while the indexed side is yesterday's persisted
+# phash table. Verdicts: 'exact' (Hamming 0 — byte-identical dHash),
+# 'near' (1..PHASH_MAX_HAMMING), 'novel'; match_id = the best-scoring
+# indexed doc (hamming asc, doc_id asc — deterministic rank-1).
+# Banding stays pigeonhole-lossless, so the all-pairs cross-boundary
+# oracle is again a standing recall proof.
+PHASH_SPLIT_FRAC = 0.8  # same watermark rule as dedup_incremental
+
+
+def _phash_split(spark: SparkSession, sf_dir: str) -> int:
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    return int(max_id * PHASH_SPLIT_FRAC)
+
+
+def _phash_band_keys(bands: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): one row per (doc, band) — the LSH bucket key
+    relation the candidate joins run on."""
+    return bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), F.col(f"b{j}").alias("bh")
+                    )
+                    for j in range(PHASH_NBANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.band", "s.bh")
+
+
+def classify_phash_increment(
+    incoming: DataFrame, indexed: DataFrame
+) -> DataFrame:
+    """Classify incoming band rows against indexed band rows — the ONE
+    copy of the semantics the batch entry and the streaming gate share.
+    Both inputs carry (doc_id, b0..b3); output is one row per incoming
+    doc: (doc_id, verdict, match_id, hamming)."""
+    cands = (
+        _phash_band_keys(incoming)
+        .join(
+            _phash_band_keys(indexed).select(
+                F.col("doc_id").alias("match_id"), "band", "bh"
+            ),
+            ["band", "bh"],
+        )
+        .select("doc_id", "match_id")
+        .dropDuplicates()
+    )
+    ha = incoming.select(
+        "doc_id", *[F.col(f"b{j}").alias(f"a{j}") for j in range(PHASH_NBANDS)]
+    )
+    hb = indexed.select(
+        F.col("doc_id").alias("match_id"),
+        *[F.col(f"b{j}").alias(f"hb{j}") for j in range(PHASH_NBANDS)],
+    )
+    hamming = None
+    for j in range(PHASH_NBANDS):
+        term = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"hb{j}")))
+        hamming = term if hamming is None else hamming + term
+    scored = (
+        cands.join(ha, "doc_id")
+        .join(hb, "match_id")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("hamming", "match_id")
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "match_id", "hamming")
+    )
+    return (
+        incoming.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("hamming") == 0, F.lit("exact"))
+            .when(F.col("hamming").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            "match_id",
+            "hamming",
+        )
+    )
+
+
+def _phash_incremental_sql() -> str:
+    return f"""
+    WITH {_sql_phash_bands()},
+    split AS (
+      SELECT CAST(floor(MAX(doc_id) * {PHASH_SPLIT_FRAC}) AS BIGINT) AS w
+      FROM documents
+    ),
+    idx AS (SELECT * FROM pbands WHERE doc_id < (SELECT w FROM split)),
+    inc AS (SELECT * FROM pbands WHERE doc_id >= (SELECT w FROM split)),
+    scored AS (
+      SELECT a.doc_id, b.doc_id AS match_id,
+             {_SQL_PHASH_HAMMING} AS hamming
+      FROM inc a JOIN idx b
+        ON {_SQL_PHASH_HAMMING} <= {PHASH_MAX_HAMMING}
+    ),
+    best AS (
+      SELECT doc_id, match_id, hamming FROM (
+        SELECT doc_id, match_id, hamming, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY hamming, match_id) AS rk
+        FROM scored)
+      WHERE rk = 1
+    )
+    SELECT i.doc_id,
+           CASE WHEN b.hamming = 0 THEN 'exact'
+                WHEN b.hamming IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS verdict,
+           b.match_id, CAST(b.hamming AS INT) AS hamming
+    FROM inc i LEFT JOIN best b USING (doc_id)
+    """
+
+
+@query("dedup_phash_incremental", _phash_incremental_sql())
+def dedup_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each incoming image (doc_id ≥ the deterministic
+    0.8·max watermark) against the indexed corpus's phash table only:
+    verdict ∈ {exact, near, novel}, match_id/hamming from the
+    deterministic best match. The band join crosses the boundary only
+    (incoming keys × indexed keys — linear in the increment, history
+    never re-paired), exact Hamming verification touches candidates
+    only, and pigeonhole losslessness means the all-pairs
+    cross-boundary oracle hash-match is a recall-1.0 proof each round.
+    The same ``classify_phash_increment`` runs per micro-batch in the
+    streaming ingest gate (``streaming/phash_stream.py``), so batch
+    and stream share ONE copy of the semantics."""
+    from .artifacts import materialized
+
+    w = _phash_split(spark, sf_dir)
+    bands = materialized(
+        spark,
+        sf_dir,
+        "phash_bands",
+        "v1:dhash8",
+        lambda: phash_bands_df(spark, sf_dir),
+    )
+    return classify_phash_increment(
+        bands.filter(F.col("doc_id") >= w), bands.filter(F.col("doc_id") < w)
+    )
