@@ -916,3 +916,201 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_llr > 0).alias("toward_target"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Output shard planning (balanced training-shard assignment)
+# ---------------------------------------------------------------------------
+# The last step before a corpus hits the trainer is writing it as N
+# shards (webdataset tars, TFRecord files, parquet buckets) whose token
+# loads are BALANCED — an unbalanced shard set stalls data loaders at
+# epoch boundaries. The deterministic rule here is serpentine
+# (boustrophedon) assignment over the token-count-descending order:
+# rank r → lane k = r mod 2N, shard = k if k < N else 2N−1−k. Each
+# "round" of 2N docs gives every shard exactly two docs whose sizes
+# come from opposite ends of the round, the classic near-LPT
+# balancing heuristic that needs only a RANK, not sequential state.
+#
+# Scale shape: the oracle states the rank as one global ROW_NUMBER —
+# a single-partition sort at scale — so the Spark plan computes the
+# identical rank hierarchically, the same two-level scheme as
+# sample_weighted_pps: buckets are the DISTINCT token counts (a
+# bounded histogram relation — O(max doc length) rows no matter the
+# corpus), per-bucket counts turn into exclusive offsets with one tiny
+# window, and the within-bucket rank is a PARTITIONED window by
+# doc_id. Ordering by (n_tokens DESC, doc_id) equals ordering by
+# (bucket=n_tokens DESC, doc_id), so the ranks are bit-identical.
+N_SHARDS = 8
+
+
+@query(
+    "curation_shard_plan",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM t
+    ),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN r % {2 * N_SHARDS} < {N_SHARDS}
+                  THEN r % {2 * N_SHARDS}
+                  ELSE {2 * N_SHARDS - 1} - r % {2 * N_SHARDS}
+             END AS shard
+      FROM ranked
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM assigned GROUP BY shard
+    """,
+)
+def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: serpentine over the
+    token-count-descending rank into N_SHARDS shards, reported as
+    (shard, n_docs, shard_tokens). The rank is computed with the
+    two-level prefix scheme (token-count histogram buckets + one tiny
+    offset window + partitioned within-bucket windows) — no global
+    sort; see the section comment. Deterministic integer arithmetic
+    end-to-end, value-hash-checked; balance quality is pytest-gated
+    against the round-robin baseline."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _n_tokens_col().alias("n_tokens")
+    )
+    # bucket histogram: one row per distinct token count (bounded by
+    # max doc length), exclusive offsets in token-desc order
+    offsets = (
+        t.groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("bn")
+    )
+    within = F.row_number().over(
+        Window.partitionBy("n_tokens").orderBy("doc_id")
+    )
+    lane = (F.col("off") + within - 1) % (2 * N_SHARDS)
+    shard = F.when(lane < N_SHARDS, lane).otherwise(
+        F.lit(2 * N_SHARDS - 1) - lane
+    )
+    return (
+        t.join(F.broadcast(offsets), "n_tokens")
+        .select("doc_id", "n_tokens", shard.cast("int").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split near-dup leakage report
+# ---------------------------------------------------------------------------
+# Hash-splitting documents (sample_split_assign) is independent of
+# CONTENT, so near-duplicate documents routinely land in different
+# splits — the classic eval-contamination failure: the model trains on
+# a near-copy of its test set and the benchmark silently inflates.
+# This entry reports, per evidence modality (text SimHash pairs, image
+# perceptual-hash pairs), how many near-dup pairs straddle each split
+# boundary — the number a curation pipeline must drive to zero by
+# splitting on dedup-cluster ids instead of doc ids.
+def _split_leakage_sql() -> str:
+    from .dedup import _simhash_sql
+    from .multimodal import (
+        PHASH_MAX_HAMMING,
+        _SQL_PHASH_HAMMING,
+        _sql_phash_bands,
+    )
+    from .sampling import SPLIT_SALT, TRAIN_MAX, VAL_MAX
+
+    return f"""
+    WITH splits AS (
+      SELECT doc_id,
+             CASE WHEN b <= '{TRAIN_MAX}' THEN 'train'
+                  WHEN b <= '{VAL_MAX}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)),
+                          1, 2) AS b
+            FROM documents)
+    ),
+    sim AS (SELECT doc_a, doc_b FROM ({_simhash_sql()})),
+    {_sql_phash_bands()},
+    ph AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pbands a JOIN pbands b ON a.doc_id < b.doc_id
+      WHERE {_SQL_PHASH_HAMMING} <= {PHASH_MAX_HAMMING}
+    ),
+    pairs AS (
+      SELECT 'near_simhash' AS modality, doc_a, doc_b FROM sim
+      UNION ALL SELECT 'near_phash', doc_a, doc_b FROM ph
+    )
+    SELECT p.modality,
+           least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("curation_split_leakage", _split_leakage_sql())
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs per (modality, split boundary): counts of SimHash
+    text pairs and perceptual-hash image pairs whose endpoints landed
+    in different (or the same) train/val/test splits under the
+    deterministic hash split. Pair tables come from the materialized
+    artifact store (the same tables the dedup passes wrote — a 100 TB
+    report reads them, it does not re-mine); the split column is a
+    zero-shuffle map-side projection, so the whole report is two
+    broadcast-sized joins over O(near-dup pairs) rows."""
+    from .artifacts import materialized
+    from .dedup import SIMHASH_MAX_HAMMING, dedup_simhash
+    from .multimodal import PHASH_MAX_HAMMING, dedup_phash
+    from .sampling import sample_split_assign
+
+    sim = materialized(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        f"v1:h{SIMHASH_MAX_HAMMING}",
+        lambda: dedup_simhash(spark, sf_dir),
+    ).select(F.lit("near_simhash").alias("modality"), "doc_a", "doc_b")
+    ph = materialized(
+        spark,
+        sf_dir,
+        "phash_pairs",
+        f"v1:h{PHASH_MAX_HAMMING}",
+        lambda: dedup_phash(spark, sf_dir),
+    ).select(F.lit("near_phash").alias("modality"), "doc_a", "doc_b")
+    pairs = sim.unionByName(ph)
+
+    splits = sample_split_assign(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            "modality",
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

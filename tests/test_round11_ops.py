@@ -1,0 +1,108 @@
+"""Round-11 curation additions: balanced shard planning and the
+cross-split near-dup leakage report.
+
+Shard plan: the Spark two-level-rank serpentine must equal a direct
+Python replay of the oracle's global rule (global sort by tokens desc,
+serpentine lanes), and the resulting token loads must be meaningfully
+balanced (spread gate, plus never worse than the naive hash-modulo
+assignment it replaces).
+
+Split leakage: per modality the split-pair counts must partition the
+full pair set (sum over boundaries == |pairs|), and every count must
+equal a Python replay joining the registered pair entries with the
+registered split assignment.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    curation,
+    multimodal,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.dedup import (
+    dedup_simhash,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.sampling import (
+    sample_split_assign,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_tokens(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    return {
+        r["doc_id"]: len(re.split(r"\s+", r["text"].strip()))
+        for r in rows
+    }
+
+
+def _serpentine_replay(tokens: dict[int, int]) -> dict[int, tuple[int, int]]:
+    n = curation.N_SHARDS
+    order = sorted(tokens, key=lambda d: (-tokens[d], d))
+    loads: dict[int, list[int]] = defaultdict(list)
+    for r, d in enumerate(order):
+        k = r % (2 * n)
+        shard = k if k < n else 2 * n - 1 - k
+        loads[shard].append(tokens[d])
+    return {s: (len(v), sum(v)) for s, v in loads.items()}
+
+
+def test_shard_plan_matches_replay(spark):
+    tokens = _doc_tokens(spark)
+    expected = _serpentine_replay(tokens)
+    got = {
+        r["shard"]: (r["n_docs"], r["shard_tokens"])
+        for r in curation.curation_shard_plan(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_shard_plan_is_balanced(spark):
+    tokens = _doc_tokens(spark)
+    serp = [t for _, t in _serpentine_replay(tokens).values()]
+    mean = sum(serp) / len(serp)
+    assert (max(serp) - min(serp)) / mean < 0.2  # tight, real balance
+    # ... and never worse than naive doc_id-modulo sharding
+    naive: Counter = Counter()
+    for d, t in tokens.items():
+        naive[d % curation.N_SHARDS] += t
+    assert max(serp) - min(serp) <= max(naive.values()) - min(naive.values())
+
+
+def _split_map(spark):
+    return {
+        r["doc_id"]: r["split"]
+        for r in sample_split_assign(spark, SF).collect()
+    }
+
+
+def test_split_leakage_matches_replay(spark):
+    splits = _split_map(spark)
+    pairs = {
+        "near_simhash": [
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_simhash(spark, SF).collect()
+        ],
+        "near_phash": [
+            (r["doc_a"], r["doc_b"])
+            for r in multimodal.dedup_phash(spark, SF).collect()
+        ],
+    }
+    expected: Counter = Counter()
+    for modality, ps in pairs.items():
+        for a, b in ps:
+            sa, sb = sorted((splits[a], splits[b]))
+            expected[(modality, sa, sb)] += 1
+    got = {
+        (r["modality"], r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in curation.curation_split_leakage(spark, SF).collect()
+    }
+    assert got == dict(expected)
+    for modality, ps in pairs.items():  # boundary counts partition pairs
+        assert sum(
+            v for (m, _, _), v in got.items() if m == modality
+        ) == len(ps)
