@@ -259,6 +259,10 @@ def line_chart(df: pd.DataFrame, x: str, y: str, color: str | None = None,
                title: str = "", dark: bool = False, domain=None,
                color_discrete_map: dict | None = None) -> str:
     mode = _mode(dark)
+    # Null y values (e.g. the first month of a LAG-based growth series)
+    # have no point to draw — plotly renders them as gaps; dropping the
+    # rows is the equivalent for straight-line segments.
+    df = df[df[y].notna()]
     cats = color_domain(df[color], domain) if color else [None]
     colors = _series_colors(cats, mode)
     if color_discrete_map:  # explicit per-entity pins win (parity)
