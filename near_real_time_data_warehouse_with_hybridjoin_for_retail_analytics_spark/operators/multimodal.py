@@ -1698,7 +1698,11 @@ def phash_dhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         ids: list[int] = []
         bands: list[list[int]] = [[] for _ in range(PHASH_NBANDS)]
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            _, _, img = decode_image(encode_bmp(bytes(payload)))
+            # null text → null payload → the zero image (the oracle's
+            # CASE guards yield all-zero grays for NULL text, so both
+            # sides agree on an all-zero hash)
+            raw = b"" if payload is None else bytes(payload)
+            _, _, img = decode_image(encode_bmp(raw))
             small = resize_nearest(img, g + 1, g)
             gray = small.astype(np.int64).sum(axis=2)
             bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64).ravel()
@@ -1788,6 +1792,21 @@ def _phash_sql() -> str:
     """
 
 
+_HASH_COLS = [f"b{j}" for j in range(PHASH_NBANDS)]
+
+
+def _phash_hamming_col(a_prefix: str, b_prefix: str):
+    """Σ bit_count(xor) over the 4 band columns — the exact 64-bit
+    Hamming distance, same integers as ``_SQL_PHASH_HAMMING``."""
+    hamming = None
+    for j in range(PHASH_NBANDS):
+        term = F.bit_count(
+            F.col(f"{a_prefix}{j}").bitwiseXOR(F.col(f"{b_prefix}{j}"))
+        )
+        hamming = term if hamming is None else hamming + term
+    return hamming
+
+
 @query("dedup_phash", _phash_sql())
 def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup: (doc_a, doc_b, hamming) pairs
@@ -1801,9 +1820,19 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof, not just a value check. Band values are session-persisted
     via the artifact store (built once per corpus, like the MinHash
     rep-bands) — at 100 TB the pair mining reads the hash table the
-    decode pass already wrote."""
+    decode pass already wrote.
+
+    Identical 64-bit hashes collapse to one representative BEFORE the
+    band join (the same skew defense as ``dedup_minhash_lsh``'s
+    identity groups): a large exact-duplicate image class would
+    otherwise land its entire membership in one (band, key) bucket and
+    detonate the within-bucket quadratic. Collapsed, the bucket join
+    touches distinct hashes only; within-class pairs are reconstructed
+    with Hamming exactly 0 and rep-pair scores broadcast back to
+    members (identical hash ⇒ identical distance to everything), so
+    the output — and therefore the oracle — is unchanged."""
     from .artifacts import materialized
-    from .dedup import _bucket_pairs
+    from .dedup import _bucket_pairs, _expand_rep_pairs, _within_group_pairs
 
     bands = materialized(
         spark,
@@ -1812,43 +1841,47 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v1:dhash8",
         lambda: phash_bands_df(spark, sf_dir),
     )
-    keyed = bands.select(
+    # hash-identity groups: rep = min doc_id per distinct 64-bit hash
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy(*_HASH_COLS)
+    with_rep = bands.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"), F.col(f"b{j}").alias("bh")
-                    )
-                    for j in range(PHASH_NBANDS)
-                ]
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.band", "s.bh")
+        *_HASH_COLS,
+        F.min("doc_id").over(gw).alias("rep"),
+        F.count(F.lit(1)).over(gw).alias("group_size"),
+    )
+    members = with_rep.select("doc_id", "rep", "group_size")
+    rep_bands = with_rep.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", *_HASH_COLS
+    )
     cands = (
-        _bucket_pairs(keyed, ["band", "bh"], "doc_id")
+        _bucket_pairs(_phash_band_keys(rep_bands), ["band", "bh"], "doc_id")
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .dropDuplicates()
     )
-    ha = bands.select(
+    ha = rep_bands.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{j}").alias(f"a{j}") for j in range(PHASH_NBANDS)],
     )
-    hb = bands.select(
+    hb = rep_bands.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"b{j}").alias(f"hb{j}") for j in range(PHASH_NBANDS)],
     )
-    hamming = None
-    for j in range(PHASH_NBANDS):
-        term = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"hb{j}")))
-        hamming = term if hamming is None else hamming + term
-    return (
+    rep_pairs = (
         cands.join(ha, "doc_a")
         .join(hb, "doc_b")
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .withColumn("hamming", _phash_hamming_col("a", "hb").cast("int"))
+        .filter(
+            (F.col("hamming") > 0) & (F.col("hamming") <= PHASH_MAX_HAMMING)
+        )
         .select("doc_a", "doc_b", "hamming")
     )
+    cross = _expand_rep_pairs(rep_pairs, members, "hamming")
+    within = _within_group_pairs(
+        members, F.lit(0).cast("int").alias("hamming")
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

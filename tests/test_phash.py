@@ -125,3 +125,43 @@ def test_report_near_phash_counts_endpoints(spark):
         for r in curation.curation_dedup_report(spark, SF).collect()
     }
     assert report["near_phash"] == len(endpoints)
+
+
+def test_skewed_duplicate_class_collapses(spark, tmp_path):
+    """A corpus dominated by one identical-image class must (a) send
+    only DISTINCT hashes through the banded bucket join — the
+    `dedup_minhash_lsh` identity-collapse defense, mirrored — while
+    (b) the output still carries every within-class pair at Hamming 0
+    and the cross pairs at their exact distance, agreeing with the
+    all-pairs DuckDB oracle on the synthetic corpus."""
+    import duckdb
+
+    n_dup = 200
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(n_dup)]
+    rows += [(n_dup, "completely different text one"), (n_dup + 1, None)]
+    root = tmp_path / "skew"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+
+    import os
+
+    os.environ["SPARK_GRAFT_NO_ARTIFACTS"] = "1"
+    try:
+        got = sorted(
+            tuple(r) for r in multimodal.dedup_phash(spark, str(root)).collect()
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_ARTIFACTS", None)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{root}/documents.parquet/*.parquet')"
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans.registry import (
+        ORACLES,
+    )
+
+    exp = sorted(tuple(r) for r in con.execute(ORACLES["dedup_phash"]).fetchall())
+    assert got == exp
+    assert len(got) >= n_dup * (n_dup - 1) // 2  # the whole class paired
