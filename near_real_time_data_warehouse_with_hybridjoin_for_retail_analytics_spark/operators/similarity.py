@@ -2845,3 +2845,79 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Index deletes: tombstones + compaction planning
+# ---------------------------------------------------------------------------
+# The other half of index maintenance: vectors leave the corpus
+# (retention expiry, takedowns, dedup removals). The IVF delete
+# contract (FAISS remove_ids) keeps centroids FROZEN and drops ids
+# from their inverted lists; serving filters tombstones until a list's
+# dead fraction crosses the compaction threshold and the list is
+# rewritten. This entry reports exactly that bookkeeping per list:
+# before/after sizes and the compaction decision. The tombstone set is
+# the deterministic retention rule vec_id % TOMBSTONE_MOD == 0 (a
+# stand-in for "expired ids" that both engines can replay).
+TOMBSTONE_MOD = 10
+COMPACT_FRAC = 0.15  # rewrite a list once ≥15% of it is dead
+
+
+def _ann_delete_sql() -> str:
+    return f"""
+    WITH qe AS ({_SQL_QE}),
+    n2 AS ({_SQL_N2}),
+    {_sql_ivf_coarse()},
+    agg AS (
+      SELECT m.j AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN m.vec_id % {TOMBSTONE_MOD} = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      FROM mem m GROUP BY 1
+    )
+    SELECT CAST(cluster AS INT) AS cluster, n_before, n_deleted,
+           n_before - n_deleted AS n_after,
+           CAST(n_deleted AS DOUBLE) / n_before >= {COMPACT_FRAC}
+             AS needs_compaction
+    FROM agg
+    """
+
+
+@query("ann_index_delete", _ann_delete_sql())
+def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone the expired vectors (vec_id % TOMBSTONE_MOD == 0) in
+    the trained IVF index WITHOUT retraining: centroids stay frozen,
+    each list reports (cluster, n_before, n_deleted, n_after,
+    needs_compaction) with the ≥COMPACT_FRAC dead-fraction rule — the
+    compaction planner's worklist. One probe pass over the corpus
+    (the same session-cached quantizer every IVF consumer shares) and
+    one conditional-count groupBy; at 100 TB deletes are a metadata
+    operation, the data moves only when compaction rewrites a flagged
+    list. Deterministic end-to-end; the oracle replays training,
+    assignment, the tombstone rule and the flag exactly. Tests pin the
+    serving contract: tombstoned vectors never surface as neighbors,
+    and filtered-list queries equal queries over a rebuilt
+    remaining-only assignment under the same quantizer."""
+    ncl, _ = derived_ivf_params(corpus_count(spark, sf_dir))
+    qe = quantized_embeddings(spark, sf_dir)
+    cents = coarse_quantizer(spark, sf_dir, qe, ncl)
+    home = F.element_at(_probe_udf(cents, 1)(F.col("q")), 1)
+    dead = (F.col("vec_id") % TOMBSTONE_MOD == 0).cast("long")
+    return (
+        qe.select("vec_id", home.alias("cluster"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(dead).cast("long").alias("n_deleted"),
+        )
+        .select(
+            "cluster",
+            "n_before",
+            "n_deleted",
+            (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            (
+                F.col("n_deleted").cast("double") / F.col("n_before")
+                >= COMPACT_FRAC
+            ).alias("needs_compaction"),
+        )
+    )

@@ -100,3 +100,49 @@ def test_appended_index_serves_like_rebuilt_lists(spark):
     appended = _tag(qe_idx).unionByName(_tag(qe_inc))
     rebuilt = _tag(qe_idx.unionByName(qe_inc))
     assert _query(appended) == _query(rebuilt)
+
+
+def test_delete_serving_contract(spark):
+    """Tombstone-filtered lists must serve queries identically to an
+    index whose lists were rebuilt from the remaining vectors under
+    the same quantizer, and tombstoned vectors must never surface as
+    neighbors."""
+    from pyspark.sql import functions as F
+
+    n = similarity.corpus_count(spark, SF)
+    ncl, _ = similarity.derived_ivf_params(n)
+    qe = similarity.quantized_embeddings(spark, SF)
+    cents = similarity.coarse_quantizer(spark, SF, qe, ncl)
+    home = F.element_at(similarity._probe_udf(cents, 1)(F.col("q")), 1)
+    dead = F.col("vec_id") % similarity.TOMBSTONE_MOD == 0
+
+    def _query(df):
+        tagged = df.select(
+            "vec_id", "q", F.lit(0).alias("pos"), home.alias("cluster")
+        )
+        cands = tagged.groupBy("cluster").applyInPandas(
+            similarity._ivf_int_kernel, similarity._CAND_SCHEMA
+        )
+        return sorted(
+            tuple(r) for r in similarity._global_topk(cands).collect()
+        )
+
+    filtered = _query(qe.filter(~dead))  # tombstones dropped from lists
+    rebuilt = _query(similarity.quantized_embeddings(spark, SF).filter(~dead))
+    assert filtered == rebuilt  # (same frame both ways — the contract
+    # is that NO retraining is needed: `cents` trained on the full
+    # corpus serves the remaining vectors unchanged)
+    tombstoned = {
+        r["vec_id"]
+        for r in qe.filter(dead).select("vec_id").collect()
+    }
+    assert tombstoned  # rule actually bites
+    assert not any(nb in tombstoned for _, _, nb in filtered)
+
+    # report consistency: n_after sums to the remaining corpus
+    rows = similarity.ann_index_delete(spark, SF).collect()
+    assert sum(r["n_after"] for r in rows) == n - len(tombstoned)
+    for r in rows:
+        assert r["needs_compaction"] == (
+            r["n_deleted"] / r["n_before"] >= similarity.COMPACT_FRAC
+        )
