@@ -69,6 +69,14 @@ ENTRIES = [
     "curation_dsir_weights",
     "sketch_hll_registers",
     "layout_zorder_events",
+    # round-11 additions: the identity-collapsed banded image near-dup
+    # (expect e ≈ 1: one decode kernel pass + bounded band shuffle),
+    # the frozen-centroid index maintenance pair (training dominates at
+    # these sizes → e between 0 and 1; the probe itself is linear),
+    # and the two-level-rank shard planner (scan-bound, e ≈ 1).
+    "dedup_phash",
+    "ann_index_append",
+    "curation_shard_plan",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
