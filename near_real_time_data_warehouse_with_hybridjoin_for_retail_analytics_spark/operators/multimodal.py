@@ -1925,17 +1925,48 @@ def _phash_band_keys(bands: DataFrame) -> DataFrame:
     ).select("doc_id", "s.band", "s.bh")
 
 
+def _collapse_hash_groups(bands: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Identical-hash groups within ONE side (rep = min doc_id):
+    (reps with band columns, members (doc_id, rep)). Per side — never
+    spanning the indexed/incoming boundary — for the same reason
+    ``dedup_incremental`` collapses per side: a group spanning the
+    boundary would hide incoming members behind an indexed rep."""
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy(*_HASH_COLS)
+    with_rep = bands.select(
+        "doc_id", *_HASH_COLS, F.min("doc_id").over(gw).alias("rep")
+    )
+    reps = with_rep.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", *_HASH_COLS
+    )
+    return reps, with_rep.select("doc_id", "rep")
+
+
 def classify_phash_increment(
     incoming: DataFrame, indexed: DataFrame
 ) -> DataFrame:
     """Classify incoming band rows against indexed band rows — the ONE
     copy of the semantics the batch entry and the streaming gate share.
     Both inputs carry (doc_id, b0..b3); output is one row per incoming
-    doc: (doc_id, verdict, match_id, hamming)."""
+    doc: (doc_id, verdict, match_id, hamming).
+
+    Identical hashes collapse per side before the cross-boundary band
+    join (the dedup_phash skew defense, mirrored): the bucket join
+    touches distinct hashes only, so a duplicate-heavy ingest — the
+    normal case — cannot detonate a hot band bucket. Verdicts computed
+    for an incoming rep broadcast back to its identical members
+    (identical hash ⇒ identical distance to everything), and matching
+    against indexed reps only is lossless for match_id because the
+    qualifying indexed set is closed under identity groups and the
+    reported id is the minimum qualifying one — always a rep (group
+    min). Output, and therefore the oracle, is unchanged."""
+    inc_reps, inc_members = _collapse_hash_groups(incoming)
+    idx_reps, _ = _collapse_hash_groups(indexed)
     cands = (
-        _phash_band_keys(incoming)
+        _phash_band_keys(inc_reps)
         .join(
-            _phash_band_keys(indexed).select(
+            _phash_band_keys(idx_reps).select(
                 F.col("doc_id").alias("match_id"), "band", "bh"
             ),
             ["band", "bh"],
@@ -1943,21 +1974,17 @@ def classify_phash_increment(
         .select("doc_id", "match_id")
         .dropDuplicates()
     )
-    ha = incoming.select(
+    ha = inc_reps.select(
         "doc_id", *[F.col(f"b{j}").alias(f"a{j}") for j in range(PHASH_NBANDS)]
     )
-    hb = indexed.select(
+    hb = idx_reps.select(
         F.col("doc_id").alias("match_id"),
         *[F.col(f"b{j}").alias(f"hb{j}") for j in range(PHASH_NBANDS)],
     )
-    hamming = None
-    for j in range(PHASH_NBANDS):
-        term = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"hb{j}")))
-        hamming = term if hamming is None else hamming + term
     scored = (
         cands.join(ha, "doc_id")
         .join(hb, "match_id")
-        .withColumn("hamming", hamming.cast("int"))
+        .withColumn("hamming", _phash_hamming_col("a", "hb").cast("int"))
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
     )
     from pyspark.sql import Window
@@ -1966,11 +1993,10 @@ def classify_phash_increment(
     best = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("doc_id", "match_id", "hamming")
+        .select(F.col("doc_id").alias("rep"), "match_id", "hamming")
     )
     return (
-        incoming.select("doc_id")
-        .join(best, "doc_id", "left")
+        inc_members.join(best, "rep", "left")
         .select(
             "doc_id",
             F.when(F.col("hamming") == 0, F.lit("exact"))
