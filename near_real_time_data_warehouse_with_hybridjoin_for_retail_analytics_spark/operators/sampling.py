@@ -288,3 +288,74 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware split assignment (the FIX for cross-split leakage)
+# ---------------------------------------------------------------------------
+# `curation_split_leakage` measures the standard failure of hashing
+# doc ids into splits: near-duplicate documents land on opposite sides
+# of the train/test boundary and benchmarks silently inflate. The fix
+# every careful pipeline ships is to split on the DEDUP CLUSTER id:
+# all members of a duplicate cluster — across every evidence modality,
+# text, embedding AND perceptual-hash image edges — move together, so
+# no within-cluster pair can ever straddle a boundary. Keying the hash
+# with the SAME salt as `sample_split_assign` makes the two splits
+# agree on every singleton component (component_id == doc_id there):
+# only duplication-affected docs migrate, which keeps the split
+# maximally stable when dedup evidence grows.
+
+
+def _split_by_cluster_sql() -> str:
+    from .clusters import _SQL_MULTIMODAL_COMPONENTS
+
+    return f"""
+    WITH comp AS (
+      SELECT doc_id, component_id
+      FROM ({_SQL_MULTIMODAL_COMPONENTS})
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN b <= '{TRAIN_MAX}' THEN 'train'
+                WHEN b <= '{VAL_MAX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT c.doc_id,
+             substr(md5('{SPLIT_SALT}'
+                        || CAST(c.component_id AS VARCHAR)), 1, 2) AS b
+      FROM comp c
+    ) s
+    JOIN documents d USING (doc_id)
+    """
+
+
+@query("sample_split_by_cluster", _split_by_cluster_sql())
+def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the multimodal dedup-cluster
+    id (~80/10/10): every duplicate cluster moves as a unit, so
+    near-dup leakage across boundaries is structurally zero for every
+    pair the component graph knows (exact, trigram-Jaccard, embedding,
+    perceptual-hash image edges). Singleton docs keep exactly their
+    `sample_split_assign` split (same salt, component_id == doc_id).
+    Cost at 100 TB: the component labels are the table the dedup pass
+    already wrote; the split itself is one map-side hash."""
+    from .clusters import dedup_multimodal_components
+
+    comp = dedup_multimodal_components(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    b = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(SPLIT_SALT), F.col("component_id").cast("string")
+            )
+        ),
+        1,
+        2,
+    )
+    split = (
+        F.when(b <= TRAIN_MAX, F.lit("train"))
+        .when(b <= VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return comp.join(docs, "doc_id").select("doc_id", "lang", split.alias("split"))

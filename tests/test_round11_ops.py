@@ -140,3 +140,41 @@ def test_compaction_plan_invariants(spark):
     for g, _, n, _, _ in rows:
         assert g == cum // t  # the group id IS the rule applied
         cum += n
+
+
+def test_cluster_split_closes_leakage(spark):
+    """The dedup-aware split: (a) every multimodal component moves as a
+    unit — no pair the component graph knows can straddle a boundary,
+    so phash-modality leakage recomputed under cluster splits is ZERO;
+    (b) singleton components keep exactly their doc-id split (same
+    salt), so only duplication-affected docs migrate."""
+    from collections import Counter
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.clusters import (
+        dedup_multimodal_components,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.sampling import (
+        sample_split_by_cluster,
+    )
+
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_multimodal_components(spark, SF).collect()
+    }
+    csplit = {
+        r["doc_id"]: r["split"]
+        for r in sample_split_by_cluster(spark, SF).collect()
+    }
+    assert set(csplit) == set(comp)
+    # (a) components are split-atomic → image near-dup leakage is zero
+    by_comp = Counter(comp.values())
+    for d, c in comp.items():
+        assert csplit[d] == csplit[c]  # same split as the canonical doc
+    for r in multimodal.dedup_phash(spark, SF).collect():
+        assert csplit[r["doc_a"]] == csplit[r["doc_b"]]
+    # (b) singletons agree with the doc-id split
+    dsplit = _split_map(spark)
+    singles = [d for d, c in comp.items() if by_comp[c] == 1]
+    assert singles  # the property is exercised
+    for d in singles:
+        assert csplit[d] == dsplit[d]
