@@ -1,0 +1,71 @@
+"""Streaming IVF-append ingest gate: the ingest twin of
+``operators.similarity.ann_index_append``, completing the incremental
+symmetry — every incremental batch classifier in this repo (text
+dedup, embedding dedup, perceptual-hash image dedup, and now ANN index
+maintenance) also runs as a continuous gate over the same semantics.
+
+Per micro-batch: incoming vectors quantize onto the shared 1e-6
+integer grid and probe the FROZEN coarse quantizer once (Arrow-batched
+int64 matmul — the FAISS add-after-train contract, linear in the
+batch, history never touched), and one (vec_id, cluster, batch_id)
+assignment row per arrival is appended to the output directory.
+Assignments are a pure function of (vector, centroids), so a
+crash-retried batch appends identical rows and the (batch_id, vec_id)
+dedup on read-back restores exactly-once — the same mechanism as the
+phash gate. The merged assignment table after batch n is BIT-IDENTICAL
+to the batch operator's assignment over the union of batches 1..n
+(pinned by tests/test_streaming_ann_append.py), and per-list arrival
+counts — the signal a deployment alarms on (one list ballooning means
+the corpus drifted away from the trained quantizer; cf. the
+embedding-drift gate) — are one groupBy over the read-back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.similarity import _probe_udf, quantize_embedding_col
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def run_ann_append_stream(
+    spark: SparkSession,
+    input_dir: str,
+    cents: list[tuple[int, list[int], int]],
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Continuous centroid-frozen index appends over a
+    (vec_id, embedding, label) parquet feed. ``cents``: the trained
+    coarse quantizer (e.g. from ``_train_coarse_quantizer`` over the
+    indexed slice, or a ``load_ann_index`` table). Appends one
+    (vec_id, cluster, batch_id) row per arrival to ``out_dir``."""
+
+    raw = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    home = F.element_at(_probe_udf(cents, 1)(F.col("q")), 1)
+
+    def _assign(batch_df: DataFrame, batch_id: int) -> None:
+        quantize_embedding_col(batch_df).select(
+            "vec_id",
+            home.alias("cluster"),
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        ).write.mode("append").parquet(out_dir)
+
+    writer = raw.writeStream.foreachBatch(_assign).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Exactly-once read-back of the appended assignments: replayed
+    batches appended identical rows; dedup on (batch_id, vec_id)."""
+    return spark.read.parquet(out_dir).dropDuplicates(["batch_id", "vec_id"])
