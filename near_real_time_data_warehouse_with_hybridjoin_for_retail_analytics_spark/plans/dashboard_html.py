@@ -88,7 +88,18 @@ def render_dashboard_html(
                 spark, name, year=year if year is not None else years[0]
             ).toPandas()
             for dark in (False, True):
-                svg = render_dashboard_chart_svg(pdf, name, dark=dark)
+                # a view can be legitimately empty for a year (e.g. a
+                # growth series whose every LAG base is null) — render
+                # an explicit empty-state panel instead of a chart
+                if pdf.empty:
+                    svg = (
+                        '<svg xmlns="http://www.w3.org/2000/svg" '
+                        'width="480" height="80" role="img">'
+                        '<text x="16" y="45" font-size="13" '
+                        'fill="#888">no data for this selection</text></svg>'
+                    )
+                else:
+                    svg = render_dashboard_chart_svg(pdf, name, dark=dark)
                 panels.append(
                     '<div class="panel" data-view="{v}" data-year="{y}" '
                     'data-mode="{m}">{svg}</div>'.format(

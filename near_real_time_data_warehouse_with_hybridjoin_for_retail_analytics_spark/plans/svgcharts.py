@@ -263,6 +263,13 @@ def line_chart(df: pd.DataFrame, x: str, y: str, color: str | None = None,
     # have no point to draw — plotly renders them as gaps; dropping the
     # rows is the equivalent for straight-line segments.
     df = df[df[y].notna()]
+    if df.empty:  # every base was null: an explicit empty state
+        return (
+            '<svg xmlns="http://www.w3.org/2000/svg" width="480" '
+            'height="80" role="img"><title>{t}</title>'
+            '<text x="16" y="45" font-size="13" fill="#888">'
+            "no data points</text></svg>"
+        ).format(t=escape(title or y))
     cats = color_domain(df[color], domain) if color else [None]
     colors = _series_colors(cats, mode)
     if color_discrete_map:  # explicit per-entity pins win (parity)

@@ -178,3 +178,41 @@ def test_cluster_split_closes_leakage(spark):
     assert singles  # the property is exercised
     for d in singles:
         assert csplit[d] == dsplit[d]
+
+
+def test_synthesized_csv_dates_survive_etl(spark, tmp_path):
+    """Round-11 regression pin: the synthesized master CSVs must carry
+    date strings the ETL's multi-format parser accepts. Before the fix
+    o_orderdate's timestamp string form ('... 00:00:00') failed to
+    parse, every fact fell back to the 1900 sentinel, the date-dim
+    join dropped all rows, and the warehouse-twin baseline was timed
+    returning empty results."""
+    import os
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.etl.dimensions import (
+        build_customer_dim,
+        split_product_master,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        hybrid_join as hj,
+    )
+    from tools.bench_warehouse import synthesize_master_csvs
+
+    work = str(tmp_path / "wh")
+    os.makedirs(work)
+    synthesize_master_csvs(spark, SF, work)
+    raw = spark.read.option("header", True).csv(os.path.join(work, "tx.csv"))
+    customer = build_customer_dim(spark, os.path.join(work, "customer.csv"))
+    product, _, _ = split_product_master(
+        spark, os.path.join(work, "product.csv")
+    )
+    fact, _n, _cleanup = hj.assign_sales_ids(
+        hj.enrich(hj.normalize_stream(raw), customer, product), offset=0
+    )
+    lo, hi, n_sentinel = fact.selectExpr(
+        "min(date_id)",
+        "max(date_id)",
+        "sum(CASE WHEN date_id = 19000101 THEN 1 ELSE 0 END)",
+    ).first()
+    assert n_sentinel == 0  # no date fell back
+    assert 19900101 < lo <= hi < 20100101  # real testdata years

@@ -107,7 +107,13 @@ def synthesize_master_csvs(spark: SparkSession, sf_dir: str, out_dir: str) -> in
                 "Product_ID"
             ),
             F.col("l_quantity").cast("int").alias("quantity"),
-            F.col("o_orderdate").cast("string").alias("date"),
+            # cast to DATE first: the raw column is a timestamp, whose
+            # string form ("1997-01-03 00:00:00") the ETL's multi-format
+            # date parser rejects — every fact then fell back to the
+            # 1900 sentinel and the date-dim join dropped ALL rows, so
+            # the warehouse twins were timed returning empty results
+            # (round-11 find; BASELINE re-measured after the fix)
+            F.col("o_orderdate").cast("date").cast("string").alias("date"),
         )
         .persist()  # written once, counted once — no join recompute
     )
