@@ -1270,3 +1270,111 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift across the ingest boundary
+# ---------------------------------------------------------------------------
+# The text-side twin of `embedding_drift`: ingest monitoring that fires
+# BEFORE a bad batch trains. The indexed slice (doc_id below the shared
+# deterministic 0.8·max watermark — yesterday's corpus) is the
+# reference distribution; the incoming slice is today's batch. Both
+# project onto the same DSIR_BUCKETS hashed-unigram space the DSIR
+# scorer uses (64 integer buckets — bounded state at any corpus size),
+# and each bucket reports its add-1-smoothed log-likelihood ratio
+# ln(p_inc/p_ref), the per-bucket drift signal: a token flood from a
+# new source or a vocabulary collapse shifts specific buckets long
+# before any exact vocabulary diff could be afforded. Everything is
+# exact integer counts plus ln() rounded to 6dp (the engine-portable
+# convention `curation_dsir_weights` established), so the oracle
+# replays the boundary, the bucket hash and every ratio bit-for-bit.
+TOKEN_DRIFT_SPLIT_FRAC = 0.8
+
+
+@query(
+    "text_token_drift",
+    f"""
+    WITH split AS (
+      SELECT CAST(floor(MAX(doc_id) * {TOKEN_DRIFT_SPLIT_FRAC}) AS BIGINT)
+               AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    h AS (
+      SELECT CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 64 AS b,
+             doc_id < (SELECT w FROM split) AS is_ref
+      FROM toks
+    ),
+    counts AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_inc
+      FROM h GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_ref) AS tr, SUM(n_inc) AS ti FROM counts),
+    full_b AS (
+      SELECT r.range AS bucket,
+             COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_inc, 0) AS n_inc
+      FROM range(0, 64) r LEFT JOIN counts c ON c.b = r.range
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n_ref, n_inc,
+           round(ln(CAST(n_inc + 1 AS DOUBLE) / (tot.ti + 64))
+                 - ln(CAST(n_ref + 1 AS DOUBLE) / (tot.tr + 64)), 6) AS llr
+    FROM full_b CROSS JOIN tot
+    """,
+)
+def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket hashed-unigram drift between the indexed slice
+    (reference distribution) and the incoming slice: (bucket, n_ref,
+    n_inc, llr) over the 64-bucket DSIR space, llr = smoothed
+    ln(p_inc/p_ref). Bounded state (64 rows) regardless of corpus
+    size; one token-stream pass + one tiny groupBy. The drift-injection
+    detection property is pytest-gated."""
+    from .dedup import TOKEN_SPLIT, portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = int(docs.agg(F.max("doc_id")).collect()[0][0] * TOKEN_DRIFT_SPLIT_FRAC)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("token"),
+    )
+    counts = (
+        toks.select(
+            (portable_hash60("token") % 64).alias("b"),
+            (F.col("doc_id") < w).alias("is_ref"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_inc"),
+        )
+    )
+    buckets = spark.range(64).select(F.col("id").cast("int").alias("bucket"))
+    full_b = buckets.join(
+        counts.withColumnRenamed("b", "bucket"), "bucket", "left"
+    ).select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_inc", F.lit(0)).cast("long").alias("n_inc"),
+    )
+    tot = full_b.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_inc").alias("ti")
+    )
+    llr = F.round(
+        F.log((F.col("n_inc") + 1).cast("double") / (F.col("ti") + 64))
+        - F.log((F.col("n_ref") + 1).cast("double") / (F.col("tr") + 64)),
+        6,
+    )
+    return full_b.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_ref", "n_inc", llr.alias("llr")
+    )

@@ -216,3 +216,57 @@ def test_synthesized_csv_dates_survive_etl(spark, tmp_path):
     ).first()
     assert n_sentinel == 0  # no date fell back
     assert 19900101 < lo <= hi < 20100101  # real testdata years
+
+
+def test_token_drift_matches_replay_and_detects_injection(spark, tmp_path):
+    """(a) The operator equals an exact Python replay of the bucket
+    counts and smoothed llr on a synthetic corpus; (b) flooding the
+    INCOMING slice with a novel token drives its bucket's llr positive.
+    (Hashed buckets collide by design — the replay, not a per-token
+    argument, is the ground truth.)"""
+    import hashlib
+    import math
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.textops import (
+        text_token_drift,
+    )
+
+    base_tokens = [f"tok{i}" for i in range(40)]
+    base = " ".join(base_tokens)
+    flood = " ".join(["zzzflood"] * 200)
+    rows = [(i, base) for i in range(80)]
+    rows += [(100, flood)] + [(101 + i, base) for i in range(19)]
+    root = tmp_path / "drift"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    w = int(119 * 0.8)
+    n_ref = [0] * 64
+    n_inc = [0] * 64
+    for doc_id, text in rows:
+        side = n_ref if doc_id < w else n_inc
+        for tok in text.split():
+            side[bucket(tok)] += 1
+    tr, ti = sum(n_ref), sum(n_inc)
+    exp = {
+        b: (
+            n_ref[b],
+            n_inc[b],
+            math.log((n_inc[b] + 1) / (ti + 64))
+            - math.log((n_ref[b] + 1) / (tr + 64)),
+        )
+        for b in range(64)
+    }
+    got = {
+        r["bucket"]: (r["n_ref"], r["n_inc"], r["llr"])
+        for r in text_token_drift(spark, str(root)).collect()
+    }
+    assert set(got) == set(exp)
+    for b in range(64):
+        assert got[b][:2] == exp[b][:2]
+        assert abs(got[b][2] - exp[b][2]) < 1e-6
+    assert got[bucket("zzzflood")][2] > 0  # injection detected
