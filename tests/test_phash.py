@@ -165,3 +165,25 @@ def test_skewed_duplicate_class_collapses(spark, tmp_path):
     exp = sorted(tuple(r) for r in con.execute(ORACLES["dedup_phash"]).fetchall())
     assert got == exp
     assert len(got) >= n_dup * (n_dup - 1) // 2  # the whole class paired
+
+
+def test_decode_parity_on_random_strings(spark, tmp_path):
+    """Decoder parity beyond the testdata distribution: 200 seeded
+    random printable strings (lengths 0–400, so heights 1–9 and every
+    zero-padding shape) must hash identically through the REAL
+    encode/decode kernel and the byte replay."""
+    import random
+
+    rng = random.Random(1101)
+    alphabet = [chr(c) for c in range(32, 127)]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 400)))
+        for _ in range(200)
+    ]
+    root = tmp_path / "rand"
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+    got = _bands_by_doc(spark, str(root))
+    for i, t in enumerate(texts):
+        assert got[i] == _replay_bands(t), f"mismatch at doc {i}"
