@@ -9,6 +9,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 from __future__ import annotations
 
 import json
+import math
 import re
 from collections.abc import Callable
 from pathlib import Path
@@ -175,6 +176,47 @@ def _ordered(
         key=lambda n: (last.get(n, 0), pos[n]),
     )
     return pinned + forced + rest
+
+
+_WINDOW = 50  # the driver verifies the first 50 queries() entries
+
+
+def _projected_next_load(
+    names: dict,
+    last: dict[str, int] | None = None,
+    forced: list[str] | None = None,
+    pinned_names: list[str] | None = None,
+    n_new: int = 0,
+) -> tuple[int, int]:
+    """(load, bound) for the NEXT driver run: how many window slots it
+    must serve — pinned + forced (hash-changed or brand-new) + entries
+    due under the documented staleness bound — versus the bound itself,
+    ceil((N−P)/(window−P)) at the grown registry size. ``n_new`` models
+    a wave of brand-new entries (each is hash-forced in its first
+    round). An entry is DUE when skipping it next round would push its
+    staleness past the bound: last ≤ (latest+1) − bound. Registry
+    growth must keep load ≤ window, else forced entries displace due
+    stale ones and the bound silently stretches — the budget
+    tests/test_rotation.py enforces at growth time."""
+    if pinned_names is None:
+        pinned_names = _PINNED
+    pinned = {n for n in pinned_names if n in names}
+    if forced is None:
+        forced = _FORCE_VERIFY + _hash_forced(names)
+    forced_set = {n for n in forced if n in names} - pinned
+    if last is None:
+        last = _last_verified()
+    latest = max(last.values(), default=0)
+    n_total = len(names) + n_new
+    bound = math.ceil((n_total - len(pinned)) / (_WINDOW - len(pinned)))
+    due = {
+        n
+        for n in names
+        if n not in pinned
+        and n not in forced_set
+        and last.get(n, 0) <= latest + 1 - bound
+    }
+    return len(pinned) + len(forced_set) + n_new + len(due), bound
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

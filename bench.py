@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -189,10 +190,14 @@ def main() -> None:
     # headline reference surface (q01–q20 + the two ETL entries) is what
     # the judge compares against BASELINE.md, so that subset rides in
     # "queries"; the complete per-entry picture is in the detail file.
+    # ^q\d\d_ matches exactly the reference's q01..q20 naming; a bare
+    # startswith("q") would silently pull any future "quantile_*"-style
+    # entry into the judge-facing headline number.
     headline = {
         n: t
         for n, t in timings.items()
-        if n.startswith("q") or n in ("etl_enrich_events", "etl_events_by_type")
+        if re.match(r"^q\d\d_", n)
+        or n in ("etl_enrich_events", "etl_events_by_type")
     }
     print(
         json.dumps(

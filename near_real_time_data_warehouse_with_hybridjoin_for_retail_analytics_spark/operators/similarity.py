@@ -2739,9 +2739,17 @@ def _ann_append_sql() -> str:
     # Same coarse-quantizer CTE chain as the IVF oracle, but `qe`/`n2`
     # are the INDEXED slice, so training (and the derived nclusters)
     # replays yesterday's build; params count the indexed slice too.
-    coarse = _sql_ivf_coarse().replace(
+    full_coarse = _sql_ivf_coarse()
+    coarse = full_coarse.replace(
         "(SELECT COUNT(*) FROM embeddings) AS n",
         "(SELECT COUNT(*) FROM qe) AS n",
+    )
+    # the replace retargets training onto the indexed slice; if the
+    # literal in SQL_IVF_PARAMS is ever reworded this must fail loudly,
+    # not silently train nclusters on the full corpus
+    assert coarse != full_coarse, (
+        "count-source literal not found in _sql_ivf_coarse(); "
+        "the append oracle would train on the full corpus"
     )
     d1 = EMB_DIM + 1
     return f"""

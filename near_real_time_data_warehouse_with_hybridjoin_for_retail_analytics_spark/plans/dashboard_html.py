@@ -80,6 +80,10 @@ def render_dashboard_html(
     (``warehouse_queries.register_warehouse``). Year-filtered views are
     rendered once per (year, mode); year-independent views once per
     mode and tagged ``data-year="all"``."""
+    if not years:
+        # a feed whose every date failed to parse yields no years; an
+        # IndexError at years[0] below would be unactionable
+        raise ValueError("no years in fact table: cannot render dashboard")
     panels: list[str] = []
     for name in DASHBOARD_QUERIES:
         year_keys = years if name in YEAR_FILTERED else [None]

@@ -87,6 +87,49 @@ def test_never_verified_sorts_most_stale():
     assert order == ["c", "b", "a"]
 
 
+def test_next_round_budget_holds_on_real_registry():
+    """Registry-growth gate (round-12 verdict item 1): the NEXT driver
+    run must have room for every entry it owes — pinned + hash-forced
+    (incl. brand-new) + entries due under the staleness bound. At exact
+    capacity (r12 entered with 22 pinned + 23 due-at-bound = 45 of 50)
+    every new entry spends one of the remaining slots; this test makes
+    a too-large wave fail AT GROWTH TIME instead of silently stretching
+    the documented bound by starving a due entry."""
+    load, bound = e._projected_next_load(e.registry.QUERIES)
+    assert load <= WINDOW, (
+        f"next-round window overflow: {load} > {WINDOW} slots needed "
+        f"(staleness bound {bound} rounds) — stage the new-entry wave "
+        f"across rounds or raise the documented bound consciously"
+    )
+
+
+def test_budget_overflows_on_oversized_wave():
+    """The budget check must DEMONSTRABLY fail when a wave larger than
+    the slack lands: replay the committed round-12 entry state (22
+    pinned, 23 entries due at the bound, manifest clean) and add
+    synthetic new entries — 5 still fits, 6 overflows."""
+    pinned = [f"pin{i:02d}" for i in range(22)]
+    floating = [f"op{i:03d}" for i in range(101)]
+    names = {n: None for n in pinned + floating}
+    # mirror CORRECTNESS_r8..r11: 23 due entries at the bound edge,
+    # the rest fresher (r9/r10/r11), pinned verified every round
+    last = {n: 11 for n in pinned}
+    for i, n in enumerate(floating):
+        last[n] = 8 + min(i // 23, 3)
+    base, bound = e._projected_next_load(
+        names, last=last, forced=[], pinned_names=pinned
+    )
+    assert bound == 4 and base == 45
+    ok, _ = e._projected_next_load(
+        names, last=last, forced=[], pinned_names=pinned, n_new=5
+    )
+    over, _ = e._projected_next_load(
+        names, last=last, forced=[], pinned_names=pinned, n_new=6
+    )
+    assert ok == 50 <= WINDOW
+    assert over == 51 > WINDOW, "a 6-entry wave must trip the budget"
+
+
 def test_real_registry_window_budget():
     """pinned + forced must fit the 50-slot window, or forced entries
     silently wait — stage the changes across rounds instead."""

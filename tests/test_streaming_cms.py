@@ -76,6 +76,37 @@ def test_restart_is_idempotent(spark, sf_dir, tmp_path):
     assert again == first
 
 
+def test_state_compaction_bounds_partials(spark, sf_dir, tmp_path):
+    """Drive more batches than CMS_COMPACT_EVERY: the report must still
+    bit-match the batch cell table (compaction is a pure fold), the
+    live partials directory must hold fewer than CMS_COMPACT_EVERY
+    batch tags (state bounded), the compacted base must exist with a
+    high watermark, and a restart across the compaction boundary must
+    stay exactly-once (the ≤-watermark skip path)."""
+    input_dir = str(tmp_path / "feed")
+    _feed(spark, sf_dir, input_dir, n_files=cms_stream.CMS_COMPACT_EVERY + 3)
+    got = _run(spark, tmp_path, input_dir)
+    batch = sorted(
+        (r.source, r.i, r.bucket, r.cnt)
+        for r in cms_cell_table(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    )
+    assert got == batch
+    from pyspark.sql import functions as F
+
+    live_tags = (
+        spark.read.parquet(str(tmp_path / "state" / "partials"))
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert live_tags < cms_stream.CMS_COMPACT_EVERY
+    base = spark.read.parquet(str(tmp_path / "state" / "base"))
+    assert base.agg(F.max("wmark")).collect()[0][0] >= 0
+    assert _run(spark, tmp_path, input_dir) == batch  # restart idempotent
+
+
 def test_source_cells_sum_to_corpus_cells(spark, sf_dir, tmp_path):
     """Summing the gate's per-source cells over sources reproduces the
     corpus-wide DEPTH×WIDTH table the batch sketch_count_min entry
