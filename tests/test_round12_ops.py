@@ -1,0 +1,112 @@
+"""Round-12 operator gates: compaction EXECUTION (row identity, one
+file per planned bin, zone-map pruning preserved), the ANN tombstone
+stream's batch twin, the PNG-path perceptual hash, and the corpus
+encoding assumption the byte-replay oracles rest on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+    load_table,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    layout,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Compaction execution
+# ---------------------------------------------------------------------------
+def _compacted(spark, tmp_path):
+    dest = str(tmp_path / "compacted")
+    layout.compact_events(spark, SF, dest)
+    return spark.read.parquet(dest)
+
+
+def test_compaction_preserves_row_set(spark, tmp_path):
+    """OPTIMIZE must be a pure physical rewrite: the compacted dataset
+    holds exactly the original rows (both exceptAll directions empty),
+    modulo the group_id clustering column it adds."""
+    before = load_table(spark, SF, "events")
+    after = _compacted(spark, tmp_path).select(*before.columns)
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+
+
+def test_compaction_one_file_per_planned_bin(spark, tmp_path):
+    """File count = the plan's bin count, one file per group — the
+    small-file problem is actually gone, not re-sharded."""
+    plan = {
+        r["group_id"]: (r["n_rows"], r["hour_min"], r["hour_max"])
+        for r in layout.layout_compaction_plan(spark, SF).collect()
+    }
+    got = {
+        r["group_id"]: (r["n_rows"], r["hour_min"], r["hour_max"], r["nf"])
+        for r in _compacted(spark, tmp_path)
+        .select(
+            F.col("group_id").cast("long").alias("group_id"),
+            F.input_file_name().alias("file"),
+            F.expr(f"unix_micros(ts) DIV {layout._US_PER_HOUR}").alias("hour"),
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("hour").alias("hour_min"),
+            F.max("hour").alias("hour_max"),
+            F.countDistinct("file").alias("nf"),
+        )
+        .collect()
+    }
+    assert set(got) == set(plan)
+    for gid, (n_rows, hmin, hmax) in plan.items():
+        assert got[gid] == (n_rows, hmin, hmax, 1), gid
+
+
+def test_compacted_zone_maps_prune(spark, tmp_path):
+    """Time-adjacency pruning survives the rewrite: the per-file hour
+    envelopes are pairwise DISJOINT and ordered by group id, so a
+    point-hour predicate matches exactly one file's zone map — the
+    property (narrow per-file envelopes) layout_zorder_events proves
+    for the z-ordered layout holds for the compacted one too."""
+    rows = sorted(
+        (r["group_id"], r["hour_min"], r["hour_max"])
+        for r in layout.layout_compaction_apply(spark, SF).collect()
+    )
+    assert len(rows) > 1, "sf0.001 must plan multiple bins"
+    for (_, _, prev_max), (_, cur_min, _) in zip(rows, rows[1:]):
+        assert cur_min > prev_max, "hour envelopes must be disjoint+ordered"
+
+
+def test_compaction_apply_is_idempotent(spark):
+    """The registry entry overwrites its deterministic dest: a second
+    run reports the identical inventory (bench runs it 3×)."""
+    first = sorted(map(tuple, layout.layout_compaction_apply(spark, SF).collect()))
+    again = sorted(map(tuple, layout.layout_compaction_apply(spark, SF).collect()))
+    assert again == first
+
+
+# ---------------------------------------------------------------------------
+# Corpus encoding assumption behind the byte-replay oracles
+# ---------------------------------------------------------------------------
+def test_documents_text_is_ascii_everywhere():
+    """The phash / decode-stats oracles replay payload BYTES with
+    character-semantics SQL (length(text), ascii(substr(..)));
+    Spark-side kernels hash UTF-8 bytes. The two agree iff the corpus
+    is pure ASCII — pin that, at every committed scale factor, so the
+    cross-engine hash gates cannot silently depend on encoding."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            f"""
+            SELECT COUNT(*) FROM read_parquet(
+              '/root/testdata/{sf}/documents.parquet')
+            WHERE text IS NOT NULL
+              AND (octet_length(encode(text)) != length(text)
+                   OR regexp_matches(text, '[^\\x00-\\x7F]'))
+            """
+        ).fetchone()[0]
+        assert n == 0, f"non-ASCII documents.text at {sf}"
