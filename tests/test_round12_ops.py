@@ -70,12 +70,15 @@ def test_compacted_zone_maps_prune(spark, tmp_path):
     envelopes are pairwise DISJOINT and ordered by group id, so a
     point-hour predicate matches exactly one file's zone map — the
     property (narrow per-file envelopes) layout_zorder_events proves
-    for the z-ordered layout holds for the compacted one too."""
+    for the z-ordered layout holds for the compacted one too. (sf0.01:
+    sf0.001 has fewer event rows than one target bin.)"""
     rows = sorted(
         (r["group_id"], r["hour_min"], r["hour_max"])
-        for r in layout.layout_compaction_apply(spark, SF).collect()
+        for r in layout.layout_compaction_apply(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
     )
-    assert len(rows) > 1, "sf0.001 must plan multiple bins"
+    assert len(rows) > 1, "sf0.01 must plan multiple bins"
     for (_, _, prev_max), (_, cur_min, _) in zip(rows, rows[1:]):
         assert cur_min > prev_max, "hour envelopes must be disjoint+ordered"
 
