@@ -1732,13 +1732,15 @@ def phash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_phash_bands() -> str:
-    """CTE chain replaying the dHash from the raw text bytes (the BMP
-    round trip is identity on the padded pixel array, so byte i ->
-    pixel (i//3 // 16, i//3 % 16) channel i%3); ends with ``pbands``
-    (doc_id, b0..b3). Shared by the dedup_phash oracle and the
-    multimodal-components / dedup-report oracle extensions."""
-    w, w3 = BMP_WIDTH, 3 * BMP_WIDTH
+def _sql_phash_bands(width: int = BMP_WIDTH) -> str:
+    """CTE chain replaying the dHash from the raw text bytes (BOTH
+    codec round trips are identity on the padded pixel array, so byte
+    i -> pixel (i//3 // width, i//3 % width) channel i%3); ends with
+    ``pbands`` (doc_id, b0..b3). Default width = the BMP path (shared
+    by the dedup_phash oracle and the multimodal-components /
+    dedup-report oracle extensions, whose text must stay stable);
+    ``PNG_WIDTH`` replays the compressed-codec path."""
+    w, w3 = width, 3 * width
     g = PHASH_GRID
     band_cols = ",\n         ".join(
         f"CAST(SUM(CASE WHEN idx // {PHASH_BAND_BITS} = {j} "

@@ -2929,3 +2929,37 @@ def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("needs_compaction"),
         )
     )
+
+
+def _ann_delete_assign_sql() -> str:
+    return f"""
+    WITH qe AS ({_SQL_QE}),
+    n2 AS ({_SQL_N2}),
+    {_sql_ivf_coarse()}
+    SELECT m.vec_id, CAST(m.j AS INT) AS cluster
+    FROM mem m WHERE m.vec_id % {TOMBSTONE_MOD} = 0
+    """
+
+
+@query("ann_delete_assignments", _ann_delete_assign_sql())
+def ann_delete_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-tombstone view of ``ann_index_delete``: (vec_id,
+    cluster) for every expired vector — which inverted list each delete
+    hits. This is the row-level table the streaming tombstone gate
+    (``streaming/ann_delete_stream.py``) appends per micro-batch; its
+    merged read-back must equal this entry exactly (stream/batch
+    equivalence, tests/test_streaming_ann_delete.py), the same twin
+    contract as ann_index_append ↔ the append gate. One probe pass with
+    the session-cached frozen quantizer + a map-side modulo filter —
+    at 100 TB the probe is only needed when the deployment lacks an
+    id→list map; with one (the appended assignment table), deletes are
+    pure metadata joins, which is exactly how the streaming gate
+    consumes this table."""
+    ncl, _ = derived_ivf_params(corpus_count(spark, sf_dir))
+    qe = quantized_embeddings(spark, sf_dir)
+    cents = coarse_quantizer(spark, sf_dir, qe, ncl)
+    home = F.element_at(_probe_udf(cents, 1)(F.col("q")), 1)
+    return (
+        qe.filter(F.col("vec_id") % TOMBSTONE_MOD == 0)
+        .select("vec_id", home.alias("cluster"))
+    )
