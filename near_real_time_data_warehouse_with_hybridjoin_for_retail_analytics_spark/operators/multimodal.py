@@ -1887,6 +1887,156 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PNG-path perceptual hash: dHash over the COMPRESSED codec round trip
+# ---------------------------------------------------------------------------
+# dedup_phash hashes pixels from the BMP round trip; the realistic
+# 100 TB corpus carries compressed payloads (the decode-stats entries'
+# PNG/JPEG paths). This variant runs the same dHash kernel over pixels
+# decoded by the REAL PNG decoder (CRC-verified inflate + all-five-
+# filter reconstruction), so the pair mining is exercised against the
+# compressed-image pipeline end-to-end. PNG_WIDTH (12) differs from
+# BMP_WIDTH (16), so thumbnails sample different pixels and the two
+# entries' hash spaces are genuinely distinct.
+
+PHASH_PNG_VARIANT = "png"  # artifact-store version tag component
+
+
+def _make_phash_bands_worker(encode):
+    """Worker factory: the dHash kernel of ``phash_dhash_bands`` with a
+    pluggable codec writer — the payload round-trips through
+    ``decode_image`` (header/CRC-checked real decoders), then
+    thumbnail → grayscale → gradient bits → 4×16-bit bands."""
+    weights = 1 << np.arange(PHASH_BAND_BITS, dtype=np.int64)
+    g = PHASH_GRID
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            bands: list[list[int]] = [[] for _ in range(PHASH_NBANDS)]
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = b"" if payload is None else bytes(payload)
+                _, _, img = decode_image(encode(raw))
+                small = resize_nearest(img, g + 1, g)
+                gray = small.astype(np.int64).sum(axis=2)
+                bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64).ravel()
+                ids.append(doc_id)
+                for j in range(PHASH_NBANDS):
+                    seg = bits[j * PHASH_BAND_BITS : (j + 1) * PHASH_BAND_BITS]
+                    bands[j].append(int((seg * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    **{
+                        f"b{j}": pd.Series(bands[j], dtype="int64")
+                        for j in range(PHASH_NBANDS)
+                    },
+                }
+            )
+
+    return worker
+
+
+phash_png_dhash_bands = _make_phash_bands_worker(encode_png)
+
+
+def phash_png_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3) through the real PNG encode/decode round trip —
+    the compressed-codec twin of ``phash_bands_df``. Same zero-shuffle
+    Arrow kernel shape; the decode now exercises inflate + defilter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_binary_payload(docs).mapInPandas(
+        phash_png_dhash_bands, PHASH_SCHEMA
+    )
+
+
+def _mine_phash_pairs(bands: DataFrame) -> DataFrame:
+    """Banded near-dup pair mining over a (doc_id, b0..b3) hash table:
+    identical-hash collapse (skew defense) → band-bucket candidate join
+    over representatives → exact 64-bit Hamming verify → expand back to
+    members. Identical logic to the inline body of ``dedup_phash``
+    (kept inline there so its committed entry hash stays stable);
+    recall 1.0 by the same pigeonhole argument."""
+    from pyspark.sql import Window
+
+    from .dedup import _bucket_pairs, _expand_rep_pairs, _within_group_pairs
+
+    gw = Window.partitionBy(*_HASH_COLS)
+    with_rep = bands.select(
+        "doc_id",
+        *_HASH_COLS,
+        F.min("doc_id").over(gw).alias("rep"),
+        F.count(F.lit(1)).over(gw).alias("group_size"),
+    )
+    members = with_rep.select("doc_id", "rep", "group_size")
+    rep_bands = with_rep.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", *_HASH_COLS
+    )
+    cands = (
+        _bucket_pairs(_phash_band_keys(rep_bands), ["band", "bh"], "doc_id")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .dropDuplicates()
+    )
+    ha = rep_bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(PHASH_NBANDS)],
+    )
+    hb = rep_bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"hb{j}") for j in range(PHASH_NBANDS)],
+    )
+    rep_pairs = (
+        cands.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", _phash_hamming_col("a", "hb").cast("int"))
+        .filter(
+            (F.col("hamming") > 0) & (F.col("hamming") <= PHASH_MAX_HAMMING)
+        )
+        .select("doc_a", "doc_b", "hamming")
+    )
+    cross = _expand_rep_pairs(rep_pairs, members, "hamming")
+    within = _within_group_pairs(
+        members, F.lit(0).cast("int").alias("hamming")
+    )
+    return cross.unionByName(within)
+
+
+def _phash_png_sql() -> str:
+    return f"""
+    WITH {_sql_phash_bands(PNG_WIDTH)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_SQL_PHASH_HAMMING} AS INT) AS hamming
+    FROM pbands a JOIN pbands b ON a.doc_id < b.doc_id
+    WHERE {_SQL_PHASH_HAMMING} <= {PHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_phash_png", _phash_png_sql())
+def dedup_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the COMPRESSED image path:
+    (doc_a, doc_b, hamming ≤ PHASH_MAX_HAMMING) where the dHash pixels
+    come from the real PNG decoder (CRC-verified inflate + full
+    five-filter scanline reconstruction) instead of the BMP header
+    parser — the pair-mining pipeline proven against the payload class
+    a production corpus actually stores. Mining is the same banded
+    plan as ``dedup_phash`` (identical-hash collapse, bucket join over
+    representatives, candidates-only Hamming verify; pigeonhole ⇒
+    recall 1.0, re-proven every round by the all-pairs oracle). The
+    PNG round trip is byte→pixel identity at PNG_WIDTH, so the oracle
+    replays the full chain from the raw bytes; randomized decoder
+    parity is pytest-gated (tests/test_phash.py PNG section)."""
+    from .artifacts import materialized
+
+    bands = materialized(
+        spark,
+        sf_dir,
+        "phash_png_bands",
+        f"v1:dhash8:{PHASH_PNG_VARIANT}",
+        lambda: phash_png_bands_df(spark, sf_dir),
+    )
+    return _mine_phash_pairs(bands)
+
+
+# ---------------------------------------------------------------------------
 # Incremental image dedup: classify incoming images against the index
 # ---------------------------------------------------------------------------
 # The image twin of dedup_incremental (text) and

@@ -187,3 +187,80 @@ def test_decode_parity_on_random_strings(spark, tmp_path):
     got = _bands_by_doc(spark, str(root))
     for i, t in enumerate(texts):
         assert got[i] == _replay_bands(t), f"mismatch at doc {i}"
+
+
+# ---------------------------------------------------------------------------
+# Round 12: PNG-path phash (dedup_phash_png)
+# ---------------------------------------------------------------------------
+def _replay_bands_w(text: str, w: int) -> tuple[int, ...]:
+    """Width-parameterized byte-math replay (the oracle's mapping for
+    either codec: byte i -> pixel (i//3 // w, i//3 % w) channel i%3)."""
+    raw = text.encode("utf-8")
+    g = multimodal.PHASH_GRID
+    h = max(1, -(-len(raw) // (3 * w)))
+    data = raw + b"\x00" * (3 * w * h - len(raw))
+    img = np.frombuffer(data, np.uint8).reshape(h, w, 3)
+    rows = (np.arange(g) * h) // g
+    cols = (np.arange(g + 1) * w) // (g + 1)
+    gray = img[rows][:, cols].astype(np.int64).sum(axis=2)
+    bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64).ravel()
+    weights = 1 << np.arange(multimodal.PHASH_BAND_BITS, dtype=np.int64)
+    bb = multimodal.PHASH_BAND_BITS
+    return tuple(
+        int((bits[j * bb : (j + 1) * bb] * weights).sum())
+        for j in range(multimodal.PHASH_NBANDS)
+    )
+
+
+def _png_bands_by_doc(spark, sf: str) -> dict[int, tuple[int, ...]]:
+    rows = multimodal.phash_png_bands_df(spark, sf).collect()
+    return {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in rows}
+
+
+def test_png_decode_parity_on_random_strings(spark, tmp_path):
+    """The dHash through the REAL compressed round trip (encode_png →
+    CRC-verified inflate + five-filter reconstruction → resize) equals
+    the byte replay at PNG_WIDTH, over 200 seeded random strings
+    spanning heights 1–12 and every padding shape — a wrong byte
+    anywhere in the defilter logic breaks a hash here."""
+    import random
+
+    rng = random.Random(1201)
+    alphabet = [chr(c) for c in range(32, 127)]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 400)))
+        for _ in range(200)
+    ]
+    root = tmp_path / "rand_png"
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+    got = _png_bands_by_doc(spark, str(root))
+    for i, t in enumerate(texts):
+        assert got[i] == _replay_bands_w(t, multimodal.PNG_WIDTH), i
+
+
+def test_png_banded_equals_allpairs_truth(spark):
+    """Recall 1.0 realized for the PNG-path miner: the banded
+    candidate+verify output equals brute-force all-pairs Hamming truth
+    over the PNG-path hashes at sf0.001."""
+    bands = _png_bands_by_doc(spark, SF)
+    truth = sorted(
+        (a, b, _hamming(bands[a], bands[b]))
+        for a, b in itertools.combinations(sorted(bands), 2)
+        if _hamming(bands[a], bands[b]) <= multimodal.PHASH_MAX_HAMMING
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal.dedup_phash_png(spark, SF).collect()
+    )
+    assert got == truth
+
+
+def test_png_and_bmp_hash_spaces_differ(spark):
+    """PNG_WIDTH (12) ≠ BMP_WIDTH (16): the thumbnails sample different
+    pixels, so the two entries are genuinely distinct capabilities —
+    at least one document must hash differently."""
+    bmp = _bands_by_doc(spark, SF)
+    png = _png_bands_by_doc(spark, SF)
+    assert any(bmp[d] != png[d] for d in bmp)
