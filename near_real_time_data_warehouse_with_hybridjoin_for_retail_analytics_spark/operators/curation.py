@@ -40,6 +40,9 @@ EVAL_MODULUS = 43
 CONTAM_NGRAM = 5
 # Per-source token budget for mixture sampling.
 SOURCE_TOKEN_BUDGET = 20_000
+# Training-shard count for the serpentine shard planner (defined up
+# here because the data-card oracle embeds it at decoration time).
+N_SHARDS = 8
 
 _SQL_N_TOKENS = "len(regexp_split_to_array(trim(text), '\\s+'))"
 
@@ -550,6 +553,7 @@ def _dedup_report_sql() -> str:
         _SQL_PHASH_HAMMING,
         _sql_phash_bands,
     )
+    from .sampling import SPLIT_SALT, TRAIN_MAX, VAL_MAX
     from .textops import _WINNOW_SQL
 
     return f"""
@@ -594,6 +598,66 @@ def _dedup_report_sql() -> str:
              CAST(coalesce(SUM(CASE WHEN share >= {SPAN_DUP_SHARE} THEN 1 END),
                            0) AS BIGINT) AS n_affected
       FROM span_doc
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN b <= '{TRAIN_MAX}' THEN 'train'
+                  WHEN b <= '{VAL_MAX}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)),
+                          1, 2) AS b
+            FROM documents)
+    ),
+    leak_sim_r AS (
+      SELECT 'leakage_simhash' AS modality,
+             CAST(coalesce(SUM(CASE WHEN sa.split != sb.split
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_affected,
+             CASE WHEN COUNT(*) = 0 THEN 0.0
+                  ELSE CAST(SUM(CASE WHEN sa.split != sb.split
+                                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             END AS affected_rate
+      FROM sim p
+      JOIN splits sa ON sa.doc_id = p.doc_a
+      JOIN splits sb ON sb.doc_id = p.doc_b
+    ),
+    leak_phash_r AS (
+      SELECT 'leakage_phash' AS modality,
+             CAST(coalesce(SUM(CASE WHEN sa.split != sb.split
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_affected,
+             CASE WHEN COUNT(*) = 0 THEN 0.0
+                  ELSE CAST(SUM(CASE WHEN sa.split != sb.split
+                                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             END AS affected_rate
+      FROM phash p
+      JOIN splits sa ON sa.doc_id = p.doc_a
+      JOIN splits sb ON sb.doc_id = p.doc_b
+    ),
+    sh_t AS (
+      SELECT doc_id, CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sh_ranked AS (
+      SELECT n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM sh_t
+    ),
+    sh AS (
+      SELECT CASE WHEN r % {2 * N_SHARDS} < {N_SHARDS}
+                  THEN r % {2 * N_SHARDS}
+                  ELSE {2 * N_SHARDS - 1} - r % {2 * N_SHARDS}
+             END AS shard,
+             CAST(SUM(n_tokens) AS BIGINT) AS st
+      FROM sh_ranked GROUP BY 1
+    ),
+    shard_r AS (
+      SELECT 'shard_balance' AS modality,
+             CAST(MAX(st) - MIN(st) AS BIGINT) AS n_affected,
+             CAST(MAX(st) - MIN(st) AS DOUBLE)
+               / (CAST(SUM(st) AS DOUBLE) / COUNT(*)) AS affected_rate
+      FROM sh
     )
     SELECT modality, n_affected,
            CAST(n_affected AS DOUBLE) / (SELECT n_docs FROM n) AS affected_rate
@@ -601,30 +665,47 @@ def _dedup_report_sql() -> str:
           SELECT * FROM near_r UNION ALL
           SELECT * FROM phash_r UNION ALL
           SELECT * FROM span_r)
+    UNION ALL SELECT * FROM leak_sim_r
+    UNION ALL SELECT * FROM leak_phash_r
+    UNION ALL SELECT * FROM shard_r
     """
 
 
 @query("curation_dedup_report", _dedup_report_sql())
 def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup section of a corpus data card: per modality, how many
-    documents are duplication-affected and the corpus rate —
-    'exact' (member of a byte/canonical-identical group of ≥2),
-    'near_simhash' (endpoint of a Hamming≤3 pair), 'near_phash'
-    (endpoint of a perceptual-hash image pair from the real-decoder
-    dHash path — round 11), 'span' (≥25 % of
-    winnowed fingerprints shared with other docs). The near-dup and
-    span inputs are read from the materialized artifact store
-    (``artifacts.materialized`` — built once per corpus, the batch twin
-    of the persisted streaming near-dup index): a report over a 100 TB
-    corpus summarizes the pair/fingerprint tables the dedup pipelines
-    already wrote, it does not re-run them. On a cold store the build
-    runs the registered operators themselves, so the numbers are
-    exactly the numbers those operators would act on either way, and
-    the parquet round-trip is value-exact (long/int/double columns).
-    The exact tier stays inline — one fingerprint groupBy."""
+    """The full pre-training data card in one entry (round 12 folds in
+    the r11 split-leakage and shard-balance sections). Rows, all
+    (modality, n_affected, affected_rate):
+
+    - duplication, rate = affected docs / corpus: 'exact' (member of a
+      byte/canonical-identical group of ≥2), 'near_simhash' (endpoint
+      of a Hamming≤3 pair), 'near_phash' (endpoint of a perceptual-
+      hash image pair from the real-decoder dHash path), 'span'
+      (≥25 % of winnowed fingerprints shared with other docs);
+    - eval-contamination leakage, n = near-dup pairs straddling a
+      train/val/test boundary under the deterministic hash split,
+      rate = straddling / all pairs of that modality:
+      'leakage_simhash', 'leakage_phash';
+    - 'shard_balance': n = max−min planned shard token load under the
+      serpentine shard plan, rate = that span / mean shard load — the
+      loader-stall headroom number.
+
+    The near-dup and span inputs are read from the materialized
+    artifact store (``artifacts.materialized`` — built once per
+    corpus, the batch twin of the persisted streaming near-dup index):
+    a report over a 100 TB corpus summarizes the pair/fingerprint
+    tables the dedup pipelines already wrote, it does not re-run them.
+    On a cold store the build runs the registered operators
+    themselves, so the numbers are exactly the numbers those operators
+    would act on either way, and the parquet round-trip is value-exact
+    (long/int/double columns). The exact tier stays inline — one
+    fingerprint groupBy; the split column is a zero-shuffle map-side
+    hash; the shard section aggregates the planner's N_SHARDS-row
+    output."""
     from .artifacts import materialized
     from .dedup import SIMHASH_MAX_HAMMING, dedup_simhash
     from .multimodal import PHASH_MAX_HAMMING, dedup_phash
+    from .sampling import sample_split_assign
     from .textops import text_duplicate_spans
 
     docs = load_table(spark, sf_dir, "documents")
@@ -686,7 +767,7 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("span").alias("modality"), "n_affected")
     )
 
-    return (
+    dup_rows = (
         exact.unionByName(near)
         .unionByName(near_img)
         .unionByName(span)
@@ -694,6 +775,50 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "affected_rate",
             F.col("n_affected").cast("double") / F.lit(float(n_docs)),
         )
+    )
+
+    splits = sample_split_assign(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+
+    def leak_row(pairs: DataFrame, name: str) -> DataFrame:
+        crossed = F.coalesce(
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1)), F.lit(0)
+        ).cast("long")
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .agg(crossed.alias("n_affected"), F.count(F.lit(1)).alias("t"))
+            .select(
+                F.lit(name).alias("modality"),
+                "n_affected",
+                F.when(F.col("t") == 0, F.lit(0.0))
+                .otherwise(F.col("n_affected").cast("double") / F.col("t"))
+                .alias("affected_rate"),
+            )
+        )
+
+    span_tokens = F.max("shard_tokens") - F.min("shard_tokens")
+    shard_row = (
+        curation_shard_plan(spark, sf_dir)
+        .agg(
+            span_tokens.cast("long").alias("n_affected"),
+            (
+                span_tokens.cast("double")
+                / (F.sum("shard_tokens").cast("double") / F.count(F.lit(1)))
+            ).alias("affected_rate"),
+        )
+        .select(F.lit("shard_balance").alias("modality"), "*")
+    )
+
+    return (
+        dup_rows.unionByName(leak_row(sim, "leakage_simhash"))
+        .unionByName(leak_row(phash, "leakage_phash"))
+        .unionByName(shard_row)
     )
 
 
@@ -940,7 +1065,8 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window, and the within-bucket rank is a PARTITIONED window by
 # doc_id. Ordering by (n_tokens DESC, doc_id) equals ordering by
 # (bucket=n_tokens DESC, doc_id), so the ranks are bit-identical.
-N_SHARDS = 8
+# (N_SHARDS itself is defined at the module top: the data-card oracle
+# embeds it at decoration time, which runs before this section.)
 
 
 @query(

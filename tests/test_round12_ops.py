@@ -113,3 +113,45 @@ def test_documents_text_is_ascii_everywhere():
             """
         ).fetchone()[0]
         assert n == 0, f"non-ASCII documents.text at {sf}"
+
+
+# ---------------------------------------------------------------------------
+# Data-card completion: leakage + shard balance folded into the report
+# ---------------------------------------------------------------------------
+def test_data_card_sections_match_source_entries(spark):
+    """The folded-in card rows must agree with the standalone entries
+    they summarize: leakage_* n_affected = curation_split_leakage's
+    cross-boundary pair sums per modality, and shard_balance =
+    max−min of curation_shard_plan's token loads."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        curation,
+    )
+
+    card = {
+        r["modality"]: (r["n_affected"], r["affected_rate"])
+        for r in curation.curation_dedup_report(spark, SF).collect()
+    }
+    assert set(card) >= {
+        "exact", "near_simhash", "near_phash", "span",
+        "leakage_simhash", "leakage_phash", "shard_balance",
+    }
+    leak = curation.curation_split_leakage(spark, SF).collect()
+    for mod, key in (("near_simhash", "leakage_simhash"),
+                     ("near_phash", "leakage_phash")):
+        crossed = sum(
+            r["n_pairs"] for r in leak
+            if r["modality"] == mod and r["split_a"] != r["split_b"]
+        )
+        total = sum(r["n_pairs"] for r in leak if r["modality"] == mod)
+        assert card[key][0] == crossed
+        if total:
+            assert abs(card[key][1] - crossed / total) < 1e-12
+    loads = [
+        r["shard_tokens"]
+        for r in curation.curation_shard_plan(spark, SF).collect()
+    ]
+    span = max(loads) - min(loads)
+    assert card["shard_balance"][0] == span
+    assert abs(
+        card["shard_balance"][1] - span / (sum(loads) / len(loads))
+    ) < 1e-12
