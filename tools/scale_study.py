@@ -77,6 +77,17 @@ ENTRIES = [
     "dedup_phash",
     "ann_index_append",
     "curation_shard_plan",
+    # round-12 additions: compaction EXECUTION (one clustering shuffle
+    # + rewrite → expect e ≈ 1 data-bound with a job-overhead floor),
+    # the metadata-only tombstone view (probe linear in the death
+    # rate), the compressed-path image hash (inflate+defilter per row,
+    # e ≈ 1 kernel-bound), and the one-entry data card (reads
+    # materialized summaries → expect a flat artifact-read floor once
+    # the store is warm; cold-build cost belongs to the producers).
+    "layout_compaction_apply",
+    "ann_delete_assignments",
+    "dedup_phash_png",
+    "curation_dedup_report",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
