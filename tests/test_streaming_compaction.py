@@ -1,0 +1,123 @@
+"""Stream/batch equivalence for the continuous small-file compactor
+(`streaming.compaction_stream`): feeding the events table as
+event-time-ordered hourly micro-files must, after finalize, reproduce
+the batch `compact_events` rewrite exactly — same rows, same bins, one
+file per bin — with bins appearing incrementally as they close,
+restarts idempotent, and the staging sweep keeping retention bounded
+without changing the output."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+    load_table,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    layout,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+    compaction_stream,
+)
+
+SF = "/root/testdata/sf0.01"  # sf0.001 fits inside one bin
+N_FEED_FILES = 12
+
+
+def _ordered_feed(spark, tmp_path) -> str:
+    """Split events into N_FEED_FILES contiguous hour ranges written as
+    separate files with strictly increasing mtimes — the event-time-
+    ordered hourly ingest the gate's contract assumes."""
+    ev = load_table(spark, SF, "events").withColumn(
+        "hour", F.expr(f"unix_micros(ts) DIV {layout._US_PER_HOUR}")
+    )
+    hours = sorted(r["hour"] for r in ev.select("hour").distinct().collect())
+    chunks = [
+        hours[i * len(hours) // N_FEED_FILES : (i + 1) * len(hours) // N_FEED_FILES]
+        for i in range(N_FEED_FILES)
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, chunk in enumerate(c for c in chunks if c):
+        part = str(tmp_path / f"part{i}")
+        ev.filter(F.col("hour").isin(chunk)).drop("hour").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        src = next(
+            p for p in os.listdir(part) if p.endswith(".parquet")
+        )
+        dst = feed / f"{i:04d}.parquet"
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    return str(feed)
+
+
+def _run(spark, tmp_path, feed, tag="a"):
+    out = str(tmp_path / f"out_{tag}")
+    q = compaction_stream.run_compaction_stream(
+        spark, feed, out, checkpoint=str(tmp_path / f"ckpt_{tag}")
+    )
+    q.awaitTermination(300)
+    return out
+
+
+def _bins(spark, compacted_dir):
+    df = spark.read.parquet(compacted_dir)
+    return {
+        r["group_id"]: (r["n"], r["nf"])
+        for r in df.select(
+            F.col("group_id").cast("long").alias("group_id"),
+            F.input_file_name().alias("f"),
+        )
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("f").alias("nf"))
+        .collect()
+    }
+
+
+def test_stream_compaction_matches_batch(spark, tmp_path):
+    feed = _ordered_feed(spark, tmp_path)
+    out = _run(spark, tmp_path, feed)
+    # bins closed by arrival are already down; the trailing one waits
+    pre = _bins(spark, f"{out}/compacted")
+    assert pre, "closed bins must compact before finalize"
+    compaction_stream.finalize_compaction(spark, out)
+
+    batch_dest = str(tmp_path / "batch")
+    layout.compact_events(spark, SF, batch_dest)
+    batch = spark.read.parquet(batch_dest)
+    got = spark.read.parquet(f"{out}/compacted").select(*batch.columns)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    # one file per bin, bins == batch plan
+    gb = _bins(spark, f"{out}/compacted")
+    bb = _bins(spark, batch_dest)
+    assert gb == bb
+    assert all(nf == 1 for _, nf in gb.values())
+
+
+def test_restart_and_sweep_are_idempotent(spark, tmp_path):
+    feed = _ordered_feed(spark, tmp_path)
+    out = _run(spark, tmp_path, feed)
+    first = _bins(spark, f"{out}/compacted")
+    # restart over the same checkpoint: no new files, no double writes
+    q = compaction_stream.run_compaction_stream(
+        spark, feed, out, checkpoint=str(tmp_path / "ckpt_a")
+    )
+    q.awaitTermination(300)
+    assert _bins(spark, f"{out}/compacted") == first
+    # sweep bounds staging without touching compacted output
+    n_staged_before = spark.read.parquet(f"{out}/staging").count()
+    compaction_stream.sweep_staging(spark, out)
+    n_staged_after = spark.read.parquet(f"{out}/staging").count()
+    assert n_staged_after < n_staged_before
+    assert _bins(spark, f"{out}/compacted") == first
+    compaction_stream.finalize_compaction(spark, out)
+    batch_dest = str(tmp_path / "batch")
+    layout.compact_events(spark, SF, batch_dest)
+    batch = spark.read.parquet(batch_dest)
+    got = spark.read.parquet(f"{out}/compacted").select(*batch.columns)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
