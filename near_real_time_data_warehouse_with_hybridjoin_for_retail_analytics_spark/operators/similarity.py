@@ -2963,3 +2963,89 @@ def ann_delete_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         qe.filter(F.col("vec_id") % TOMBSTONE_MOD == 0)
         .select("vec_id", home.alias("cluster"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction execution: rewrite the flagged lists (the lifecycle's end)
+# ---------------------------------------------------------------------------
+_ANN_COMPACT_ROOT = "/tmp/sparkgraft_ann_compact"
+
+
+def _ann_compact_sql() -> str:
+    return f"""
+    WITH qe AS ({_SQL_QE}),
+    n2 AS ({_SQL_N2}),
+    {_sql_ivf_coarse()},
+    agg AS (
+      SELECT m.j AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN m.vec_id % {TOMBSTONE_MOD} = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      FROM mem m GROUP BY 1
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(1 AS BIGINT) AS n_files,
+           n_before - n_deleted AS n_rows
+    FROM agg
+    WHERE CAST(n_deleted AS DOUBLE) / n_before >= {COMPACT_FRAC}
+    """
+
+
+@query("ann_index_compact", _ann_compact_sql())
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute ``ann_index_delete``'s compaction worklist — the final
+    step of the index lifecycle (train → persist → append → delete →
+    COMPACT). Every list whose dead fraction crossed COMPACT_FRAC is
+    rewritten tombstone-free: the live (vec_id, cluster) rows of
+    flagged lists cluster into one task each (broadcast worklist +
+    one clustering repartition — the only data that moves is the
+    flagged lists, exactly the FAISS remove_ids compaction contract)
+    and ``partitionBy`` emits ONE file per rewritten list. The output
+    is the POST-compaction inventory measured from the rewritten
+    files themselves (``input_file_name`` distincts + row counts) and
+    the oracle asserts n_files = 1 with n_rows = n_before − n_deleted
+    per flagged list — the same measured-not-assumed proof pattern as
+    ``layout_compaction_apply``. Pytest adds: rewritten lists hold
+    exactly the live ids (no tombstone survives, no live id lost) and
+    re-runs are idempotent."""
+    ncl, _ = derived_ivf_params(corpus_count(spark, sf_dir))
+    qe = quantized_embeddings(spark, sf_dir)
+    cents = coarse_quantizer(spark, sf_dir, qe, ncl)
+    home = F.element_at(_probe_udf(cents, 1)(F.col("q")), 1)
+    assign = qe.select("vec_id", home.alias("cluster"))
+    dead = (F.col("vec_id") % TOMBSTONE_MOD == 0).cast("long")
+    flagged = (
+        assign.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(dead).cast("long").alias("n_deleted"),
+        )
+        .filter(
+            F.col("n_deleted").cast("double") / F.col("n_before")
+            >= COMPACT_FRAC
+        )
+        .select("cluster")
+    )
+    live = assign.filter(F.col("vec_id") % TOMBSTONE_MOD != 0).join(
+        F.broadcast(flagged), "cluster"
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
+    dest = f"{_ANN_COMPACT_ROOT}/{sf_tag}/lists"
+    (
+        live.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(dest)
+    )
+    back = spark.read.parquet(dest)
+    return (
+        back.select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.input_file_name().alias("file"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.countDistinct("file").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

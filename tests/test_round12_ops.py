@@ -155,3 +155,62 @@ def test_data_card_sections_match_source_entries(spark):
     assert abs(
         card["shard_balance"][1] - span / (sum(loads) / len(loads))
     ) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# ANN list compaction execution
+# ---------------------------------------------------------------------------
+def test_ann_compact_rewrites_exactly_the_live_ids(spark):
+    """Each rewritten list holds exactly the live ids the pre-delete
+    assignment gave it: no tombstone survives, no live id is lost, and
+    un-flagged lists are untouched (absent from the rewrite)."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        similarity,
+    )
+
+    worklist = {
+        r["cluster"]
+        for r in similarity.ann_index_delete(spark, SF).collect()
+        if r["needs_compaction"]
+    }
+    got = {
+        r["cluster"]: r["n_rows"]
+        for r in similarity.ann_index_compact(spark, SF).collect()
+    }
+    assert set(got) == worklist
+    # independent truth: probe assignments, filter live, per flagged list
+    ncl, _ = similarity.derived_ivf_params(similarity.corpus_count(spark, SF))
+    qe = similarity.quantized_embeddings(spark, SF)
+    cents = similarity.coarse_quantizer(spark, SF, qe, ncl)
+    home = F.element_at(similarity._probe_udf(cents, 1)(F.col("q")), 1)
+    truth = {}
+    rewritten = spark.read.parquet(
+        f"{similarity._ANN_COMPACT_ROOT}/sf0.001/lists"
+    )
+    by_list = {
+        r["cluster"]: set(r["ids"])
+        for r in rewritten.groupBy("cluster")
+        .agg(F.collect_set("vec_id").alias("ids"))
+        .collect()
+    }
+    for r in qe.select("vec_id", home.alias("cluster")).collect():
+        if r["cluster"] in worklist and r["vec_id"] % similarity.TOMBSTONE_MOD:
+            truth.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert {int(c): ids for c, ids in by_list.items()} == truth
+    assert got == {c: len(ids) for c, ids in truth.items()}
+
+
+def test_ann_compact_is_idempotent(spark):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        similarity,
+    )
+
+    first = sorted(
+        map(tuple, similarity.ann_index_compact(spark, SF).collect())
+    )
+    again = sorted(
+        map(tuple, similarity.ann_index_compact(spark, SF).collect())
+    )
+    assert again == first
