@@ -88,6 +88,9 @@ ENTRIES = [
     "ann_delete_assignments",
     "dedup_phash_png",
     "curation_dedup_report",
+    # selective rewrite: only the flagged (variance-tail) lists move,
+    # so expect sub-linear data growth on top of the probe's cost.
+    "ann_index_compact",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
