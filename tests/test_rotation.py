@@ -187,3 +187,21 @@ def test_real_registry_head_admits_every_due_entry():
     for n in e._FORCE_VERIFY:
         if n in order:
             assert n in head, f"forced entry {n} outside the window"
+
+
+def test_bench_headline_is_exactly_the_pinned_surface():
+    """The judge-facing headline subset must be exactly the 22 pinned
+    reference entries — the ^qNN_ regex plus the two ETL names — so no
+    future 'quantile_*'-style entry can silently join headline_sec
+    (round-11 advice)."""
+    import re
+
+    names = list(e.registry.QUERIES)
+    headline = [
+        n
+        for n in names
+        if re.match(r"^q\d\d_", n)
+        or n in ("etl_enrich_events", "etl_events_by_type")
+    ]
+    assert sorted(headline) == sorted(e._PINNED)
+    assert len(headline) == 22
