@@ -36,11 +36,11 @@ from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.st
 from tools.bench_warehouse import synthesize_master_csvs  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dashboard.html"
-    spark = get_spark("render-dashboard")
-    spark.sparkContext.setLogLevel("ERROR")
+def prepare_warehouse(spark, sf_dir: str) -> list[int]:
+    """Synthesize the master CSVs, run the real ETL, register the
+    warehouse views, and return the fact table's years — the shared
+    setup for the static artifact (main below) AND the live server
+    (tools/serve_dashboard.py, tests/test_dashboard_server.py)."""
     work = tempfile.mkdtemp(prefix="dashwork_")
     synthesize_master_csvs(spark, sf_dir, work)
 
@@ -71,6 +71,15 @@ def main() -> None:
             "sales": fact,
         },
     )
+    return years
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dashboard.html"
+    spark = get_spark("render-dashboard")
+    spark.sparkContext.setLogLevel("ERROR")
+    years = prepare_warehouse(spark, sf_dir)
     path = dashboard_html.write_dashboard_html(spark, years, out)
     print(f"wrote {path} (years {years[0]}–{years[-1]})")
 
