@@ -1937,6 +1937,23 @@ def _make_phash_bands_worker(encode):
 
 
 phash_png_dhash_bands = _make_phash_bands_worker(encode_png)
+# JPEG-path kernel, STAGED (round 12): the same dHash through the full
+# real baseline-JPEG decode (marker walk, Huffman, IDCT — exactly
+# invertible on constant tiles, see jpeg.py). Pytest-gated against an
+# independent byte replay; its registry entry is deferred to round 13
+# because the round-12 rotation window is at exact capacity
+# (tests/test_rotation.py budget — COVERAGE.md "Round-13 projection").
+phash_jpeg_dhash_bands = _make_phash_bands_worker(_encode_jpeg_payload)
+
+
+def phash_jpeg_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3) through the real baseline-JPEG round trip —
+    the lossy-codec twin of ``phash_bands_df`` (lossless here by the
+    constant-tile + unit-quantization construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_binary_payload(docs).mapInPandas(
+        phash_jpeg_dhash_bands, PHASH_SCHEMA
+    )
 
 
 def phash_png_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:

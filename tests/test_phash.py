@@ -264,3 +264,59 @@ def test_png_and_bmp_hash_spaces_differ(spark):
     bmp = _bands_by_doc(spark, SF)
     png = _png_bands_by_doc(spark, SF)
     assert any(bmp[d] != png[d] for d in bmp)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (staged): JPEG-path phash kernel
+# ---------------------------------------------------------------------------
+def _replay_bands_jpeg(text: str) -> tuple[int, ...]:
+    """Byte replay of the JPEG-path dHash: payload byte i becomes a
+    constant 8×8 grayscale tile at (i // BW, i % BW) (zero-padded),
+    decode returns the 3-channel replication, so thumbnail gray at
+    (r, c) = 3 × byte[(row8)·BW + col8] with the same floor
+    arithmetic as resize_nearest on the 8·BW × 8·BH image."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.jpeg import (
+        JPEG_BLOCKS_W as BW,
+    )
+
+    raw = text.encode("utf-8")
+    g = multimodal.PHASH_GRID
+    bh = max(1, -(-len(raw) // BW))
+    data = raw + b"\x00" * (BW * bh - len(raw))
+    tiles = np.frombuffer(data, np.uint8).reshape(bh, BW).astype(np.int64)
+    H, W = 8 * bh, 8 * BW
+    rows = (np.arange(g) * H) // g
+    cols = (np.arange(g + 1) * W) // (g + 1)
+    gray = 3 * tiles[rows // 8][:, cols // 8]
+    bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64).ravel()
+    weights = 1 << np.arange(multimodal.PHASH_BAND_BITS, dtype=np.int64)
+    bb = multimodal.PHASH_BAND_BITS
+    return tuple(
+        int((bits[j * bb : (j + 1) * bb] * weights).sum())
+        for j in range(multimodal.PHASH_NBANDS)
+    )
+
+
+def test_jpeg_decode_parity_on_random_strings(spark, tmp_path):
+    """The dHash through the REAL lossy-codec round trip (baseline
+    JPEG: marker walk, file-read Huffman tables, byte unstuffing,
+    dequantize, float IDCT — exactly invertible on constant tiles)
+    equals the independent byte replay, over 120 seeded random
+    strings. This is the staged kernel for a round-13 dedup_phash_jpeg
+    entry (the r12 rotation window is at capacity)."""
+    import random
+
+    rng = random.Random(1202)
+    alphabet = [chr(c) for c in range(32, 127)]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200)))
+        for _ in range(120)
+    ]
+    root = tmp_path / "rand_jpeg"
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+    rows = multimodal.phash_jpeg_bands_df(spark, str(root)).collect()
+    got = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in rows}
+    for i, t in enumerate(texts):
+        assert got[i] == _replay_bands_jpeg(t), f"mismatch at doc {i}"
