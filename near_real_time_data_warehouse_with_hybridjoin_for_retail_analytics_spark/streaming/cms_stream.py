@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from . import state_compaction
 from ..operators.sketches import cms_cell_table
 
 DOCS_CMS_SCHEMA = "doc_id long, text string, source string"
@@ -64,26 +65,14 @@ def cms_report(state: DataFrame) -> DataFrame:
     )
 
 
-# Fold accumulated per-batch partials into the compacted base once
-# this many batches pile up. Without compaction the state directory —
-# and the per-batch merge input — grew by one partial per micro-batch
-# FOREVER: the "bounded at |sources|·DEPTH·WIDTH rows" claim held per
-# partial, not for the accumulated state. With it, state is at most
-# base (one merged cell table) + CMS_COMPACT_EVERY partials at any
-# time, so a gate that has run for a year costs the same per batch as
-# one that started this morning.
-CMS_COMPACT_EVERY = 8
-_WMARK_SENTINEL = -1  # base "watermark" column value when no base yet
-
-
-def _read_base(spark: SparkSession, base_dir: str) -> tuple[DataFrame | None, int]:
-    """(compacted cells, high-watermark batch id), or (None, -1)."""
-    try:
-        base = spark.read.parquet(base_dir)
-    except Exception:
-        return None, _WMARK_SENTINEL
-    wmark = base.agg(F.max("wmark")).collect()[0][0]
-    return base.select("source", "i", "bucket", "cnt"), int(wmark)
+# Bounded state via the shared compaction mechanism (see
+# ``state_compaction``): without it the state directory — and the
+# per-batch merge input — grew by one partial per micro-batch FOREVER;
+# the "bounded at |sources|·DEPTH·WIDTH rows" claim held per partial,
+# not for the accumulated state. The watermark skip in ``accumulate``
+# is LOAD-BEARING here: + is not replay-idempotent, so a retried
+# already-compacted batch must not re-merge.
+CMS_COMPACT_EVERY = state_compaction.COMPACT_EVERY
 
 
 def run_cms_stream(
@@ -95,63 +84,32 @@ def run_cms_stream(
     checkpoint: str | None = None,
 ) -> StreamingQuery:
     """Continuous per-source token-frequency sketching over a
-    (doc_id, text, source) parquet feed, with BOUNDED on-disk state.
-
-    Per micro-batch: the ≤ |sources|·DEPTH·WIDTH-row partial is
-    appended to ``state_dir``/partials (batch-id tagged), replayed
-    partials are deduped on (batch_id, source, i, bucket) — the step
-    that makes the non-idempotent + merge exactly-once — and the
-    SUM-merge of (compacted base + live partials) overwrites
-    ``out_dir``. Every CMS_COMPACT_EVERY batches the live partials are
-    folded into the base (one merged cell table stamped with the max
-    folded batch id as ``wmark``) and the partials directory is
-    cleared, so state never exceeds base + CMS_COMPACT_EVERY partials.
-
-    Replay across the compaction boundary stays exactly-once: a
-    crash-retried batch whose id is ≤ the base watermark is already
-    inside the compacted cells (its batch-id tag is gone, so the dedup
-    could no longer catch it) and is skipped outright; a retried batch
-    above the watermark re-appends identical rows and the dedup
-    collapses them as before. A crash between the base overwrite and
-    the partials clear only leaves ≤-watermark partials behind, which
-    the > wmark filter excludes until the next compaction's overwrite
-    removes them."""
+    (doc_id, text, source) parquet feed, with BOUNDED on-disk state:
+    per micro-batch the ≤ |sources|·DEPTH·WIDTH-row partial folds into
+    the shared compacted-base + live-partials state
+    (``state_compaction.accumulate`` — (batch_id, source, i, bucket)
+    dedup for exactly-once over the non-idempotent + merge, watermark
+    skip across the compaction boundary) and the SUM-merged cell table
+    overwrites ``out_dir``."""
 
     raw = (
         spark.readStream.schema(DOCS_CMS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    partials_dir = f"{state_dir}/partials"
-    base_dir = f"{state_dir}/base"
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
-        base, wmark = _read_base(spark, base_dir)
-        if int(batch_id) <= wmark:
+        merged = state_compaction.accumulate(
+            spark,
+            state_dir,
+            batch_id,
+            batch_cms_partial(batch_df),
+            dedup_cols=["source", "i", "bucket"],
+            merge_state=cms_report,
+        )
+        if merged is None:
             return  # replay of an already-compacted batch
-        partial = batch_cms_partial(batch_df).withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
-        )
-        partial.write.mode("append").parquet(partials_dir)
-        live = (
-            spark.read.parquet(partials_dir)
-            .filter(F.col("batch_id") > wmark)
-            .dropDuplicates(["batch_id", "source", "i", "bucket"])
-        )
-        cells = live.select("source", "i", "bucket", "cnt")
-        if base is not None:
-            cells = cells.unionByName(base)
-        merged = cms_report(cells)
         merged.write.mode("overwrite").parquet(out_dir)
-        n_live = live.select("batch_id").distinct().count()
-        if n_live >= CMS_COMPACT_EVERY:
-            new_wmark = live.agg(F.max("batch_id")).collect()[0][0]
-            spark.read.parquet(out_dir).withColumn(
-                "wmark", F.lit(int(new_wmark)).cast("long")
-            ).write.mode("overwrite").parquet(base_dir)
-            spark.createDataFrame([], live.schema).write.mode(
-                "overwrite"
-            ).parquet(partials_dir)
 
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
     if checkpoint is not None:

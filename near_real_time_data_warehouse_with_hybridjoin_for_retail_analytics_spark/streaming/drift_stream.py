@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from . import state_compaction
 from ..catalog import load_table
 from ..operators.similarity import CENTROID_Q
 
@@ -165,24 +166,25 @@ def run_embedding_drift_stream(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
-        partial = _label_dim_sums(batch_df, "sum_new", "cnt_new").withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
-        )
-        partial.write.mode("append").parquet(state_dir)
         # Crash-retry replays re-append identical partial rows for the
-        # same batch_id; the (batch_id, label, dim) dedup restores
-        # exactly-once accumulation (rows are deterministic functions
-        # of the batch, so "arbitrary survivor" is exact here).
-        acc = (
-            spark.read.parquet(state_dir)
-            .dropDuplicates(["batch_id", "label", "dim"])
-            .groupBy("label", "dim")
-            .agg(
+        # same batch_id; the (batch_id, label, dim) dedup inside
+        # ``accumulate`` restores exactly-once accumulation, and its
+        # watermark skip is LOAD-BEARING across the compaction
+        # boundary (+ is not replay-idempotent).
+        merged = state_compaction.accumulate(
+            spark,
+            state_dir,
+            batch_id,
+            _label_dim_sums(batch_df, "sum_new", "cnt_new"),
+            dedup_cols=["label", "dim"],
+            merge_state=lambda cells: cells.groupBy("label", "dim").agg(
                 F.sum("sum_new").cast("long").alias("sum_new"),
                 F.sum("cnt_new").cast("long").alias("cnt_new"),
-            )
+            ),
         )
-        drift_report(ref, acc).write.mode("overwrite").parquet(out_dir)
+        if merged is None:
+            return  # replay of an already-compacted batch
+        drift_report(ref, merged).write.mode("overwrite").parquet(out_dir)
 
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
     if checkpoint is not None:

@@ -14,7 +14,9 @@ the pytest equivalence gate (tests/test_streaming_hll.py).
 Gate shape mirrors the other ingest gates (dedup, drift, KMV): parquet
 feed → ``foreachBatch`` → per-batch partial register tables appended to
 the state directory tagged with the batch id → MAX-merged report
-overwritten after every batch. Crash-retry replays dedupe exactly on
+overwritten after every batch, with the shared periodic compaction
+(``state_compaction``) keeping on-disk state and per-batch merge cost
+bounded regardless of gate lifetime. Crash-retry replays dedupe exactly on
 (batch_id, source, register) — and even WITHOUT the dedup the report
 would be unchanged, because MAX is idempotent under replay (the reason
 production HLL pipelines tolerate at-least-once delivery). A deployment
@@ -28,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from . import state_compaction
 from ..operators.sketches import hll_register_table
 
 DOCS_HLL_SCHEMA = "doc_id long, text string, source string"
@@ -59,10 +62,13 @@ def run_hll_register_stream(
     checkpoint: str | None = None,
 ) -> StreamingQuery:
     """Continuous per-source distinct-token register monitoring over a
-    (doc_id, text, source) parquet feed. Each micro-batch appends its
-    ≤ |sources|·2^HLL_P-row partial to ``state_dir`` (batch-id tagged),
-    MAX-merges the accumulated state, and overwrites ``out_dir`` with
-    the current register table."""
+    (doc_id, text, source) parquet feed. Each micro-batch's
+    ≤ |sources|·2^HLL_P-row partial folds into the shared bounded
+    state (``state_compaction.accumulate`` — registers merge by MAX,
+    which is replay-idempotent, so the compaction watermark skip is
+    merely redundant here; compaction still bounds state at base +
+    COMPACT_EVERY partials regardless of gate lifetime) and the merged
+    register table overwrites ``out_dir``."""
 
     raw = (
         spark.readStream.schema(DOCS_HLL_SCHEMA)
@@ -71,14 +77,17 @@ def run_hll_register_stream(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
-        partial = batch_hll_partial(batch_df).withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
+        merged = state_compaction.accumulate(
+            spark,
+            state_dir,
+            batch_id,
+            batch_hll_partial(batch_df),
+            dedup_cols=["source", "register"],
+            merge_state=hll_report,
         )
-        partial.write.mode("append").parquet(state_dir)
-        acc = spark.read.parquet(state_dir).dropDuplicates(
-            ["batch_id", "source", "register"]
-        )
-        hll_report(acc).write.mode("overwrite").parquet(out_dir)
+        if merged is None:
+            return  # replay of an already-compacted batch
+        merged.write.mode("overwrite").parquet(out_dir)
 
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
     if checkpoint is not None:

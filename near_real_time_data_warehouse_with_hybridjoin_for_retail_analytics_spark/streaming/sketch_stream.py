@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from . import state_compaction
 from ..operators.dedup import TOKEN_SPLIT, portable_hash60
 from ..operators.sketches import KMV_K, _H_SPACE
 
@@ -46,6 +47,19 @@ def batch_token_sketch(df: DataFrame) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("h", "token")
     return (
         hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .select("lang", "token", "h")
+    )
+
+
+def sketch_merge(state: DataFrame) -> DataFrame:
+    """KMV merge law as a state→state fold: k smallest per language of
+    the deduplicated union, (h, token) tiebreak — associative and
+    idempotent, the properties the shared compaction relies on."""
+    w = Window.partitionBy("lang").orderBy("h", "token")
+    return (
+        state.dropDuplicates(["lang", "token"])
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= KMV_K)
         .select("lang", "token", "h")
     )
@@ -90,10 +104,13 @@ def run_token_sketch_stream(
     checkpoint: str | None = None,
 ) -> StreamingQuery:
     """Continuous per-language distinct-token monitoring over a
-    (doc_id, text, lang) parquet feed. Each micro-batch appends its
-    ≤ |langs|·k-row partial sketch to ``state_dir`` (batch-id tagged),
-    merges the accumulated state, and overwrites ``out_dir`` with the
-    current cardinality report."""
+    (doc_id, text, lang) parquet feed. Each micro-batch's ≤ |langs|·k
+    partial sketch folds into the shared bounded state
+    (``state_compaction.accumulate`` — the KMV k-min-union merge is
+    idempotent, so the compaction watermark skip is merely redundant
+    here; compaction still bounds state regardless of gate lifetime)
+    and the cardinality report derived from the merged sketch
+    overwrites ``out_dir``."""
 
     raw = (
         spark.readStream.schema(DOCS_SKETCH_SCHEMA)
@@ -102,14 +119,17 @@ def run_token_sketch_stream(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
-        partial = batch_token_sketch(batch_df).withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
+        merged = state_compaction.accumulate(
+            spark,
+            state_dir,
+            batch_id,
+            batch_token_sketch(batch_df),
+            dedup_cols=["lang", "token"],
+            merge_state=sketch_merge,
         )
-        partial.write.mode("append").parquet(state_dir)
-        acc = spark.read.parquet(state_dir).dropDuplicates(
-            ["batch_id", "lang", "token"]
-        )
-        sketch_report(acc).write.mode("overwrite").parquet(out_dir)
+        if merged is None:
+            return  # replay of an already-compacted batch
+        sketch_report(merged).write.mode("overwrite").parquet(out_dir)
 
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
     if checkpoint is not None:

@@ -101,3 +101,38 @@ def test_duplicate_partial_append_is_absorbed(spark, sf_dir, tmp_path):
     got = _rows(drift_stream.drift_report(ref, acc))
     want = _rows(similarity.embedding_drift(spark, sf_dir))
     assert got == want
+
+
+def test_state_compaction_bounds_partials(spark, sf_dir, tmp_path):
+    """Past the shared COMPACT_EVERY boundary (the + merge where the
+    watermark skip is load-bearing, like CMS): report still matches
+    the batch operator, live partials bounded, restart idempotent."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        state_compaction,
+    )
+
+    ref, split = drift_stream.drift_reference(spark, sf_dir)
+    input_dir = str(tmp_path / "feed")
+    _feed_post_split(
+        spark, sf_dir, split, input_dir,
+        n_files=state_compaction.COMPACT_EVERY + 3,
+    )
+    kwargs = dict(
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "report"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q = drift_stream.run_embedding_drift_stream(spark, input_dir, ref, **kwargs)
+    q.awaitTermination(180)
+    got = _rows(spark.read.parquet(str(tmp_path / "report")))
+    assert got == _rows(similarity.embedding_drift(spark, sf_dir))
+    live_tags = (
+        spark.read.parquet(str(tmp_path / "state" / "partials"))
+        .select("batch_id").distinct().count()
+    )
+    assert live_tags < state_compaction.COMPACT_EVERY
+    base = spark.read.parquet(str(tmp_path / "state" / "base"))
+    assert base.agg(F.max("wmark")).collect()[0][0] >= 0
+    q2 = drift_stream.run_embedding_drift_stream(spark, input_dir, ref, **kwargs)
+    q2.awaitTermination(120)
+    assert _rows(spark.read.parquet(str(tmp_path / "report"))) == got

@@ -64,3 +64,32 @@ def test_restart_is_idempotent(spark, sf_dir, tmp_path):
     first = _run(spark, tmp_path, input_dir)
     again = _run(spark, tmp_path, input_dir)  # same checkpoint, no new files
     assert again == first
+
+
+def test_state_compaction_bounds_partials(spark, sf_dir, tmp_path):
+    """Drive more batches than the shared COMPACT_EVERY: the register
+    table still bit-matches the batch entry across the compaction
+    boundary, live partial tags stay bounded, the base exists with a
+    watermark, and a restart stays idempotent."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        state_compaction,
+    )
+
+    input_dir = str(tmp_path / "feed")
+    _feed(spark, sf_dir, input_dir, n_files=state_compaction.COMPACT_EVERY + 3)
+    got = _run(spark, tmp_path, input_dir)
+    batch = sorted(
+        (r.source, r.register, r.max_rho)
+        for r in sketches.sketch_hll_registers(spark, sf_dir).collect()
+    )
+    assert got == batch
+    from pyspark.sql import functions as F
+
+    live_tags = (
+        spark.read.parquet(str(tmp_path / "state" / "partials"))
+        .select("batch_id").distinct().count()
+    )
+    assert live_tags < state_compaction.COMPACT_EVERY
+    base = spark.read.parquet(str(tmp_path / "state" / "base"))
+    assert base.agg(F.max("wmark")).collect()[0][0] >= 0
+    assert _run(spark, tmp_path, input_dir) == batch

@@ -75,3 +75,35 @@ def test_restart_is_idempotent(spark, sf_dir, tmp_path):
     first = _run(spark, tmp_path, input_dir)
     again = _run(spark, tmp_path, input_dir)  # same checkpoint, no new files
     assert again == first
+
+
+def test_state_compaction_bounds_partials(spark, sf_dir, tmp_path):
+    """Past the shared COMPACT_EVERY boundary the KMV report still
+    bit-matches the batch entry (k-min union is associative across the
+    base fold), live partials stay bounded, and restart is
+    idempotent."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        state_compaction,
+    )
+
+    input_dir = str(tmp_path / "feed")
+    _feed(spark, sf_dir, input_dir, n_files=state_compaction.COMPACT_EVERY + 3)
+    got = _run(spark, tmp_path, input_dir)
+    batch = {
+        r["lang"]: r
+        for r in sketches.sketch_distinct_tokens(spark, sf_dir).collect()
+    }
+    assert len(got) == len(batch)
+    for lang, n_sketch, n_est in got:
+        assert n_est == batch[lang]["n_est"], lang
+        assert n_sketch == min(batch[lang]["n_exact"], sketches.KMV_K)
+    from pyspark.sql import functions as F
+
+    live_tags = (
+        spark.read.parquet(str(tmp_path / "state" / "partials"))
+        .select("batch_id").distinct().count()
+    )
+    assert live_tags < state_compaction.COMPACT_EVERY
+    base = spark.read.parquet(str(tmp_path / "state" / "base"))
+    assert base.agg(F.max("wmark")).collect()[0][0] >= 0
+    assert _run(spark, tmp_path, input_dir) == got
