@@ -214,3 +214,54 @@ def test_ann_compact_is_idempotent(spark):
         map(tuple, similarity.ann_index_compact(spark, SF).collect())
     )
     assert again == first
+
+
+def test_compaction_hot_hour_stays_one_file(spark, tmp_path):
+    """Skew boundary, pinned: the deterministic bin rule assigns a
+    whole hour to one bin, so a HOT hour (≫ target rows) produces one
+    OVERSIZED file rather than splitting — acceptable for parquet
+    (zone maps stay disjoint, scans parallelize on row groups), and
+    recorded in SCALE.md as the boundary where a production OPTIMIZE
+    would add within-hour splitting. This test pins today's behavior:
+    row identity holds, the hot bin is exactly one file, and
+    envelopes stay disjoint."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for hour in range(6):
+        n = 5000 if hour == 3 else 40  # hour 3 is hot: 5× target
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=hour, seconds=i % 3600),
+                 eid % 97, "view", float(i), "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "events_src")
+    df.write.mode("overwrite").parquet(f"{src}/events.parquet")
+    dest = str(tmp_path / "compacted")
+    layout.compact_events(spark, src, dest)
+    back = spark.read.parquet(dest)
+    assert back.count() == len(rows)
+    stats = (
+        back.select(
+            F.col("group_id").cast("long").alias("g"),
+            F.input_file_name().alias("f"),
+            F.expr(f"unix_micros(ts) DIV {layout._US_PER_HOUR}").alias("h"),
+        )
+        .groupBy("g")
+        .agg(F.countDistinct("f").alias("nf"), F.count(F.lit(1)).alias("n"),
+             F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+        .collect()
+    )
+    assert all(r["nf"] == 1 for r in stats)
+    assert max(r["n"] for r in stats) >= 5000  # the hot bin, intact
+    spans = sorted((r["hmin"], r["hmax"]) for r in stats)
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert c > b  # disjoint, ordered
