@@ -201,18 +201,29 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL-safe hour key for the EXECUTION paths: a NULL ts must not be
+# dropped by the hour equi-join (the rewrite contract is row
+# preservation), so it maps to a sentinel hour that sorts before every
+# real hour and forms its own deterministic bin prefix. The PLANNER
+# registry entries keep the plain expression — their oracle corpus has
+# non-null ts by construction, and NULL window ordering differs across
+# engines.
+_HOUR_OR_SENTINEL = f"coalesce(unix_micros(ts) DIV {_US_PER_HOUR}, -1)"
+
+
 def _compaction_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(hour, n_rows, group_id): the planner's deterministic hour-file
     → compaction-group assignment (exclusive running total DIV target
     over the time-ordered inventory). Metadata-scale: one row per
-    ingest hour-file."""
+    ingest hour-file. NULL-ts rows key on the sentinel hour so the
+    executor's join preserves them."""
     from pyspark.sql import Window
 
     inv = (
         load_table(spark, sf_dir, "events")
         .select(
             # integer DIV, not float /: exact at any epoch magnitude
-            F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("hour")
+            F.expr(_HOUR_OR_SENTINEL).alias("hour")
         )
         .groupBy("hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
@@ -250,7 +261,7 @@ def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
         _compaction_groups(spark, sf_dir).select("hour", "group_id")
     )
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "hour", F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
+        "hour", F.expr(_HOUR_OR_SENTINEL)
     )
     (
         ev.join(groups, "hour")

@@ -3026,6 +3026,18 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster")
     )
+    # At 100 TB the expected dead fraction (1/TOMBSTONE_MOD = 10 %)
+    # sits BELOW the 15 % threshold, so flagged lists are the
+    # small-list variance tail and the worklist can legitimately be
+    # EMPTY — in which case there is nothing to rewrite and a
+    # partitionBy write of zero rows would leave an unreadable dest
+    # (no data files). Return the empty inventory directly; the oracle
+    # returns zero rows for the same corpus. Bounded scalar: ≤
+    # nclusters rows feed the count.
+    if flagged.count() == 0:
+        return spark.createDataFrame(
+            [], "cluster int, n_files long, n_rows long"
+        )
     live = assign.filter(F.col("vec_id") % TOMBSTONE_MOD != 0).join(
         F.broadcast(flagged), "cluster"
     )

@@ -147,8 +147,14 @@ def make_dashboard_server(
                 except ValueError:
                     return self._send(400, "bad year", "text/plain")
                 dark = q.get("dark", ["0"])[0] not in ("0", "", "false")
-                with lock:
-                    svg = render_panel_svg(spark, name, year, dark)
+                try:
+                    with lock:
+                        svg = render_panel_svg(spark, name, year, dark)
+                except Exception as exc:  # noqa: BLE001 — HTTP boundary
+                    # a dropped connection (no status line) is worse
+                    # than a 500: the shell's fetch() would reject and
+                    # abort the refresh loop with no visible error
+                    return self._send(500, f"render failed: {exc}", "text/plain")
                 return self._send(200, svg, "image/svg+xml")
             return self._send(404, "not found", "text/plain")
 

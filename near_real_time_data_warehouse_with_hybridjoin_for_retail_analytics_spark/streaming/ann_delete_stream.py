@@ -12,9 +12,12 @@ inverted-list table the append path maintains — here any (vec_id,
 cluster) parquet), and one (vec_id, cluster, batch_id) row per hit is
 appended to the output. A tombstone for an id the index never held is
 a no-op (the join drops it), and a duplicate delete of the same id —
-whether a crash-retried batch or a genuinely re-sent event — collapses
-in the read-back's vec_id dedup: delete is idempotent by definition,
-which makes this gate's exactly-once the easiest of the family.
+whether a crash-retried batch or a genuinely re-sent event — is
+anti-joined away BEFORE the append (so on-disk tombstones stay truly
+bounded by the index: ≤ one row per indexed id, no growth with
+re-delivery volume), with the read-back's vec_id dedup as the second
+belt: delete is idempotent by definition, which makes this gate's
+exactly-once the easiest of the family.
 
 After every batch the gate also overwrites the serving-side COMPACTION
 WORKLIST: per list, (n_before, n_deleted, n_after, needs_compaction)
@@ -93,9 +96,26 @@ def run_ann_delete_stream(
     worklist_dir = f"{out_dir}/worklist"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         index = spark.read.parquet(index_dir)
-        arrivals = F.broadcast(batch_df.select("vec_id").dropDuplicates())
-        index.join(arrivals, "vec_id").select(
+        arrivals = batch_df.select("vec_id").dropDuplicates()
+        # Dedup BEFORE the append, not only on read-back: under
+        # at-least-once delivery a re-sent delete event would otherwise
+        # append one row per occurrence forever — the same
+        # lifetime-growth defect the sketch gates' compaction fixes.
+        # With the anti-join, on-disk tombstones are truly bounded by
+        # the index (≤ one row per indexed id), and a crash-retried
+        # batch whose rows already landed appends nothing.
+        try:
+            existing = spark.read.parquet(tomb_dir).select("vec_id")
+            # materialize before appending to the dir the plan reads
+            arrivals = arrivals.join(
+                existing, "vec_id", "left_anti"
+            ).localCheckpoint(eager=True)
+        except AnalysisException:
+            pass  # no tombstones yet
+        index.join(F.broadcast(arrivals), "vec_id").select(
             "vec_id",
             "cluster",
             F.lit(int(batch_id)).cast("long").alias("batch_id"),

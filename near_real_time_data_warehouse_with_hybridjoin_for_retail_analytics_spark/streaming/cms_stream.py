@@ -107,8 +107,6 @@ def run_cms_stream(
             dedup_cols=["source", "i", "bucket"],
             merge_state=cms_report,
         )
-        if merged is None:
-            return  # replay of an already-compacted batch
         merged.write.mode("overwrite").parquet(out_dir)
 
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)

@@ -17,7 +17,8 @@ Contract and shape:
   boundary); a production deployment scopes the gate to closed
   partitions exactly as Delta/Iceberg compaction does — the SCALE.md
   round-12 note records the boundary.
-- Per micro-batch: arriving rows append to ``out_dir``/staging
+- Per micro-batch: arriving rows append to the active staging
+  generation dir
   (batch-id tagged; replayed batches re-append identical rows and the
   (batch_id, event_id) dedup restores exactly-once, same mechanism as
   the CMS gate), the bin plan recomputes over the deduped staging
@@ -42,11 +43,12 @@ vacuum)."""
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.layout import COMPACT_TARGET_ROWS, _US_PER_HOUR
+from ..operators.layout import COMPACT_TARGET_ROWS, _HOUR_OR_SENTINEL, _US_PER_HOUR
 from .windows import EVENTS_SCHEMA
 
 
@@ -57,32 +59,47 @@ def _staged(spark: SparkSession, staging_dir: str) -> DataFrame:
     )
 
 
-def _swept_offset(spark: SparkSession, out_dir: str) -> int:
-    """Cumulative row count removed from staging by sweeps. Because
-    sweeps remove exact BIN PREFIXES of the global hour-ordered cum,
-    group = (offset + local_cum_before) DIV target reproduces the
-    original bin numbering for every remaining row (the first
-    remaining row's global running total is exactly the offset)."""
+def _staging_state(out_dir: str) -> tuple[str, int]:
+    """(active staging dir, swept-rows offset) from the atomically
+    committed generation marker. Sweeps never mutate the active
+    staging dir in place: they write the surviving rows to the NEXT
+    generation dir, then commit (generation, offset) in ONE
+    os.replace — so a crash at any point leaves a marker that is
+    consistent with the directory it names (old marker → old dir
+    untouched; new marker → new dir complete). Because sweeps remove
+    exact BIN PREFIXES of the global hour-ordered cum, group =
+    (offset + local_cum_before) DIV target reproduces the original
+    bin numbering for every remaining row (the first remaining row's
+    global running total is exactly the offset)."""
+    import json
+
     try:
-        return int(
-            spark.read.parquet(f"{out_dir}/swept")
-            .agg(F.max("rows"))
-            .collect()[0][0]
-        )
-    except Exception:
-        return 0
+        with open(f"{out_dir}/staging_meta.json") as fh:
+            meta = json.load(fh)
+        gen, offset = int(meta["generation"]), int(meta["offset"])
+    except (OSError, ValueError, KeyError):
+        gen, offset = 0, 0
+    return f"{out_dir}/staging_g{gen}", offset
+
+
+def _commit_staging_state(out_dir: str, generation: int, offset: int) -> None:
+    import json
+    import os
+
+    tmp = f"{out_dir}/staging_meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"generation": generation, "offset": offset}, fh)
+    os.replace(tmp, f"{out_dir}/staging_meta.json")  # atomic commit
 
 
 def _bin_plan(staged: DataFrame, offset: int = 0) -> DataFrame:
     """(hour, group_id) over the staged inventory — the batch
     planner's deterministic rule, metadata-scale. ``offset`` restores
-    global numbering after staging sweeps (see _swept_offset)."""
+    global numbering after staging sweeps (see _staging_state)."""
     from pyspark.sql import Window
 
     inv = (
-        staged.select(
-            F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("hour")
-        )
+        staged.select(F.expr(_HOUR_OR_SENTINEL).alias("hour"))
         .groupBy("hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
@@ -106,7 +123,10 @@ def _written_groups(spark: SparkSession, compacted_dir: str) -> set[int]:
             .distinct()
             .collect()
         }  # bounded: one row per compacted bin (metadata-scale)
-    except Exception:
+    except AnalysisException:
+        # ONLY missing-path/empty-dir means "nothing compacted yet";
+        # a transient read failure must propagate — treating it as
+        # empty would re-append already-written bins (double count)
         return set()
 
 
@@ -120,7 +140,7 @@ def _write_bins(
     )
     (
         staged.drop("batch_id")
-        .withColumn("hour", F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}"))
+        .withColumn("hour", F.expr(_HOUR_OR_SENTINEL))
         .join(groups, "hour")
         .drop("hour")
         .repartition("group_id")
@@ -144,15 +164,15 @@ def run_compaction_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    staging_dir = f"{out_dir}/staging"
     compacted_dir = f"{out_dir}/compacted"
 
     def _tick(batch_df: DataFrame, batch_id: int) -> None:
+        staging_dir, offset = _staging_state(out_dir)
         batch_df.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         ).write.mode("append").parquet(staging_dir)
         staged = _staged(spark, staging_dir)
-        plan = _bin_plan(staged, _swept_offset(spark, out_dir))
+        plan = _bin_plan(staged, offset)
         gids = sorted(
             r["group_id"] for r in plan.select("group_id").distinct().collect()
         )  # bounded: one row per bin currently in staging
@@ -172,10 +192,10 @@ def finalize_compaction(spark: SparkSession, out_dir: str) -> None:
     """Declare the feed closed and flush every remaining bin
     (including the trailing still-filling one). Idempotent: bins
     already on disk are skipped."""
-    staging_dir = f"{out_dir}/staging"
+    staging_dir, offset = _staging_state(out_dir)
     compacted_dir = f"{out_dir}/compacted"
     staged = _staged(spark, staging_dir)
-    plan = _bin_plan(staged, _swept_offset(spark, out_dir))
+    plan = _bin_plan(staged, offset)
     gids = sorted(
         r["group_id"] for r in plan.select("group_id").distinct().collect()
     )
@@ -184,13 +204,17 @@ def finalize_compaction(spark: SparkSession, out_dir: str) -> None:
 
 
 def sweep_staging(spark: SparkSession, out_dir: str) -> None:
-    """Vacuum: rewrite staging down to rows whose bin is NOT yet
-    compacted (bounded retention — the deferred-delete half real
-    compactors run out-of-band), recording the cumulative swept row
-    count so bin numbering stays global (see _swept_offset)."""
-    staging_dir = f"{out_dir}/staging"
-    offset = _swept_offset(spark, out_dir)
-    staged = _staged(spark, staging_dir).localCheckpoint(eager=True)
+    """Vacuum: rewrite the SURVIVING rows (bins not yet compacted)
+    into the next staging GENERATION, then commit (generation, offset)
+    atomically (see _staging_state for the crash argument — the active
+    staging dir is never mutated in place, so there is no window in
+    which the marker and the directory disagree). Bounded retention —
+    the deferred-delete half real compactors run out-of-band."""
+    import shutil
+
+    staging_dir, offset = _staging_state(out_dir)
+    gen = int(staging_dir.rsplit("_g", 1)[-1])
+    staged = _staged(spark, staging_dir)
     plan = _bin_plan(staged, offset)
     done = _written_groups(spark, f"{out_dir}/compacted")
     keep_hours = F.broadcast(
@@ -199,14 +223,12 @@ def sweep_staging(spark: SparkSession, out_dir: str) -> None:
         )
     )
     remaining = (
-        staged.withColumn(
-            "hour", F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
-        )
+        staged.withColumn("hour", F.expr(_HOUR_OR_SENTINEL))
         .join(keep_hours, "hour")
         .drop("hour")
-    ).localCheckpoint(eager=True)
-    n_swept = staged.count() - remaining.count()
-    remaining.write.mode("overwrite").parquet(staging_dir)
-    spark.createDataFrame(
-        [(int(offset) + int(n_swept),)], "rows long"
-    ).write.mode("overwrite").parquet(f"{out_dir}/swept")
+    )
+    new_dir = f"{out_dir}/staging_g{gen + 1}"
+    remaining.write.mode("overwrite").parquet(new_dir)
+    n_swept = staged.count() - spark.read.parquet(new_dir).count()
+    _commit_staging_state(out_dir, gen + 1, int(offset) + int(n_swept))
+    shutil.rmtree(staging_dir, ignore_errors=True)  # post-commit cleanup

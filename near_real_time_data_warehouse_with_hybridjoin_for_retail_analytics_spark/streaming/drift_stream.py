@@ -182,8 +182,6 @@ def run_embedding_drift_stream(
                 F.sum("cnt_new").cast("long").alias("cnt_new"),
             ),
         )
-        if merged is None:
-            return  # replay of an already-compacted batch
         drift_report(ref, merged).write.mode("overwrite").parquet(out_dir)
 
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)

@@ -85,8 +85,6 @@ def run_hll_register_stream(
             dedup_cols=["source", "register"],
             merge_state=hll_report,
         )
-        if merged is None:
-            return  # replay of an already-compacted batch
         merged.write.mode("overwrite").parquet(out_dir)
 
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)

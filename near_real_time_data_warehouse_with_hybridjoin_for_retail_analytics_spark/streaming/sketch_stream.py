@@ -127,8 +127,6 @@ def run_token_sketch_stream(
             dedup_cols=["lang", "token"],
             merge_state=sketch_merge,
         )
-        if merged is None:
-            return  # replay of an already-compacted batch
         sketch_report(merged).write.mode("overwrite").parquet(out_dir)
 
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)

@@ -12,15 +12,20 @@ the gate has run.
 Replay safety across the compaction boundary, once for all gates: a
 crash-retried batch at or below the base watermark is already folded
 into the compacted state — its batch-id tag is gone, so the
-(batch_id, …) dedup could no longer absorb it — and must be SKIPPED
-outright (``accumulate`` returns None). Above the watermark, a retry
-re-appends identical rows and the dedup collapses them exactly as
-before. This skip is what makes the scheme safe even for
-NON-replay-idempotent merges (+ in CMS/drift); for idempotent merges
-(MAX in HLL, k-min union in KMV) it is merely redundant. A crash
-between the base overwrite and the partials clear only leaves
-≤-watermark partials behind, which the > wmark filter excludes until
-the next compaction's overwrite removes them.
+(batch_id, …) dedup could no longer absorb it — so its PARTIAL APPEND
+is skipped, but ``accumulate`` still returns the current merged state:
+the caller must still (re)write its report, because the crash may have
+hit between the base fold and the report write, leaving the published
+report one batch behind the state (returning None there would freeze
+the stale report forever on an availableNow feed whose last batch was
+the folded one). Above the watermark, a retry re-appends identical
+rows and the dedup collapses them exactly as before. The append skip
+is what makes the scheme safe even for NON-replay-idempotent merges
+(+ in CMS/drift); for idempotent merges (MAX in HLL, k-min union in
+KMV) it is merely redundant. A crash between the base overwrite and
+the partials clear only leaves ≤-watermark partials behind, which the
+> wmark filter excludes until the next compaction's overwrite removes
+them.
 
 ``merge_state`` must be associative with output schema == input schema
 (minus the batch tag): groupBy-SUM (CMS cells, drift sums),
@@ -44,10 +49,16 @@ def _read_base(
     spark: SparkSession, base_dir: str
 ) -> tuple[DataFrame | None, int]:
     """(compacted state without the wmark column, watermark), or
-    (None, -1) before the first compaction."""
+    (None, -1) before the first compaction. Only the
+    missing/empty-path AnalysisException means "no base yet" — a
+    transient read failure (corrupt footer, FS hiccup) must PROPAGATE,
+    or a non-idempotent gate would silently rebuild its report from
+    post-compaction partials alone."""
+    from pyspark.errors import AnalysisException
+
     try:
         base = spark.read.parquet(base_dir)
-    except Exception:
+    except AnalysisException:
         return None, _WMARK_SENTINEL
     wmark = base.agg(F.max("wmark")).collect()[0][0]
     return base.drop("wmark"), int(wmark)
@@ -61,25 +72,34 @@ def accumulate(
     dedup_cols: list[str],
     merge_state: Callable[[DataFrame], DataFrame],
     compact_every: int = COMPACT_EVERY,
-) -> DataFrame | None:
+) -> DataFrame:
     """Fold one micro-batch's ``partial`` into the bounded state under
     ``state_dir`` and return the CURRENT merged state (the caller
-    derives/writes its report from it), or None when ``batch_id`` is a
-    replay at/below the compaction watermark (state unchanged — the
-    caller's report is already current). ``dedup_cols``: the partial's
-    row identity (batch_id is added automatically)."""
+    derives/writes its report from it — ALWAYS, including for a replay
+    of an already-compacted batch, whose partial append is skipped but
+    whose report write may be the one the crash interrupted).
+    ``dedup_cols``: the partial's row identity (batch_id is added
+    automatically)."""
     partials_dir = f"{state_dir}/partials"
     base_dir = f"{state_dir}/base"
     base, wmark = _read_base(spark, base_dir)
-    if int(batch_id) <= wmark:
-        return None
-    partial.withColumn(
-        "batch_id", F.lit(int(batch_id)).cast("long")
-    ).write.mode("append").parquet(partials_dir)
-    live = (
-        spark.read.parquet(partials_dir)
-        .filter(F.col("batch_id") > wmark)
-        .dropDuplicates(["batch_id", *dedup_cols])
+    if int(batch_id) > wmark:
+        partial.withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        ).write.mode("append").parquet(partials_dir)
+    from pyspark.errors import AnalysisException
+
+    tagged_schema = partial.withColumn(
+        "batch_id", F.lit(0).cast("long")
+    ).schema
+    try:
+        raw = spark.read.parquet(partials_dir)
+    except AnalysisException:
+        # only reachable on a replayed already-compacted batch right
+        # after a compaction cleared the partials to an empty dir
+        raw = spark.createDataFrame([], tagged_schema)
+    live = raw.filter(F.col("batch_id") > wmark).dropDuplicates(
+        ["batch_id", *dedup_cols]
     )
     cells = live.drop("batch_id")
     if base is not None:

@@ -104,3 +104,15 @@ def test_dark_mode_and_errors(live):
     assert code == 404
     code, _, _ = _get(f"{base}/panel?name=top_products&year=banana")
     assert code == 400
+
+
+def test_render_failure_returns_500_not_dropped_connection(live):
+    """A render/Spark error must surface as HTTP 500 (review finding,
+    round 12): a huge year value passes int() but breaks downstream —
+    the client needs a status line, not a closed socket."""
+    base, _years = live
+    code, body, _ = _get(
+        f"{base}/panel?name=top_products&year={10**30}&dark=0"
+    )
+    assert code == 500
+    assert "render failed" in body

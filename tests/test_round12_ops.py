@@ -265,3 +265,48 @@ def test_compaction_hot_hour_stays_one_file(spark, tmp_path):
     spans = sorted((r["hmin"], r["hmax"]) for r in stats)
     for (a, b), (c, d) in zip(spans, spans[1:]):
         assert c > b  # disjoint, ordered
+
+
+def test_compaction_preserves_null_ts_rows(spark, tmp_path):
+    """Row preservation includes NULL-ts rows: they key on the
+    sentinel hour instead of being dropped by the hour equi-join
+    (review finding, round 12)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, "view", 1.0, "{}"),
+        (2, None, 2, "view", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 1), 3, "view", 3.0, "{}"),
+        (4, None, 4, "click", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "null_src")
+    df.write.mode("overwrite").parquet(f"{src}/events.parquet")
+    dest = str(tmp_path / "null_compacted")
+    layout.compact_events(spark, src, dest)
+    back = spark.read.parquet(dest)
+    assert back.count() == 4
+    assert sorted(
+        r["event_id"] for r in back.filter(F.col("ts").isNull()).collect()
+    ) == [2, 4]
+
+
+def test_ann_compact_empty_worklist_returns_empty(spark, monkeypatch):
+    """When no list crosses the dead-fraction threshold (the expected
+    100 TB regime: mean dead fraction 10% < 15%) the entry must return
+    the empty inventory, not crash on an unreadable zero-row
+    partitionBy dest (review finding, round 12)."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        similarity,
+    )
+
+    monkeypatch.setattr(similarity, "COMPACT_FRAC", 1.1)  # nothing flags
+    out = similarity.ann_index_compact(spark, SF)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "cluster", "n_files", "n_rows",
+    ]

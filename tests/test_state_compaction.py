@@ -38,10 +38,13 @@ def test_fold_compact_and_watermark_skip(spark, tmp_path):
     assert wmark == state_compaction.COMPACT_EVERY - 1
     live = spark.read.parquet(f"{sd}/partials").select("batch_id").distinct()
     assert live.count() == 2
-    # replay of a compacted batch: skipped outright (None), state frozen
-    assert state_compaction.accumulate(
+    # replay of a compacted batch: its APPEND is skipped (state frozen
+    # — no double count) but the current merged state still comes back
+    # so the caller can re-publish a report the crash may have eaten
+    replay = state_compaction.accumulate(
         spark, sd, 0, _partial(spark, 1), ["k"], _merge
-    ) is None
+    )
+    assert _state(replay) == _state(seen)
     nxt = state_compaction.accumulate(
         spark, sd, 99, _partial(spark, 1), ["k"], _merge
     )

@@ -108,11 +108,17 @@ def test_restart_and_sweep_are_idempotent(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert _bins(spark, f"{out}/compacted") == first
-    # sweep bounds staging without touching compacted output
-    n_staged_before = spark.read.parquet(f"{out}/staging").count()
+    # sweep bounds staging without touching compacted output (the
+    # surviving rows move to the next GENERATION dir, committed
+    # atomically — see _staging_state)
+    dir_before, off_before = compaction_stream._staging_state(out)
+    n_staged_before = spark.read.parquet(dir_before).count()
     compaction_stream.sweep_staging(spark, out)
-    n_staged_after = spark.read.parquet(f"{out}/staging").count()
+    dir_after, off_after = compaction_stream._staging_state(out)
+    assert dir_after != dir_before and off_after > off_before
+    n_staged_after = spark.read.parquet(dir_after).count()
     assert n_staged_after < n_staged_before
+    assert off_after - off_before == n_staged_before - n_staged_after
     assert _bins(spark, f"{out}/compacted") == first
     compaction_stream.finalize_compaction(spark, out)
     batch_dest = str(tmp_path / "batch")
