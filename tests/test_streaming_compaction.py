@@ -127,3 +127,46 @@ def test_restart_and_sweep_are_idempotent(spark, tmp_path):
     got = spark.read.parquet(f"{out}/compacted").select(*batch.columns)
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_continuation_across_separate_runs(spark, tmp_path):
+    """Real ingest arrives over DAYS, not one availableNow pass: feed
+    half the files, run to completion, land the other half, run again
+    over the SAME checkpoint — bins must keep closing exactly once
+    across the boundary and the final output must still equal the
+    batch rewrite. This exercises the compacted-dir-based
+    already-written detection across process lifetimes, not just
+    within one."""
+    feed_all = _ordered_feed(spark, tmp_path)
+    files = sorted(os.listdir(feed_all))
+    feed = str(tmp_path / "feed_live")
+    os.mkdir(feed)
+    half = len(files) // 2
+    for i, name in enumerate(files[:half]):
+        os.link(os.path.join(feed_all, name), os.path.join(feed, name))
+        os.utime(os.path.join(feed, name), (1_000_000 + i, 1_000_000 + i))
+    out = str(tmp_path / "out_cont")
+    ck = str(tmp_path / "ckpt_cont")
+    q = compaction_stream.run_compaction_stream(spark, feed, out, checkpoint=ck)
+    q.awaitTermination(300)
+    mid = _bins(spark, f"{out}/compacted")
+    assert mid, "first half must close at least one bin"
+    for j, name in enumerate(files[half:]):
+        os.link(os.path.join(feed_all, name), os.path.join(feed, name))
+        os.utime(
+            os.path.join(feed, name),
+            (1_000_100 + j, 1_000_100 + j),
+        )
+    q2 = compaction_stream.run_compaction_stream(spark, feed, out, checkpoint=ck)
+    q2.awaitTermination(300)
+    compaction_stream.finalize_compaction(spark, out)
+    batch_dest = str(tmp_path / "batch_cont")
+    layout.compact_events(spark, SF, batch_dest)
+    batch = spark.read.parquet(batch_dest)
+    got = spark.read.parquet(f"{out}/compacted").select(*batch.columns)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    gb = _bins(spark, f"{out}/compacted")
+    assert all(nf == 1 for _, nf in gb.values())
+    for gid, stats in mid.items():
+        assert gb[gid] == stats  # first-run bins untouched by run 2
