@@ -430,3 +430,34 @@ def test_dsir_sf01_divergence_is_negative_zero_only(spark):
                 assert {repr(a), repr(b)} == {"0.0", "-0.0"}, k
                 neg_zero_rows += 1
     assert neg_zero_rows >= 1  # the divergence is real but repr-only
+
+
+def test_recursive_union_oracle_audit_is_exhaustive():
+    """Guard for the DuckDB RECURSIVE-UNION quirk audit: exactly these
+    six oracles use plain UNION inside WITH RECURSIVE. Five are
+    connectivity-based (duplicate edges cannot change reachability,
+    and per-doc label aggregation collapses any row dups — all five
+    pass the sf0.1 full gate); only dedup_pagerank is edge-
+    multiplicity-sensitive (its r13 fix is staged). A NEW recursive
+    oracle lands here first: add it only after classifying its
+    multiplicity sensitivity in SCALE.md."""
+    import re
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
+        registry,
+    )
+
+    hits = {
+        name
+        for name, sql in registry.ORACLES.items()
+        if re.search(r"WITH\s+RECURSIVE", sql, re.I)
+        and re.search(r"UNION(?!\s+ALL)", sql, re.I)
+    }
+    assert hits == {
+        "corpus_select",
+        "dedup_component_stats",
+        "dedup_components",
+        "dedup_multimodal_components",
+        "dedup_pagerank",
+        "sample_split_by_cluster",
+    }
