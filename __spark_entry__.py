@@ -54,7 +54,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation, including entries added mid-simulation, and asserts the
 # bound; it also asserts the window budget).
 _PINNED = [
-    *[n for n in registry.QUERIES if n.startswith("q")],  # q01..q20 in order
+    # ^q\d\d_ (same predicate bench.py uses for the headline subset):
+    # a bare startswith("q") would silently pin a future
+    # "quantile_*"-style entry, making it always-verified and skewing
+    # the rotation budget the growth tests enforce.
+    *[n for n in registry.QUERIES if re.match(r"^q\d\d_", n)],
     "etl_enrich_events",
     "etl_events_by_type",
 ]

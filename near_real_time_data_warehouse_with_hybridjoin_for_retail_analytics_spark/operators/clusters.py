@@ -427,8 +427,15 @@ _SQL_PAGERANK = f"""
       FROM documents
     ),
     fwd AS (
-      SELECT src, dst FROM jacc
-      UNION SELECT src, dst FROM exact WHERE src < dst
+      -- DuckDB 1.0.0 treats plain UNION in non-recursive CTEs inside a
+      -- WITH RECURSIVE block as UNION ALL (repro pinned in
+      -- test_duckdb_recursive_union_quirk_repro); PageRank is
+      -- edge-multiplicity-sensitive, so dedup explicitly. Correct under
+      -- either engine semantics.
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM jacc
+        UNION SELECT src, dst FROM exact WHERE src < dst
+      )
     ),
     edges AS MATERIALIZED (
       SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd

@@ -978,7 +978,10 @@ DSIR_TARGET_LANG = "en"
     )
     SELECT h.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(SUM(lr.llr) / COUNT(*), 6) AS mean_llr,
+           -- + 0.0 normalizes IEEE -0.0 to +0.0 (one sf0.1 doc has an
+           -- exact-zero mean llr that DuckDB signs negative; values are
+           -- IEEE-equal, the divergence is repr-only — see SCALE.md).
+           round(SUM(lr.llr) / COUNT(*), 6) + 0.0 AS mean_llr,
            round(SUM(lr.llr) / COUNT(*), 6) > 0 AS toward_target
     FROM h JOIN lr USING (b)
     GROUP BY h.doc_id
@@ -1037,7 +1040,9 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            mean_llr.alias("mean_llr"),
+            # + 0.0 normalizes IEEE -0.0 to +0.0, mirroring the oracle
+            # (repr-only sf0.1 divergence; see SCALE.md).
+            (mean_llr + F.lit(0.0)).alias("mean_llr"),
             (mean_llr > 0).alias("toward_target"),
         )
     )

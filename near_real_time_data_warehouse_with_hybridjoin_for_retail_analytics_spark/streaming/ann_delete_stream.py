@@ -96,8 +96,6 @@ def run_ann_delete_stream(
     worklist_dir = f"{out_dir}/worklist"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         index = spark.read.parquet(index_dir)
         arrivals = batch_df.select("vec_id").dropDuplicates()
         # Dedup BEFORE the append, not only on read-back: under
@@ -107,14 +105,19 @@ def run_ann_delete_stream(
         # With the anti-join, on-disk tombstones are truly bounded by
         # the index (≤ one row per indexed id), and a crash-retried
         # batch whose rows already landed appends nothing.
-        try:
+        # Only the genuinely-missing-path case means "no tombstones
+        # yet"; any other analysis-time failure (corrupt footer, FS
+        # hiccup) must PROPAGATE so the batch retries — swallowing it
+        # would silently skip the anti-join and append duplicate
+        # tombstone rows, eroding the ≤-one-row-per-indexed-id bound.
+        import os
+
+        if os.path.isdir(tomb_dir):
             existing = spark.read.parquet(tomb_dir).select("vec_id")
             # materialize before appending to the dir the plan reads
             arrivals = arrivals.join(
                 existing, "vec_id", "left_anti"
             ).localCheckpoint(eager=True)
-        except AnalysisException:
-            pass  # no tombstones yet
         index.join(F.broadcast(arrivals), "vec_id").select(
             "vec_id",
             "cluster",

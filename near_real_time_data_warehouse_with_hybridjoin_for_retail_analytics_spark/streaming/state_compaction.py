@@ -32,10 +32,26 @@ them.
 groupBy-MAX (HLL registers), and per-group k-min union (KMV) all
 qualify — the same merge laws that make these sketches
 shard-mergeable at 100 TB make them compactable here.
+
+The base itself commits atomically: each compaction writes the folded
+state to a fresh generation dir (``base_g{n}``) and then commits the
+generation number in one ``os.replace`` of ``base_meta.json`` — the
+same marker pattern ``compaction_stream`` uses for its staging sweeps.
+A crash mid-write leaves the marker pointing at the old, untouched
+generation; the in-place ``mode("overwrite")`` it replaces had a
+window where the old base was already deleted while the new one had
+not committed, and ``_read_base`` would have read that wreckage as
+"no base yet" (wmark=-1) — silently rebuilding state from only the
+≤ COMPACT_EVERY live partials, a permanent undercount for the
+non-idempotent merges (CMS counts, drift sums). A committed marker
+whose generation dir is missing or unreadable is therefore a HARD
+error, never "no base yet".
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,23 +61,48 @@ COMPACT_EVERY = 8  # fold partials into the base every N live batches
 _WMARK_SENTINEL = -1
 
 
+def _base_generation(state_dir: str) -> int | None:
+    """Committed base generation, or None before the first compaction.
+    Only a missing marker means "no base yet"; a present-but-corrupt
+    marker propagates (truncated json can only come from a non-atomic
+    writer — ours is os.replace'd — so it signals real damage)."""
+    try:
+        with open(f"{state_dir}/base_meta.json") as fh:
+            return int(json.load(fh)["generation"])
+    except FileNotFoundError:
+        return None
+
+
+def _commit_base_generation(state_dir: str, generation: int) -> None:
+    tmp = f"{state_dir}/base_meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"generation": generation}, fh)
+    os.replace(tmp, f"{state_dir}/base_meta.json")  # atomic commit
+
+
 def _read_base(
-    spark: SparkSession, base_dir: str
-) -> tuple[DataFrame | None, int]:
-    """(compacted state without the wmark column, watermark), or
-    (None, -1) before the first compaction. Only the
-    missing/empty-path AnalysisException means "no base yet" — a
-    transient read failure (corrupt footer, FS hiccup) must PROPAGATE,
-    or a non-idempotent gate would silently rebuild its report from
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame | None, int, int | None]:
+    """(compacted state without the wmark column, watermark,
+    generation), or (None, -1, None) before the first compaction. A
+    committed generation whose dir fails to read is a HARD error — a
+    non-idempotent gate must never silently rebuild its report from
     post-compaction partials alone."""
     from pyspark.errors import AnalysisException
 
+    gen = _base_generation(state_dir)
+    if gen is None:
+        return None, _WMARK_SENTINEL, None
     try:
-        base = spark.read.parquet(base_dir)
-    except AnalysisException:
-        return None, _WMARK_SENTINEL
+        base = spark.read.parquet(f"{state_dir}/base_g{gen}")
+    except AnalysisException as exc:
+        raise RuntimeError(
+            f"state_compaction base marker commits generation {gen} but "
+            f"{state_dir}/base_g{gen} is missing/unreadable — compacted "
+            "history would be lost; refusing to rebuild from partials"
+        ) from exc
     wmark = base.agg(F.max("wmark")).collect()[0][0]
-    return base.drop("wmark"), int(wmark)
+    return base.drop("wmark"), int(wmark), gen
 
 
 def accumulate(
@@ -81,8 +122,7 @@ def accumulate(
     ``dedup_cols``: the partial's row identity (batch_id is added
     automatically)."""
     partials_dir = f"{state_dir}/partials"
-    base_dir = f"{state_dir}/base"
-    base, wmark = _read_base(spark, base_dir)
+    base, wmark, gen = _read_base(spark, state_dir)
     if int(batch_id) > wmark:
         partial.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
@@ -108,11 +148,23 @@ def accumulate(
     n_live = live.select("batch_id").distinct().count()
     if n_live >= compact_every:
         new_wmark = live.agg(F.max("batch_id")).collect()[0][0]
+        new_gen = 0 if gen is None else gen + 1
+        new_base_dir = f"{state_dir}/base_g{new_gen}"
+        # write to a FRESH generation dir, then commit the marker in
+        # one os.replace — the old base stays intact until the new one
+        # is fully on disk, so no crash window loses folded history.
         merged.localCheckpoint(eager=True).withColumn(
             "wmark", F.lit(int(new_wmark)).cast("long")
-        ).write.mode("overwrite").parquet(base_dir)
+        ).write.mode("overwrite").parquet(new_base_dir)
+        _commit_base_generation(state_dir, new_gen)
         spark.createDataFrame([], live.schema).write.mode(
             "overwrite"
         ).parquet(partials_dir)
-        merged = spark.read.parquet(base_dir).drop("wmark")
+        if gen is not None:
+            import shutil
+
+            # best-effort: the superseded generation is garbage once
+            # the marker has moved on; a crash here only leaks a dir.
+            shutil.rmtree(f"{state_dir}/base_g{gen}", ignore_errors=True)
+        merged = spark.read.parquet(new_base_dir).drop("wmark")
     return merged

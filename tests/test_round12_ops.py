@@ -313,10 +313,11 @@ def test_ann_compact_empty_worklist_returns_empty(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
-# Known sf0.1-only ORACLE divergences (round-12 discovery; oracle fixes
-# staged for round 13 — the rotation window is at exact capacity and
-# both entries hold fresh r10 driver rows, so a hash-forcing oracle
-# edit would overflow the growth budget this round)
+# Known sf0.1-only ORACLE divergences (round-12 discovery; both oracle
+# fixes LANDED in round 13 — pagerank's fwd CTE wrapped in SELECT
+# DISTINCT, dsir zero normalized with + 0.0 on both sides — and both
+# entries re-verified clean at sf0.1. These pins keep the root causes
+# on record and guard against regression.)
 # ---------------------------------------------------------------------------
 def test_duckdb_recursive_union_quirk_repro():
     """ROOT CAUSE pin for the dedup_pagerank sf0.1 oracle divergence:
@@ -326,8 +327,8 @@ def test_duckdb_recursive_union_quirk_repro():
     also a Jaccard pair (text long enough to shingle — present at
     sf0.1, absent at the driver-gated sf0.01/sf0.001), inflating
     outdeg and contributions. The Spark implementation is correct
-    (see the replay test below). r13 fix: wrap fwd in an explicit
-    SELECT DISTINCT, robust under either engine semantics."""
+    (see the replay test below). Fixed in r13: fwd is wrapped in an
+    explicit SELECT DISTINCT, robust under either engine semantics."""
     import duckdb
     import pytest
 
@@ -390,11 +391,13 @@ def test_pagerank_spark_matches_python_replay_at_sf01():
 
 
 def test_dsir_sf01_divergence_is_negative_zero_only(spark):
-    """The curation_dsir_weights sf0.1 hash mismatch is PURELY the
+    """The curation_dsir_weights sf0.1 hash mismatch WAS purely the
     -0.0/0.0 repr split (one doc whose mean llr is an exact zero that
-    DuckDB signs negative): field-by-field the values are EQUAL under
-    IEEE comparison. r13 fix: normalize zero on both sides
-    (x + 0.0)."""
+    DuckDB signed negative): field-by-field the values were EQUAL
+    under IEEE comparison. The r13 fix normalizes zero on both sides
+    (x + 0.0); this pin now asserts the divergence is RETIRED — IEEE
+    equality still holds row-by-row AND no float field repr-diverges
+    anymore."""
     import duckdb
 
     from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
@@ -421,15 +424,13 @@ def test_dsir_sf01_divergence_is_negative_zero_only(spark):
         ).fetchall()
     }
     assert set(srows) == set(orows)
-    neg_zero_rows = 0
     for k, sv in srows.items():
         ov = orows[k]
         assert sv == ov, k  # IEEE equality: -0.0 == 0.0
         for a, b in zip(sv, ov):
-            if isinstance(a, float) and repr(a) != repr(b):
-                assert {repr(a), repr(b)} == {"0.0", "-0.0"}, k
-                neg_zero_rows += 1
-    assert neg_zero_rows >= 1  # the divergence is real but repr-only
+            if isinstance(a, float):
+                # the r13 + 0.0 normalization retires the repr split
+                assert repr(a) == repr(b), k
 
 
 def test_recursive_union_oracle_audit_is_exhaustive():
@@ -438,7 +439,9 @@ def test_recursive_union_oracle_audit_is_exhaustive():
     connectivity-based (duplicate edges cannot change reachability,
     and per-doc label aggregation collapses any row dups — all five
     pass the sf0.1 full gate); only dedup_pagerank is edge-
-    multiplicity-sensitive (its r13 fix is staged). A NEW recursive
+    multiplicity-sensitive (fixed in r13 via SELECT DISTINCT — it
+    still appears in this hit set because the DISTINCT wraps a plain
+    UNION that remains inside the RECURSIVE block). A NEW recursive
     oracle lands here first: add it only after classifying its
     multiplicity sensitivity in SCALE.md."""
     import re

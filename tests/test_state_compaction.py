@@ -1,10 +1,17 @@
 """Direct unit gates for the shared bounded-state mechanism
 (`streaming.state_compaction`), independent of any one gate: the
-watermark skip, the compaction fold, and the crash window between the
-base overwrite and the partials clear."""
+watermark skip, the compaction fold, the crash window between the
+base commit and the partials clear, and the atomic generation-marker
+commit that closes the old in-place-overwrite crash window (a crash
+mid-base-write must leave the PREVIOUS folded history readable, and a
+committed marker with a missing dir must be a hard error, never a
+silent rebuild-from-partials)."""
 
 from __future__ import annotations
 
+import json
+
+import pytest
 from pyspark.sql import functions as F
 
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
@@ -32,8 +39,10 @@ def test_fold_compact_and_watermark_skip(spark, tmp_path):
             spark, sd, b, _partial(spark, 1), ["k"], _merge
         )
         assert _state(seen) == [("a", b + 1)]
-    # base exists with the fold's watermark; partials hold only the tail
-    base = spark.read.parquet(f"{sd}/base")
+    # base generation 0 committed with the fold's watermark; partials
+    # hold only the tail
+    assert state_compaction._base_generation(sd) == 0
+    base = spark.read.parquet(f"{sd}/base_g0")
     wmark = base.agg(F.max("wmark")).collect()[0][0]
     assert wmark == state_compaction.COMPACT_EVERY - 1
     live = spark.read.parquet(f"{sd}/partials").select("batch_id").distinct()
@@ -51,25 +60,44 @@ def test_fold_compact_and_watermark_skip(spark, tmp_path):
     assert _state(nxt) == [("a", state_compaction.COMPACT_EVERY + 3)]
 
 
-def test_crash_between_base_write_and_partials_clear(spark, tmp_path):
+def test_second_compaction_advances_generation(spark, tmp_path):
+    """Two full compaction cycles: the marker advances g0 → g1 and the
+    superseded generation dir is garbage-collected."""
+    sd = str(tmp_path / "state")
+    n = 2 * state_compaction.COMPACT_EVERY
+    got = None
+    for b in range(n):
+        got = state_compaction.accumulate(
+            spark, sd, b, _partial(spark, 1), ["k"], _merge
+        )
+    assert _state(got) == [("a", n)]
+    assert state_compaction._base_generation(sd) == 1
+    assert not (tmp_path / "state" / "base_g0").exists()
+    wmark = (
+        spark.read.parquet(f"{sd}/base_g1").agg(F.max("wmark")).collect()[0][0]
+    )
+    assert wmark == n - 1
+
+
+def test_crash_between_base_commit_and_partials_clear(spark, tmp_path):
     """Simulate the documented crash window: the base holds batches
-    0..7 folded, but their partials were never cleared. The > wmark
-    filter must exclude the leftovers — the next accumulate sees
-    exactly base + its own batch, not a double count."""
+    0..COMPACT_EVERY-2 folded (dir written AND marker committed), but
+    their partials were never cleared. The > wmark filter must exclude
+    the leftovers — the next accumulate sees exactly base + its own
+    batch, not a double count."""
     sd = str(tmp_path / "state")
     for b in range(state_compaction.COMPACT_EVERY - 1):
         state_compaction.accumulate(
             spark, sd, b, _partial(spark, 1), ["k"], _merge
         )
-    # manually stage the crash: write the would-be base WITHOUT
-    # clearing the partials dir
-    merged = _merge(
-        spark.read.parquet(f"{sd}/partials").select("k", "v")
-    )
+    # manually stage the crash: write the would-be base and commit the
+    # marker WITHOUT clearing the partials dir
+    merged = _merge(spark.read.parquet(f"{sd}/partials").select("k", "v"))
     merged.withColumn(
         "wmark",
         F.lit(state_compaction.COMPACT_EVERY - 2).cast("long"),
-    ).write.mode("overwrite").parquet(f"{sd}/base")
+    ).write.mode("overwrite").parquet(f"{sd}/base_g0")
+    state_compaction._commit_base_generation(sd, 0)
     leftovers = spark.read.parquet(f"{sd}/partials").count()
     assert leftovers > 0  # the crash left them behind
     got = state_compaction.accumulate(
@@ -81,6 +109,44 @@ def test_crash_between_base_write_and_partials_clear(spark, tmp_path):
         _merge,
     )
     assert _state(got) == [("a", state_compaction.COMPACT_EVERY)]
+
+
+def test_crash_during_base_write_keeps_old_generation(spark, tmp_path):
+    """THE window the in-place overwrite lost history to: a crash while
+    writing the NEXT base generation. The marker still names the old
+    generation, so the next accumulate reads the intact old base — no
+    folded history lost, no silent rebuild from partials."""
+    sd = str(tmp_path / "state")
+    n = state_compaction.COMPACT_EVERY + 2  # g0 committed + 2 live partials
+    for b in range(n):
+        state_compaction.accumulate(
+            spark, sd, b, _partial(spark, 1), ["k"], _merge
+        )
+    assert state_compaction._base_generation(sd) == 0
+    # stage the crash: a half-written next generation (junk dir, no
+    # parquet footer) with the marker NOT advanced
+    g1 = tmp_path / "state" / "base_g1"
+    g1.mkdir()
+    (g1 / "part-00000.parquet").write_bytes(b"\x00garbage")
+    got = state_compaction.accumulate(
+        spark, sd, n, _partial(spark, 1), ["k"], _merge
+    )
+    assert _state(got) == [("a", n + 1)]  # full history intact
+
+
+def test_committed_marker_with_missing_dir_is_hard_error(spark, tmp_path):
+    """A marker naming a generation whose dir is gone means the
+    compacted history was damaged out-of-band; rebuilding from
+    ≤ COMPACT_EVERY partials would be a permanent undercount for
+    non-idempotent merges, so accumulate must refuse loudly."""
+    sd = str(tmp_path / "state")
+    (tmp_path / "state").mkdir()
+    with open(f"{sd}/base_meta.json", "w") as fh:
+        json.dump({"generation": 3}, fh)
+    with pytest.raises(RuntimeError, match="base_g3 is missing"):
+        state_compaction.accumulate(
+            spark, sd, 0, _partial(spark, 1), ["k"], _merge
+        )
 
 
 def test_retry_above_watermark_dedups(spark, tmp_path):
