@@ -247,6 +247,17 @@ def _compaction_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACT_ROOT = "/tmp/sparkgraft_compaction"
 
 
+def _compact_dest(spark: SparkSession, sf_dir: str) -> str:
+    """Rewrite destination scoped by the Spark application id — two
+    concurrent drivers on the same scale factor must not race the
+    overwrite and read back a mixed inventory (same contract as
+    similarity._ann_compact_dest). Stable within a session, so
+    repeated calls overwrite in place and idempotence holds."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
+    app_id = spark.sparkContext.applicationId
+    return f"{_COMPACT_ROOT}/{app_id}/{sf_tag}/events"
+
+
 def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
     """Execute the compaction plan: rewrite the events rows into one
     parquet file per planned group under ``dest`` (idempotent
@@ -310,8 +321,7 @@ def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_round12_ops.py). 100 TB shape: the plan is
     metadata-scale; execution pays the one clustering shuffle + rewrite
     of exactly the flagged bins that any lakehouse OPTIMIZE pays."""
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
-    dest = f"{_COMPACT_ROOT}/{sf_tag}/events"
+    dest = _compact_dest(spark, sf_dir)
     compact_events(spark, sf_dir, dest)
     compacted = spark.read.parquet(dest)
     return (

@@ -2971,6 +2971,19 @@ def ann_delete_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_COMPACT_ROOT = "/tmp/sparkgraft_ann_compact"
 
 
+def _ann_compact_dest(spark: SparkSession, sf_dir: str) -> str:
+    """Rewrite destination, scoped by the Spark application id so two
+    concurrent drivers on the same scale factor can never race each
+    other's overwrite and read back a mixed inventory (every other
+    registry entry is read-only; this one and layout_compaction_apply
+    have filesystem side effects). Within one session the path is
+    stable, so repeated calls overwrite in place and idempotence
+    holds."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
+    app_id = spark.sparkContext.applicationId
+    return f"{_ANN_COMPACT_ROOT}/{app_id}/{sf_tag}/lists"
+
+
 def _ann_compact_sql() -> str:
     return f"""
     WITH qe AS ({_SQL_QE}),
@@ -3041,8 +3054,7 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = assign.filter(F.col("vec_id") % TOMBSTONE_MOD != 0).join(
         F.broadcast(flagged), "cluster"
     )
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
-    dest = f"{_ANN_COMPACT_ROOT}/{sf_tag}/lists"
+    dest = _ann_compact_dest(spark, sf_dir)
     (
         live.repartition("cluster")
         .write.mode("overwrite")

@@ -14,9 +14,18 @@ Contract and shape:
   monotonicity property: once any row of bin k+1 has arrived, bin k's
   membership can never change, so bin k is FINAL and safe to rewrite.
   Late data would violate this (a back-filled hour shifts every later
-  boundary); a production deployment scopes the gate to closed
-  partitions exactly as Delta/Iceberg compaction does — the SCALE.md
-  round-12 note records the boundary.
+  boundary), so the gate ENFORCES closed-partition scoping exactly as
+  Delta/Iceberg compaction does: any arriving row whose event-hour
+  falls at or below the closed boundary (max hour folded into an
+  already-compacted bin — attested by live staging pre-sweep and by
+  the marker's ``closed_hour`` watermark post-sweep) is loudly
+  quarantined to ``out_dir``/quarantine on arrival and never enters
+  staging, so existing bin boundaries can never shift (pytest-pinned;
+  a back-filling deployment reprocesses the quarantine out-of-band —
+  NOTE a crash between a bin write and the batch commit can land a
+  retried row in the quarantine even though its first attempt was
+  compacted, so out-of-band reprocessing dedups by event_id against
+  the compacted table, never blind-appends).
 - Per micro-batch: arriving rows append to the active staging
   generation dir
   (batch-id tagged; replayed batches re-append identical rows and the
@@ -59,36 +68,55 @@ def _staged(spark: SparkSession, staging_dir: str) -> DataFrame:
     )
 
 
-def _staging_state(out_dir: str) -> tuple[str, int]:
-    """(active staging dir, swept-rows offset) from the atomically
-    committed generation marker. Sweeps never mutate the active
-    staging dir in place: they write the surviving rows to the NEXT
-    generation dir, then commit (generation, offset) in ONE
-    os.replace — so a crash at any point leaves a marker that is
-    consistent with the directory it names (old marker → old dir
-    untouched; new marker → new dir complete). Because sweeps remove
-    exact BIN PREFIXES of the global hour-ordered cum, group =
-    (offset + local_cum_before) DIV target reproduces the original
-    bin numbering for every remaining row (the first remaining row's
-    global running total is exactly the offset)."""
+# Below any real hour (nulls map to the -1 sentinel): "no bin closed
+# yet", so nothing is quarantined before the first compaction.
+_NO_CLOSED_HOUR = -2
+
+
+def _staging_state(out_dir: str) -> tuple[str, int, int]:
+    """(active staging dir, swept-rows offset, closed-hour watermark)
+    from the atomically committed generation marker. Sweeps never
+    mutate the active staging dir in place: they write the surviving
+    rows to the NEXT generation dir, then commit (generation, offset,
+    closed_hour) in ONE os.replace — so a crash at any point leaves a
+    marker that is consistent with the directory it names (old marker
+    → old dir untouched; new marker → new dir complete). Because
+    sweeps remove exact BIN PREFIXES of the global hour-ordered cum,
+    group = (offset + local_cum_before) DIV target reproduces the
+    original bin numbering for every remaining row (the first
+    remaining row's global running total is exactly the offset).
+    ``closed_hour`` is the max event-hour folded into any compacted
+    bin whose rows a sweep has REMOVED from staging — the part of the
+    late-data boundary the live staging inventory can no longer
+    attest (see the quarantine in run_compaction_stream)."""
     import json
 
     try:
         with open(f"{out_dir}/staging_meta.json") as fh:
             meta = json.load(fh)
         gen, offset = int(meta["generation"]), int(meta["offset"])
+        closed = int(meta.get("closed_hour", _NO_CLOSED_HOUR))
     except (OSError, ValueError, KeyError):
-        gen, offset = 0, 0
-    return f"{out_dir}/staging_g{gen}", offset
+        gen, offset, closed = 0, 0, _NO_CLOSED_HOUR
+    return f"{out_dir}/staging_g{gen}", offset, closed
 
 
-def _commit_staging_state(out_dir: str, generation: int, offset: int) -> None:
+def _commit_staging_state(
+    out_dir: str, generation: int, offset: int, closed_hour: int
+) -> None:
     import json
     import os
 
     tmp = f"{out_dir}/staging_meta.json.tmp"
     with open(tmp, "w") as fh:
-        json.dump({"generation": generation, "offset": offset}, fh)
+        json.dump(
+            {
+                "generation": generation,
+                "offset": offset,
+                "closed_hour": closed_hour,
+            },
+            fh,
+        )
     os.replace(tmp, f"{out_dir}/staging_meta.json")  # atomic commit
 
 
@@ -166,11 +194,62 @@ def run_compaction_stream(
     )
     compacted_dir = f"{out_dir}/compacted"
 
+    def _closed_boundary(
+        staging_dir: str, offset: int, closed_meta: int, done: set[int]
+    ) -> int:
+        """Max event-hour covered by any already-compacted bin: the
+        meta watermark (hours whose staging rows a sweep removed)
+        joined with the live staging attestation (compacted bins whose
+        rows still sit in staging pre-sweep — read fresh each tick, so
+        a crash between a bin write and any marker update cannot
+        under-state the boundary). Metadata-scale: one window over
+        O(hours in staging) rows."""
+        boundary = closed_meta
+        if done:
+            try:
+                staged0 = _staged(spark, staging_dir)
+            except AnalysisException:
+                staged0 = None  # first tick: no staging yet
+            if staged0 is not None:
+                live = (
+                    _bin_plan(staged0, offset)
+                    .filter(F.col("group_id").isin([int(g) for g in done]))
+                    .agg(F.max("hour"))
+                    .collect()[0][0]
+                )
+                if live is not None:
+                    boundary = max(boundary, int(live))
+        return boundary
+
     def _tick(batch_df: DataFrame, batch_id: int) -> None:
-        staging_dir, offset = _staging_state(out_dir)
-        batch_df.withColumn(
+        staging_dir, offset, closed_meta = _staging_state(out_dir)
+        done = _written_groups(spark, compacted_dir)
+        boundary = _closed_boundary(staging_dir, offset, closed_meta, done)
+        tagged = batch_df.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
-        ).write.mode("append").parquet(staging_dir)
+        )
+        if boundary > _NO_CLOSED_HOUR:
+            # LATE-DATA GUARD: a row whose hour falls inside an
+            # already-compacted bin would shift every later bin
+            # boundary (the running-total rule) and then be silently
+            # dropped by the next sweep — so it is quarantined LOUDLY
+            # on arrival instead, never entering staging. This is the
+            # closed-partition scoping real lakehouse compaction does;
+            # a back-filling deployment reprocesses the quarantine
+            # out-of-band.
+            late = tagged.filter(F.expr(f"({_HOUR_OR_SENTINEL}) <= {boundary}"))
+            n_late = late.count()
+            if n_late:
+                late.write.mode("append").parquet(f"{out_dir}/quarantine")
+                print(
+                    f"compaction_stream: QUARANTINED {n_late} late row(s) "
+                    f"in batch {batch_id} (event-hour <= closed boundary "
+                    f"{boundary}) -> {out_dir}/quarantine"
+                )
+                tagged = tagged.filter(
+                    F.expr(f"({_HOUR_OR_SENTINEL}) > {boundary}")
+                )
+        tagged.write.mode("append").parquet(staging_dir)
         staged = _staged(spark, staging_dir)
         plan = _bin_plan(staged, offset)
         gids = sorted(
@@ -178,7 +257,6 @@ def run_compaction_stream(
         )  # bounded: one row per bin currently in staging
         if len(gids) <= 1:
             return  # nothing complete yet — the only bin is still filling
-        done = _written_groups(spark, compacted_dir)
         ready = [g for g in gids[:-1] if g not in done]
         _write_bins(staged, plan, ready, compacted_dir)
 
@@ -192,7 +270,7 @@ def finalize_compaction(spark: SparkSession, out_dir: str) -> None:
     """Declare the feed closed and flush every remaining bin
     (including the trailing still-filling one). Idempotent: bins
     already on disk are skipped."""
-    staging_dir, offset = _staging_state(out_dir)
+    staging_dir, offset, _closed = _staging_state(out_dir)
     compacted_dir = f"{out_dir}/compacted"
     staged = _staged(spark, staging_dir)
     plan = _bin_plan(staged, offset)
@@ -212,7 +290,7 @@ def sweep_staging(spark: SparkSession, out_dir: str) -> None:
     the deferred-delete half real compactors run out-of-band."""
     import shutil
 
-    staging_dir, offset = _staging_state(out_dir)
+    staging_dir, offset, closed_meta = _staging_state(out_dir)
     gen = int(staging_dir.rsplit("_g", 1)[-1])
     staged = _staged(spark, staging_dir)
     plan = _bin_plan(staged, offset)
@@ -230,5 +308,18 @@ def sweep_staging(spark: SparkSession, out_dir: str) -> None:
     new_dir = f"{out_dir}/staging_g{gen + 1}"
     remaining.write.mode("overwrite").parquet(new_dir)
     n_swept = staged.count() - spark.read.parquet(new_dir).count()
-    _commit_staging_state(out_dir, gen + 1, int(offset) + int(n_swept))
+    # the sweep removes the staging rows that attested the compacted
+    # bins' hour coverage — roll that coverage into the marker so the
+    # late-data boundary survives the sweep (metadata-scale max).
+    swept_max = (
+        plan.filter(F.col("group_id").isin([int(g) for g in done]))
+        .agg(F.max("hour"))
+        .collect()[0][0]
+    )
+    new_closed = max(
+        closed_meta, int(swept_max) if swept_max is not None else closed_meta
+    )
+    _commit_staging_state(
+        out_dir, gen + 1, int(offset) + int(n_swept), new_closed
+    )
     shutil.rmtree(staging_dir, ignore_errors=True)  # post-commit cleanup

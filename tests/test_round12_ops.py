@@ -186,9 +186,7 @@ def test_ann_compact_rewrites_exactly_the_live_ids(spark):
     cents = similarity.coarse_quantizer(spark, SF, qe, ncl)
     home = F.element_at(similarity._probe_udf(cents, 1)(F.col("q")), 1)
     truth = {}
-    rewritten = spark.read.parquet(
-        f"{similarity._ANN_COMPACT_ROOT}/sf0.001/lists"
-    )
+    rewritten = spark.read.parquet(similarity._ann_compact_dest(spark, SF))
     by_list = {
         r["cluster"]: set(r["ids"])
         for r in rewritten.groupBy("cluster")

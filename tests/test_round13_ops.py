@@ -1,0 +1,30 @@
+"""Round-13 gates: per-session scoping of the two write-side registry
+entries (concurrent drivers on the same scale factor must not race a
+shared /tmp destination — round-12 advice), plus this round's other
+behavior pins."""
+
+from __future__ import annotations
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    layout,
+    similarity,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_compact_dests_are_scoped_per_session(spark):
+    """Both filesystem-side entries write under a path containing the
+    Spark application id: two concurrent drivers (distinct apps) can
+    never overwrite each other's rewrite output, while repeated calls
+    within one session stay idempotent (stable path, overwrite mode)."""
+    app_id = spark.sparkContext.applicationId
+    ann = similarity._ann_compact_dest(spark, SF)
+    lay = layout._compact_dest(spark, SF)
+    assert app_id in ann and ann.endswith("/sf0.001/lists")
+    assert app_id in lay and lay.endswith("/sf0.001/events")
+    assert ann.startswith(similarity._ANN_COMPACT_ROOT)
+    assert lay.startswith(layout._COMPACT_ROOT)
+    # stable within the session — the idempotence contract's anchor
+    assert similarity._ann_compact_dest(spark, SF) == ann
+    assert layout._compact_dest(spark, SF) == lay

@@ -111,10 +111,14 @@ def test_restart_and_sweep_are_idempotent(spark, tmp_path):
     # sweep bounds staging without touching compacted output (the
     # surviving rows move to the next GENERATION dir, committed
     # atomically — see _staging_state)
-    dir_before, off_before = compaction_stream._staging_state(out)
+    dir_before, off_before, closed_before = compaction_stream._staging_state(
+        out
+    )
     n_staged_before = spark.read.parquet(dir_before).count()
     compaction_stream.sweep_staging(spark, out)
-    dir_after, off_after = compaction_stream._staging_state(out)
+    dir_after, off_after, closed_after = compaction_stream._staging_state(out)
+    # the sweep rolls the compacted bins' hour coverage into the marker
+    assert closed_after > closed_before
     assert dir_after != dir_before and off_after > off_before
     n_staged_after = spark.read.parquet(dir_after).count()
     assert n_staged_after < n_staged_before
@@ -170,3 +174,58 @@ def test_continuation_across_separate_runs(spark, tmp_path):
     assert all(nf == 1 for _, nf in gb.values())
     for gid, stats in mid.items():
         assert gb[gid] == stats  # first-run bins untouched by run 2
+
+
+def test_late_row_is_quarantined_and_cannot_shift_bins(spark, tmp_path):
+    """Late-data guard (round-12 advice): a back-filled row whose
+    event-hour falls inside an already-compacted bin is loudly
+    quarantined on arrival — it never enters staging, so no existing
+    bin boundary shifts, the compacted output still equals the batch
+    rewrite of the ON-TIME feed, and the row is preserved (not
+    silently swept) for out-of-band reprocessing."""
+    feed = _ordered_feed(spark, tmp_path)
+    out = _run(spark, tmp_path, feed)
+    pre = _bins(spark, f"{out}/compacted")
+    assert pre, "closed bins must exist before the late arrival"
+    # craft a late file: earliest-hour rows, fresh ids so a dedup
+    # could never absorb them
+    ev = load_table(spark, SF, "events")
+    late = (
+        ev.orderBy("ts")
+        .limit(3)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    late_ids = {r["event_id"] for r in late.select("event_id").collect()}
+    part = str(tmp_path / "late_part")
+    late.coalesce(1).write.mode("overwrite").parquet(part)
+    src = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+    dst = str(tmp_path / "feed" / "9999.parquet")
+    os.rename(os.path.join(part, src), dst)
+    os.utime(dst, (2_000_000, 2_000_000))
+    # continuation run over the same checkpoint picks up only the late file
+    q = compaction_stream.run_compaction_stream(
+        spark, feed, out, checkpoint=str(tmp_path / "ckpt_a")
+    )
+    q.awaitTermination(300)
+    # 1. quarantined, loudly and completely
+    quar = spark.read.parquet(f"{out}/quarantine")
+    assert {r["event_id"] for r in quar.select("event_id").collect()} == (
+        late_ids
+    )
+    # 2. never entered staging
+    staging_dir, _, _ = compaction_stream._staging_state(out)
+    staged_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(staging_dir).select("event_id").collect()
+    }
+    assert not (staged_ids & late_ids)
+    # 3. existing bins untouched
+    assert _bins(spark, f"{out}/compacted") == pre
+    # 4. finalize still reproduces the batch rewrite of the ON-TIME feed
+    compaction_stream.finalize_compaction(spark, out)
+    batch_dest = str(tmp_path / "batch")
+    layout.compact_events(spark, SF, batch_dest)
+    batch = spark.read.parquet(batch_dest)
+    got = spark.read.parquet(f"{out}/compacted").select(*batch.columns)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0

@@ -104,6 +104,8 @@ def test_state_compaction_bounds_partials(spark, sf_dir, tmp_path):
         .select("batch_id").distinct().count()
     )
     assert live_tags < state_compaction.COMPACT_EVERY
-    base = spark.read.parquet(str(tmp_path / "state" / "base"))
-    assert base.agg(F.max("wmark")).collect()[0][0] >= 0
+    _base, wmark, _gen = state_compaction._read_base(
+        spark, str(tmp_path / "state")
+    )
+    assert wmark >= 0
     assert _run(spark, tmp_path, input_dir) == got
