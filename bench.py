@@ -60,6 +60,11 @@ def _stage_shared(spark, sf_dir, dedup) -> None:
     dedup.cached_shingle_sizes(spark, sf_dir).count()
     dedup.cached_members(spark, sf_dir).count()
     dedup.cached_rep_bands(spark, sf_dir).count()
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        curation,
+    )
+
+    curation.cached_doc_tokens(spark, sf_dir).count()
 
 
 def main() -> None:

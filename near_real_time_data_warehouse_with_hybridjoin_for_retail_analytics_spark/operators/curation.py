@@ -63,6 +63,22 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, n_tokens) persisted once per (session,
+    sf) — the corpus token-count table. Several curation entries key on
+    per-doc token counts (shard plan, mixes, epochs, chunk budgeting);
+    a production pipeline materializes this table once per corpus
+    alongside the shingle/pair artifacts rather than re-splitting every
+    document's text per consumer. Four narrow columns; lives in the
+    shared dedup._DF_CACHE so reset_session_caches / bench staging
+    treat it exactly like the shingle relations."""
+    from .dedup import _cached
+
+    return _cached(
+        spark, sf_dir, "doc_tokens", lambda: _doc_tokens(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk)
 # ---------------------------------------------------------------------------
@@ -1109,9 +1125,9 @@ def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; see the section comment. Deterministic integer arithmetic
     end-to-end, value-hash-checked; balance quality is pytest-gated
     against the round-robin baseline."""
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _n_tokens_col().alias("n_tokens")
-    )
+    # the session-cached corpus token-count table (materialized once,
+    # shared with the other token-keyed curation entries)
+    t = cached_doc_tokens(spark, sf_dir).select("doc_id", "n_tokens")
     # bucket histogram: one row per distinct token count (bounded by
     # max doc length), exclusive offsets in token-desc order
     offsets = (

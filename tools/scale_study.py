@@ -16,6 +16,7 @@ import argparse
 import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -24,6 +25,7 @@ sys.path.insert(0, REPO)
 
 import near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators as ops  # noqa: E402
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (  # noqa: E402
+    curation,
     dedup,
 )
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (  # noqa: E402
@@ -91,20 +93,40 @@ ENTRIES = [
     # selective rewrite: only the flagged (variance-tail) lists move,
     # so expect sub-linear data growth on top of the probe's cost.
     "ann_index_compact",
+    # round-13: complete the top-10-most-expensive beyond-reference set
+    # (BENCH_FULL_r12 stats) — both watermark-split incrementals are
+    # linear-in-the-increment by construction; measure it.
+    "dedup_embedding_incremental",
+    "dedup_phash_incremental",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# Derived 10× scale-up (tools/make_sf1.py) — included when present so
+# the study gets an sf0.1→sf1 column (round-13 verdict task 3).
+SF1_DIR = "/tmp/sparkgraft_scale/sf1"
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_STUDY.json"))
+    ap.add_argument(
+        "--full-q-surface",
+        action="store_true",
+        help="measure all q01..q20 (default: the three representatives)",
+    )
     args = ap.parse_args()
+
+    entries = list(ENTRIES)
+    if args.full_q_surface:
+        qs = [n for n in registry.QUERIES if re.match(r"^q\d\d_", n)]
+        entries = qs + [n for n in entries if not re.match(r"^q\d\d_", n)]
 
     spark = get_spark("scale-study")
     spark.sparkContext.setLogLevel("ERROR")
     sfs = [d for d in SF_DIRS if os.path.isdir(d)]
+    if os.path.isfile(os.path.join(SF1_DIR, "_SF1_OK")):
+        sfs.append(SF1_DIR)
 
     def run(name: str, d: str) -> float:
         t0 = time.time()
@@ -114,10 +136,10 @@ def main() -> None:
         return time.time() - t0
 
     # Warm-up: codegen + Arrow workers at the smallest scale.
-    for name in ENTRIES:
+    for name in entries:
         run(name, sfs[0])
 
-    results: dict[str, dict[str, float]] = {n: {} for n in ENTRIES}
+    results: dict[str, dict[str, float]] = {n: {} for n in entries}
     for d in sfs:
         tag = os.path.basename(d.rstrip("/"))
         for p in range(max(1, args.runs)):
@@ -126,7 +148,8 @@ def main() -> None:
             dedup.cached_shingle_sizes(spark, d).count()
             dedup.cached_members(spark, d).count()
             dedup.cached_rep_bands(spark, d).count()
-            for name in ENTRIES:
+            curation.cached_doc_tokens(spark, d).count()
+            for name in entries:
                 t = round(run(name, d), 3)
                 cur = results[name].get(tag)
                 results[name][tag] = t if cur is None else min(cur, t)
@@ -134,7 +157,7 @@ def main() -> None:
     # per-decade exponents between consecutive sfs (each step is 10×)
     tags = [os.path.basename(d.rstrip("/")) for d in sfs]
     report = {}
-    for name in ENTRIES:
+    for name in entries:
         r = results[name]
         exps = []
         for lo, hi in zip(tags, tags[1:]):
@@ -145,14 +168,17 @@ def main() -> None:
     with open(args.out, "w") as fh:
         json.dump({"runs": args.runs, "entries": report}, fh, indent=1)
 
-    hdr = "| entry | " + " | ".join(tags) + " | exp 0.001→0.01 | exp 0.01→0.1 |"
+    n_steps = len(tags) - 1
+    hdr = ("| entry | " + " | ".join(tags) + " | "
+           + " | ".join(f"exp {lo}→{hi}" for lo, hi in zip(tags, tags[1:]))
+           + " |")
     print(hdr)
-    print("|" + "---|" * (len(tags) + 3))
-    for name in ENTRIES:
+    print("|" + "---|" * (len(tags) + n_steps))
+    for name in entries:
         r = report[name]
         secs = " | ".join(str(r["sec"].get(t, "—")) for t in tags)
-        exps = r["decade_exponents"] + ["—"] * (2 - len(r["decade_exponents"]))
-        print(f"| {name} | {secs} | {exps[0]} | {exps[1]} |")
+        exps = r["decade_exponents"] + ["—"] * (n_steps - len(r["decade_exponents"]))
+        print(f"| {name} | {secs} | " + " | ".join(str(e) for e in exps) + " |")
     print(json.dumps({"out": args.out}))
 
 
