@@ -28,3 +28,19 @@ def test_compact_dests_are_scoped_per_session(spark):
     # stable within the session — the idempotence contract's anchor
     assert similarity._ann_compact_dest(spark, SF) == ann
     assert layout._compact_dest(spark, SF) == lay
+
+
+def test_cached_doc_tokens_matches_uncached(spark):
+    """The session-cached corpus token table is value-identical to the
+    uncached projection and actually persists (second call returns the
+    same DataFrame object from the shared cache)."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        curation,
+    )
+
+    a = curation.cached_doc_tokens(spark, SF)
+    b = curation._doc_tokens(spark, SF)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert curation.cached_doc_tokens(spark, SF) is a
+    assert a.storageLevel.useMemory
