@@ -1124,44 +1124,58 @@ def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset window + partitioned within-bucket windows) — no global
     sort; see the section comment. Deterministic integer arithmetic
     end-to-end, value-hash-checked; balance quality is pytest-gated
-    against the round-robin baseline."""
-    # the session-cached corpus token-count table (materialized once,
-    # shared with the other token-keyed curation entries)
-    t = cached_doc_tokens(spark, sf_dir).select("doc_id", "n_tokens")
-    # bucket histogram: one row per distinct token count (bounded by
-    # max doc length), exclusive offsets in token-desc order
-    offsets = (
-        t.groupBy("n_tokens")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("bn").over(
-                    Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+    against the round-robin baseline.
+
+    Served from the materialized artifact store (same contract as the
+    embedding pair tables): a shard plan is computed ONCE per corpus
+    and then read by every consumer — the writer that executes it, the
+    data card that reports its balance — not re-planned per reader. A
+    cold store pays one build (this function's pipeline); after that
+    the entry is an N_SHARDS-row parquet read. Values are identical
+    either way (int/long columns, exact parquet round-trip), and
+    ``SPARK_GRAFT_NO_ARTIFACTS`` forces the inline path."""
+    from .artifacts import materialized
+
+    def build() -> DataFrame:
+        # the session-cached corpus token-count table (materialized
+        # once, shared with the other token-keyed curation entries)
+        t = cached_doc_tokens(spark, sf_dir).select("doc_id", "n_tokens")
+        # bucket histogram: one row per distinct token count (bounded
+        # by max doc length), exclusive offsets in token-desc order
+        offsets = (
+            t.groupBy("n_tokens")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("bn").over(
+                        Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
                 ),
-                F.lit(0),
-            ),
+            )
+            .drop("bn")
         )
-        .drop("bn")
-    )
-    within = F.row_number().over(
-        Window.partitionBy("n_tokens").orderBy("doc_id")
-    )
-    lane = (F.col("off") + within - 1) % (2 * N_SHARDS)
-    shard = F.when(lane < N_SHARDS, lane).otherwise(
-        F.lit(2 * N_SHARDS - 1) - lane
-    )
-    return (
-        t.join(F.broadcast(offsets), "n_tokens")
-        .select("doc_id", "n_tokens", shard.cast("int").alias("shard"))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        within = F.row_number().over(
+            Window.partitionBy("n_tokens").orderBy("doc_id")
         )
-    )
+        lane = (F.col("off") + within - 1) % (2 * N_SHARDS)
+        shard = F.when(lane < N_SHARDS, lane).otherwise(
+            F.lit(2 * N_SHARDS - 1) - lane
+        )
+        return (
+            t.join(F.broadcast(offsets), "n_tokens")
+            .select("doc_id", "n_tokens", shard.cast("int").alias("shard"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            )
+        )
+
+    return materialized(spark, sf_dir, "shard_plan", "v1", build)
 
 
 # ---------------------------------------------------------------------------
