@@ -60,11 +60,10 @@ def _stage_shared(spark, sf_dir, dedup) -> None:
     dedup.cached_shingle_sizes(spark, sf_dir).count()
     dedup.cached_members(spark, sf_dir).count()
     dedup.cached_rep_bands(spark, sf_dir).count()
-    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
-        curation,
-    )
-
-    curation.cached_doc_tokens(spark, sf_dir).count()
+    # cached_doc_tokens is NOT staged here: its only steady-state
+    # consumer is the shard-plan artifact's cold build (materialized()
+    # serves the warm path), so staging it would be a full documents
+    # scan nothing timed consumes.
 
 
 def main() -> None:

@@ -45,6 +45,35 @@ def _marker_value(marker: str) -> str | None:
         return None
 
 
+def gc_stale_app_dirs(root: str, keep: str, max_age_s: int = 6 * 3600) -> None:
+    """Best-effort garbage collection of per-application scratch dirs
+    under ``root``: every sibling of ``keep`` not modified within
+    ``max_age_s`` is removed. Per-app scoping (the fix for concurrent
+    drivers racing a shared overwrite) means each session writes a
+    fresh dir that nothing else will ever reuse — without this sweep,
+    /tmp accrues one full rewrite per session forever. The age guard
+    keeps live sessions safe (a run writes its dir minutes before any
+    other session could sweep it); removal is ignore_errors because a
+    lost race here only leaks a dir until the next sweep."""
+    import time
+
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    for n in names:
+        p = os.path.join(root, n)
+        if n == keep or not os.path.isdir(p):
+            continue
+        try:
+            age = now - os.path.getmtime(p)
+        except OSError:
+            continue
+        if age > max_age_s:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def materialized(
     spark: SparkSession,
     sf_dir: str,

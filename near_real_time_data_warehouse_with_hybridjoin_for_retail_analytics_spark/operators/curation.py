@@ -65,13 +65,13 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cached_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, source, n_tokens) persisted once per (session,
-    sf) — the corpus token-count table. Several curation entries key on
-    per-doc token counts (shard plan, mixes, epochs, chunk budgeting);
-    a production pipeline materializes this table once per corpus
-    alongside the shingle/pair artifacts rather than re-splitting every
-    document's text per consumer. Four narrow columns; lives in the
-    shared dedup._DF_CACHE so reset_session_caches / bench staging
-    treat it exactly like the shingle relations."""
+    sf) — the corpus token-count table, consumed today by the
+    shard-plan artifact's cold build (the other token-keyed entries
+    still derive counts inline; migrating them is a rotation-budget
+    question, one hash-forced re-verification each, not a correctness
+    one). Four narrow columns; lives in the shared dedup._DF_CACHE so
+    reset_session_caches treats it exactly like the shingle
+    relations."""
     from .dedup import _cached
 
     return _cached(

@@ -252,9 +252,14 @@ def _compact_dest(spark: SparkSession, sf_dir: str) -> str:
     concurrent drivers on the same scale factor must not race the
     overwrite and read back a mixed inventory (same contract as
     similarity._ann_compact_dest). Stable within a session, so
-    repeated calls overwrite in place and idempotence holds."""
+    repeated calls overwrite in place and idempotence holds. Stale
+    sibling app dirs are swept (per-app scoping would otherwise accrue
+    one full events rewrite per session forever)."""
+    from .artifacts import gc_stale_app_dirs
+
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
     app_id = spark.sparkContext.applicationId
+    gc_stale_app_dirs(_COMPACT_ROOT, app_id)
     return f"{_COMPACT_ROOT}/{app_id}/{sf_tag}/events"
 
 

@@ -2978,9 +2978,13 @@ def _ann_compact_dest(spark: SparkSession, sf_dir: str) -> str:
     registry entry is read-only; this one and layout_compaction_apply
     have filesystem side effects). Within one session the path is
     stable, so repeated calls overwrite in place and idempotence
-    holds."""
+    holds. Stale sibling app dirs are swept (per-app scoping would
+    otherwise accrue one rewrite per session forever)."""
+    from .artifacts import gc_stale_app_dirs
+
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
     app_id = spark.sparkContext.applicationId
+    gc_stale_app_dirs(_ANN_COMPACT_ROOT, app_id)
     return f"{_ANN_COMPACT_ROOT}/{app_id}/{sf_tag}/lists"
 
 

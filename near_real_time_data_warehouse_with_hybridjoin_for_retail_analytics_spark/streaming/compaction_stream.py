@@ -96,7 +96,16 @@ def _staging_state(out_dir: str) -> tuple[str, int, int]:
             meta = json.load(fh)
         gen, offset = int(meta["generation"]), int(meta["offset"])
         closed = int(meta.get("closed_hour", _NO_CLOSED_HOUR))
-    except (OSError, ValueError, KeyError):
+    except FileNotFoundError:
+        # only a genuinely-missing marker means a fresh gate. A
+        # present-but-corrupt marker must PROPAGATE (ours is written
+        # with os.replace, so truncation signals real out-of-band
+        # damage): resetting to (gen 0, offset 0) would re-create
+        # staging_g0 with colliding bin numbering — fresh rows landing
+        # in already-compacted group ids are never written and the
+        # next sweep silently drops them — and boundary=-2 would turn
+        # the late-data quarantine off. Same hard-error policy as
+        # state_compaction._base_generation.
         gen, offset, closed = 0, 0, _NO_CLOSED_HOUR
     return f"{out_dir}/staging_g{gen}", offset, closed
 

@@ -65,11 +65,22 @@ def _base_generation(state_dir: str) -> int | None:
     """Committed base generation, or None before the first compaction.
     Only a missing marker means "no base yet"; a present-but-corrupt
     marker propagates (truncated json can only come from a non-atomic
-    writer — ours is os.replace'd — so it signals real damage)."""
+    writer — ours is os.replace'd — so it signals real damage). A
+    marker-less LEGACY ``{state_dir}/base`` dir (pre-generation
+    layout) is also a hard error: treating it as "no base yet" would
+    silently discard its folded history — exactly the undercount this
+    module exists to prevent."""
     try:
         with open(f"{state_dir}/base_meta.json") as fh:
             return int(json.load(fh)["generation"])
     except FileNotFoundError:
+        if os.path.isdir(f"{state_dir}/base"):
+            raise RuntimeError(
+                f"{state_dir}/base is a pre-generation-layout compacted "
+                "base with no base_meta.json marker; refusing to ignore "
+                "folded history — migrate it (rename to base_g0 and "
+                'write {"generation": 0}) or clear the state dir'
+            ) from None
         return None
 
 

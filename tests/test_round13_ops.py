@@ -44,3 +44,24 @@ def test_cached_doc_tokens_matches_uncached(spark):
     assert b.exceptAll(a).count() == 0
     assert curation.cached_doc_tokens(spark, SF) is a
     assert a.storageLevel.useMemory
+
+
+def test_gc_stale_app_dirs(tmp_path):
+    """Per-app scratch dirs older than the age bound are swept; the
+    live app's dir, young dirs, and plain files survive."""
+    import os
+    import time
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.artifacts import (
+        gc_stale_app_dirs,
+    )
+
+    root = tmp_path / "root"
+    for name in ("app-live", "app-old", "app-young"):
+        (root / name).mkdir(parents=True)
+    (root / "loosefile").write_text("x")
+    old = time.time() - 7 * 3600
+    os.utime(root / "app-old", (old, old))
+    os.utime(root / "app-live", (old, old))  # old but it is OURS
+    gc_stale_app_dirs(str(root), "app-live")
+    assert sorted(os.listdir(root)) == ["app-live", "app-young", "loosefile"]

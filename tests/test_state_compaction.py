@@ -158,3 +158,19 @@ def test_retry_above_watermark_dedups(spark, tmp_path):
         spark, sd, 0, _partial(spark, 5), ["k"], _merge
     )
     assert _state(again) == [("a", 5)]
+
+
+def test_legacy_base_dir_without_marker_is_hard_error(spark, tmp_path):
+    """A pre-generation-layout base dir with no marker holds folded
+    history; treating it as 'no base yet' would silently discard it —
+    accumulate must refuse loudly instead."""
+    sd = str(tmp_path / "state")
+    legacy = tmp_path / "state" / "base"
+    legacy.mkdir(parents=True)
+    _merge(_partial(spark, 7)).withColumn(
+        "wmark", F.lit(3).cast("long")
+    ).write.mode("overwrite").parquet(str(legacy))
+    with pytest.raises(RuntimeError, match="pre-generation-layout"):
+        state_compaction.accumulate(
+            spark, sd, 9, _partial(spark, 1), ["k"], _merge
+        )

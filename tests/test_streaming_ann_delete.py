@@ -111,3 +111,37 @@ def test_restart_and_duplicate_deletes_are_idempotent(spark, tmp_path):
         extra_ids=[0, similarity.TOMBSTONE_MOD, max_id + 1000, max_id + 2000],
     )
     assert _run(spark, tmp_path, dup_feed, index_dir, tag="b") == first
+
+
+def test_uncommitted_tombstone_dir_does_not_wedge(spark, tmp_path):
+    """A crash during the very first append can leave the tombstone
+    dir with only Spark's _temporary scratch (no committed part
+    files). The existing-tombstones probe must treat that as 'no
+    tombstones yet' — a read-before-append that errored there would
+    wedge the retry loop forever, since the read precedes the append
+    that would populate the dir. The stream must complete and produce
+    the same rows as a clean run."""
+    import os
+
+    index_dir = _index_dir(spark, tmp_path)
+    feed = _feed(spark, tmp_path)
+    out = str(tmp_path / "out_wedge")
+    tomb_dir = os.path.join(out, "tombstones")
+    os.makedirs(os.path.join(tomb_dir, "_temporary"))  # the crash debris
+    q = ann_delete_stream.run_ann_delete_stream(
+        spark,
+        feed,
+        index_dir,
+        out_dir=out,
+        checkpoint=str(tmp_path / "ckpt_wedge"),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in ann_delete_stream.read_tombstones(spark, tomb_dir).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in similarity.ann_delete_assignments(spark, SF).collect()
+    )
+    assert got == want

@@ -229,3 +229,18 @@ def test_late_row_is_quarantined_and_cannot_shift_bins(spark, tmp_path):
     got = spark.read.parquet(f"{out}/compacted").select(*batch.columns)
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_corrupt_staging_marker_propagates(spark, tmp_path):
+    """A present-but-corrupt staging marker must raise, not silently
+    reset to (gen 0, offset 0): the reset would recreate staging_g0
+    with colliding bin numbering (fresh rows landing in already-done
+    group ids are never compacted and the next sweep drops them) and
+    would disable the late-data quarantine (boundary reset)."""
+    import pytest
+
+    out = tmp_path / "out_corrupt"
+    out.mkdir()
+    (out / "staging_meta.json").write_text('{"generation": 2, "offs')
+    with pytest.raises((ValueError, KeyError)):
+        compaction_stream._staging_state(str(out))

@@ -25,7 +25,6 @@ sys.path.insert(0, REPO)
 
 import near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators as ops  # noqa: E402
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (  # noqa: E402
-    curation,
     dedup,
 )
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (  # noqa: E402
@@ -148,7 +147,6 @@ def main() -> None:
             dedup.cached_shingle_sizes(spark, d).count()
             dedup.cached_members(spark, d).count()
             dedup.cached_rep_bands(spark, d).count()
-            curation.cached_doc_tokens(spark, d).count()
             for name in entries:
                 t = round(run(name, d), 3)
                 cur = results[name].get(tag)

@@ -51,11 +51,6 @@ def main() -> None:
         dedup.cached_shingle_sizes(spark, sf_dir).count()
         dedup.cached_members(spark, sf_dir).count()
         dedup.cached_rep_bands(spark, sf_dir).count()
-        from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
-            curation,
-        )
-
-        curation.cached_doc_tokens(spark, sf_dir).count()
         for n in names:
             results.setdefault(n, []).append(round(run(n, sf_dir), 3))
     for n, ts in results.items():
