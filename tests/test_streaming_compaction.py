@@ -244,3 +244,50 @@ def test_corrupt_staging_marker_propagates(spark, tmp_path):
     (out / "staging_meta.json").write_text('{"generation": 2, "offs')
     with pytest.raises((ValueError, KeyError)):
         compaction_stream._staging_state(str(out))
+
+
+def test_late_row_quarantined_after_sweep_via_marker(spark, tmp_path):
+    """The closed boundary must survive a staging sweep: after the
+    sweep removes the compacted bins' rows from staging, the live
+    attestation is gone and the marker's closed_hour watermark is the
+    ONLY evidence — a late row arriving then must still be quarantined
+    (this pins the meta branch of _closed_boundary; the pre-sweep test
+    above pins the live-staging branch)."""
+    feed = _ordered_feed(spark, tmp_path)
+    out = _run(spark, tmp_path, feed)
+    assert _bins(spark, f"{out}/compacted"), "need closed bins"
+    compaction_stream.sweep_staging(spark, out)
+    _, _, closed = compaction_stream._staging_state(out)
+    assert closed > compaction_stream._NO_CLOSED_HOUR
+    pre = _bins(spark, f"{out}/compacted")
+    ev = load_table(spark, SF, "events")
+    late = (
+        ev.orderBy("ts")
+        .limit(2)
+        .withColumn("event_id", F.col("event_id") + F.lit(20_000_000))
+    )
+    late_ids = {r["event_id"] for r in late.select("event_id").collect()}
+    part = str(tmp_path / "late_part2")
+    late.coalesce(1).write.mode("overwrite").parquet(part)
+    src = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+    dst = str(tmp_path / "feed" / "9998.parquet")
+    os.rename(os.path.join(part, src), dst)
+    os.utime(dst, (2_000_001, 2_000_001))
+    q = compaction_stream.run_compaction_stream(
+        spark, feed, out, checkpoint=str(tmp_path / "ckpt_a")
+    )
+    q.awaitTermination(300)
+    quar_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(f"{out}/quarantine")
+        .select("event_id")
+        .collect()
+    }
+    assert late_ids <= quar_ids
+    assert _bins(spark, f"{out}/compacted") == pre
+    staging_dir, _, _ = compaction_stream._staging_state(out)
+    staged_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(staging_dir).select("event_id").collect()
+    }
+    assert not (staged_ids & late_ids)
