@@ -152,19 +152,28 @@ def _bin_plan(staged: DataFrame, offset: int = 0) -> DataFrame:
 
 
 def _written_groups(spark: SparkSession, compacted_dir: str) -> set[int]:
+    import os
+
+    # Probe for COMMITTED bin partitions before reading: a missing dir
+    # or one holding only job debris (_temporary/_SUCCESS from a crash
+    # mid-first-write) genuinely means "nothing compacted yet" — those
+    # bins never became visible, so re-writing them is the correct
+    # retry. But once committed group_id= partitions exist, a read
+    # failure (corrupt footer, FS hiccup) must PROPAGATE: treating it
+    # as empty would re-append already-written bins (double count).
     try:
-        return {
-            int(r["group_id"])
-            for r in spark.read.parquet(compacted_dir)
-            .select("group_id")
-            .distinct()
-            .collect()
-        }  # bounded: one row per compacted bin (metadata-scale)
-    except AnalysisException:
-        # ONLY missing-path/empty-dir means "nothing compacted yet";
-        # a transient read failure must propagate — treating it as
-        # empty would re-append already-written bins (double count)
+        names = os.listdir(compacted_dir)
+    except OSError:
         return set()
+    if not any(n.startswith("group_id=") for n in names):
+        return set()
+    return {
+        int(r["group_id"])
+        for r in spark.read.parquet(compacted_dir)
+        .select("group_id")
+        .distinct()
+        .collect()
+    }  # bounded: one row per compacted bin (metadata-scale)
 
 
 def _write_bins(

@@ -291,3 +291,32 @@ def test_late_row_quarantined_after_sweep_via_marker(spark, tmp_path):
         for r in spark.read.parquet(staging_dir).select("event_id").collect()
     }
     assert not (staged_ids & late_ids)
+
+
+def test_written_groups_distinguishes_debris_from_damage(spark, tmp_path):
+    """_written_groups: a missing dir or job debris (_temporary only)
+    is 'nothing compacted yet' (those bins never became visible — the
+    retry correctly rewrites them); but once committed group_id=
+    partitions exist, a read failure must propagate rather than return
+    empty (empty would re-append written bins: double count)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "compacted"
+    # missing dir
+    assert compaction_stream._written_groups(spark, str(d)) == set()
+    # debris only
+    (d / "_temporary").mkdir(parents=True)
+    assert compaction_stream._written_groups(spark, str(d)) == set()
+    # committed partition
+    spark.range(3).select(
+        F.lit(7).alias("group_id"), F.col("id")
+    ).write.partitionBy("group_id").mode("append").parquet(str(d))
+    assert compaction_stream._written_groups(spark, str(d)) == {7}
+    # committed partition DAMAGED out-of-band -> propagate, never empty
+    part_dir = d / "group_id=7"
+    for f in part_dir.iterdir():
+        if f.name.endswith(".parquet"):
+            f.write_bytes(b"\x00broken")
+    with pytest.raises(Exception):
+        compaction_stream._written_groups(spark, str(d))
