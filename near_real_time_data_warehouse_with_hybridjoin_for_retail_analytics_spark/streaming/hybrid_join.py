@@ -356,12 +356,23 @@ def run_stream(
 
 
 def _existing_max_id(spark: SparkSession, output_dir: str) -> int:
+    """Sequence bootstrap from the parquet sink. A missing dir or one
+    holding only job debris (_temporary/_SUCCESS, no committed part
+    files) starts the allocator at 0 — first run, or a first append
+    that never committed. But once committed rows exist, a read
+    failure must PROPAGATE: falling back to 0 there would restart the
+    sequence and mint duplicate sales_ids on resume."""
+    import os
+
     try:
-        existing = spark.read.parquet(output_dir)
-        row = existing.agg(F.max("sales_id")).collect()[0]
-        return int(row[0] or 0)
-    except Exception:
+        names = os.listdir(output_dir)
+    except OSError:
         return 0
+    if not any(n.endswith(".parquet") for n in names):
+        return 0
+    existing = spark.read.parquet(output_dir)
+    row = existing.agg(F.max("sales_id")).collect()[0]
+    return int(row[0] or 0)
 
 
 def _existing_max_id_jdbc(spark: SparkSession, opts: dict) -> int:

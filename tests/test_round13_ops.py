@@ -65,3 +65,30 @@ def test_gc_stale_app_dirs(tmp_path):
     os.utime(root / "app-live", (old, old))  # old but it is OURS
     gc_stale_app_dirs(str(root), "app-live")
     assert sorted(os.listdir(root)) == ["app-live", "app-young", "loosefile"]
+
+
+def test_existing_max_id_debris_vs_damage(spark, tmp_path):
+    """The sales-id sequence bootstrap: missing dir or job debris
+    starts at 0 (nothing committed), but a read failure over COMMITTED
+    rows must propagate — falling back to 0 would restart the sequence
+    and mint duplicate sales_ids on resume."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        hybrid_join,
+    )
+
+    d = tmp_path / "fact"
+    assert hybrid_join._existing_max_id(spark, str(d)) == 0  # missing
+    (d / "_temporary").mkdir(parents=True)
+    assert hybrid_join._existing_max_id(spark, str(d)) == 0  # debris
+    spark.range(5).select(
+        (F.col("id") + 100).alias("sales_id")
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    assert hybrid_join._existing_max_id(spark, str(d)) == 104  # committed
+    for f in d.iterdir():
+        if f.name.endswith(".parquet"):
+            f.write_bytes(b"\x00broken")
+    with pytest.raises(Exception):
+        hybrid_join._existing_max_id(spark, str(d))  # damage propagates
