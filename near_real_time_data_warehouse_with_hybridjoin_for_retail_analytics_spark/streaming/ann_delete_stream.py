@@ -105,24 +105,21 @@ def run_ann_delete_stream(
         # With the anti-join, on-disk tombstones are truly bounded by
         # the index (≤ one row per indexed id), and a crash-retried
         # batch whose rows already landed appends nothing.
-        # Only the genuinely-no-committed-data case means "no
-        # tombstones yet"; any other analysis-time failure (corrupt
-        # footer, FS hiccup) must PROPAGATE so the batch retries —
-        # swallowing it would silently skip the anti-join and append
-        # duplicate tombstone rows, eroding the ≤-one-row-per-indexed-
-        # id bound. The probe checks for COMMITTED part files, not
-        # bare dir existence: a crash during the first append can
-        # leave the dir with only _temporary/, and a read-before-
-        # append that propagated there would wedge the retry loop
-        # forever (the read precedes the append that would populate
-        # the dir).
-        import os
+        # Only the genuinely-no-committed-data case (missing dir, or
+        # debris-only after a crash during the first append) means "no
+        # tombstones yet" — a read-before-append that errored there
+        # would wedge the retry loop forever, since the read precedes
+        # the append that would populate the dir. Any OTHER failure
+        # (corrupt footer, FS hiccup) must PROPAGATE so the batch
+        # retries — swallowing it would silently skip the anti-join
+        # and append duplicate tombstone rows, eroding the
+        # ≤-one-row-per-indexed-id bound. parquet_state encodes the
+        # split.
+        from .parquet_state import read_state_or_none
 
-        has_committed = os.path.isdir(tomb_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(tomb_dir)
-        )
-        if has_committed:
-            existing = spark.read.parquet(tomb_dir).select("vec_id")
+        committed = read_state_or_none(spark, tomb_dir)
+        if committed is not None:
+            existing = committed.select("vec_id")
             # materialize before appending to the dir the plan reads
             arrivals = arrivals.join(
                 existing, "vec_id", "left_anti"

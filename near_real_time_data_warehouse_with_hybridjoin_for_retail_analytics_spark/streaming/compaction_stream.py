@@ -52,7 +52,6 @@ vacuum)."""
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -152,27 +151,22 @@ def _bin_plan(staged: DataFrame, offset: int = 0) -> DataFrame:
 
 
 def _written_groups(spark: SparkSession, compacted_dir: str) -> set[int]:
-    import os
+    # A missing dir or one holding only job debris (_temporary from a
+    # crash mid-first-write) genuinely means "nothing compacted yet" —
+    # those bins never became visible, so re-writing them is the
+    # correct retry. But once committed group_id= partitions exist, a
+    # read failure (corrupt footer, permissions, FS hiccup) must
+    # PROPAGATE: treating it as empty would re-append already-written
+    # bins (double count). parquet_state.read_state_or_none encodes
+    # exactly that split.
+    from .parquet_state import read_state_or_none
 
-    # Probe for COMMITTED bin partitions before reading: a missing dir
-    # or one holding only job debris (_temporary/_SUCCESS from a crash
-    # mid-first-write) genuinely means "nothing compacted yet" — those
-    # bins never became visible, so re-writing them is the correct
-    # retry. But once committed group_id= partitions exist, a read
-    # failure (corrupt footer, FS hiccup) must PROPAGATE: treating it
-    # as empty would re-append already-written bins (double count).
-    try:
-        names = os.listdir(compacted_dir)
-    except OSError:
-        return set()
-    if not any(n.startswith("group_id=") for n in names):
+    compacted = read_state_or_none(spark, compacted_dir)
+    if compacted is None:
         return set()
     return {
         int(r["group_id"])
-        for r in spark.read.parquet(compacted_dir)
-        .select("group_id")
-        .distinct()
-        .collect()
+        for r in compacted.select("group_id").distinct().collect()
     }  # bounded: one row per compacted bin (metadata-scale)
 
 
@@ -224,10 +218,14 @@ def run_compaction_stream(
         O(hours in staging) rows."""
         boundary = closed_meta
         if done:
-            try:
-                staged0 = _staged(spark, staging_dir)
-            except AnalysisException:
-                staged0 = None  # first tick: no staging yet
+            from .parquet_state import read_state_or_none
+
+            raw0 = read_state_or_none(spark, staging_dir)
+            staged0 = (
+                None
+                if raw0 is None  # first tick: no staging yet
+                else raw0.dropDuplicates(["batch_id", "event_id"])
+            )
             if staged0 is not None:
                 live = (
                     _bin_plan(staged0, offset)

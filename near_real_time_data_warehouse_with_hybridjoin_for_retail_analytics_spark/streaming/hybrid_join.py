@@ -357,28 +357,34 @@ def run_stream(
 
 def _existing_max_id(spark: SparkSession, output_dir: str) -> int:
     """Sequence bootstrap from the parquet sink. A missing dir or one
-    holding only job debris (_temporary/_SUCCESS, no committed part
-    files) starts the allocator at 0 — first run, or a first append
+    holding only job debris (_temporary/_SUCCESS, no committed
+    footers) starts the allocator at 0 — first run, or a first append
     that never committed. But once committed rows exist, a read
     failure must PROPAGATE: falling back to 0 there would restart the
-    sequence and mint duplicate sales_ids on resume."""
-    import os
+    sequence and mint duplicate sales_ids on resume. The probe goes
+    through the reader (see ``parquet_state``) so hive-partitioned
+    sinks (``partition_by_year=True``) and non-local URIs are read
+    correctly — a top-level filename scan sees no ``.parquet`` names
+    in a partitioned sink at all."""
+    from .parquet_state import read_state_or_none
 
-    try:
-        names = os.listdir(output_dir)
-    except OSError:
+    existing = read_state_or_none(spark, output_dir)
+    if existing is None:
         return 0
-    if not any(n.endswith(".parquet") for n in names):
-        return 0
-    existing = spark.read.parquet(output_dir)
     row = existing.agg(F.max("sales_id")).collect()[0]
     return int(row[0] or 0)
 
 
 def _existing_max_id_jdbc(spark: SparkSession, opts: dict) -> int:
     """Sequence bootstrap against a live sink table (the reference reads
-    the Postgres sequence's last_value, hybridjoin.py:80-85). A missing
-    table starts at 0 — first stream run creates it."""
+    the Postgres sequence's last_value, hybridjoin.py:80-85). A MISSING
+    table starts at 0 — first stream run creates it. Any other failure
+    (connection refused, timeout, auth) must PROPAGATE: returning 0
+    over an unreachable-but-populated table would restart the sequence
+    and insert duplicate sales_ids when the database comes back. JDBC
+    drivers don't share an error taxonomy, so missing-table is
+    classified by the messages the supported engines emit (Derby:
+    "'T' does not exist"; Postgres: "relation ... does not exist")."""
     from ..sources.jdbc import read_jdbc_table
 
     o = dict(opts)
@@ -387,5 +393,8 @@ def _existing_max_id_jdbc(spark: SparkSession, opts: dict) -> int:
         existing = read_jdbc_table(spark, o.pop("url"), o.pop("table"), **o)
         row = existing.agg(F.max("sales_id")).collect()[0]
         return int(row[0] or 0)
-    except Exception:
-        return 0
+    except Exception as exc:
+        msg = str(exc).lower()
+        if "does not exist" in msg or "not found" in msg:
+            return 0  # first run: the stream's first batch creates it
+        raise

@@ -138,16 +138,17 @@ def accumulate(
         partial.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         ).write.mode("append").parquet(partials_dir)
-    from pyspark.errors import AnalysisException
+    from .parquet_state import read_state_or_none
 
     tagged_schema = partial.withColumn(
         "batch_id", F.lit(0).cast("long")
     ).schema
-    try:
-        raw = spark.read.parquet(partials_dir)
-    except AnalysisException:
-        # only reachable on a replayed already-compacted batch right
-        # after a compaction cleared the partials to an empty dir
+    # None (missing / debris-only / compaction-cleared-to-empty dir)
+    # means genuinely no live partials; a read failure over COMMITTED
+    # partials propagates — treating it as empty would silently drop
+    # live batches above the watermark from the report.
+    raw = read_state_or_none(spark, partials_dir)
+    if raw is None:
         raw = spark.createDataFrame([], tagged_schema)
     live = raw.filter(F.col("batch_id") > wmark).dropDuplicates(
         ["batch_id", *dedup_cols]

@@ -92,3 +92,23 @@ def test_existing_max_id_debris_vs_damage(spark, tmp_path):
             f.write_bytes(b"\x00broken")
     with pytest.raises(Exception):
         hybrid_join._existing_max_id(spark, str(d))  # damage propagates
+
+
+def test_existing_max_id_reads_partitioned_sink(spark, tmp_path):
+    """Round-13 review catch: run_stream(partition_by_year=True)
+    writes a hive-partitioned sink whose TOP level has no .parquet
+    names at all — the sequence bootstrap must still read the real
+    max (a filename probe returned 0 there, restarting the sequence
+    over committed rows)."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        hybrid_join,
+    )
+
+    d = tmp_path / "fact_part"
+    spark.range(4).select(
+        (F.col("id") + 500).alias("sales_id"),
+        (F.lit(2024) + (F.col("id") % 2)).alias("sale_year"),
+    ).write.partitionBy("sale_year").mode("append").parquet(str(d))
+    assert hybrid_join._existing_max_id(spark, str(d)) == 503
