@@ -2053,6 +2053,93 @@ def dedup_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mine_phash_pairs(bands)
 
 
+def _sql_phash_bands_jpeg() -> str:
+    """CTE chain replaying the JPEG-path dHash from the raw text
+    bytes. ``encode_jpeg_blocks`` turns payload byte i into a constant
+    8×8 grayscale tile at block (i // BW, i % BW), zero-padded to fill
+    the last block row; constant tiles + unit quantization make the
+    baseline-JPEG round trip exactly invertible (jpeg.py module
+    docstring), and ``decode_image`` replicates gray to 3 channels. So
+    the thumbnail gray at grid (r, c) is 3 × byte[tr·BW + tc] with
+    tr = ((r·8·bh) // GRID) // 8 and tc = ((c·8·BW) // (GRID+1)) // 8
+    — the same floor arithmetic as resize_nearest on the 8·BW × 8·bh
+    image. Ends with ``pbands`` (doc_id, b0..b3), the same shape as
+    ``_sql_phash_bands``."""
+    from .jpeg import JPEG_BLOCKS_W as bw
+
+    g = PHASH_GRID
+    band_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN idx // {PHASH_BAND_BITS} = {j} "
+        f"THEN bit << (idx % {PHASH_BAND_BITS}) ELSE 0 END) AS BIGINT) AS b{j}"
+        for j in range(PHASH_NBANDS)
+    )
+    return f"""pdims AS (
+      SELECT doc_id, text, length(text) AS len,
+             greatest((length(text) + {bw - 1}) // {bw}, 1) AS bh
+      FROM documents),
+    pgrid AS (
+      SELECT d.doc_id, r.r, c.c,
+             (((r.r * 8 * d.bh) // {g}) // 8) * {bw}
+               + ((c.c * {8 * bw}) // {g + 1}) // 8 AS bi,
+             d.text, d.len
+      FROM pdims d
+      CROSS JOIN range(0, {g}) r(r) CROSS JOIN range(0, {g + 1}) c(c)),
+    pgray AS (
+      SELECT doc_id, r, c,
+             3 * CASE WHEN bi < len
+                      THEN ascii(substr(text, CAST(bi + 1 AS INT), 1))
+                      ELSE 0 END AS g
+      FROM pgrid),
+    pbits AS (
+      SELECT a.doc_id, a.r * {g} + a.c AS idx,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      FROM pgray a
+      JOIN pgray b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < {g}),
+    pbands AS (
+      SELECT doc_id,
+         {band_cols}
+      FROM pbits GROUP BY doc_id)"""
+
+
+def _phash_jpeg_sql() -> str:
+    return f"""
+    WITH {_sql_phash_bands_jpeg()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_SQL_PHASH_HAMMING} AS INT) AS hamming
+    FROM pbands a JOIN pbands b ON a.doc_id < b.doc_id
+    WHERE {_SQL_PHASH_HAMMING} <= {PHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_phash_jpeg", _phash_jpeg_sql())
+def dedup_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the LOSSY image path: (doc_a,
+    doc_b, hamming ≤ PHASH_MAX_HAMMING) where the dHash pixels come
+    from the real baseline-JPEG decoder (marker walk, file-read
+    Huffman tables, byte unstuffing, dequantize, float IDCT) —
+    completing the codec matrix (BMP / PNG / JPEG) over the same
+    banded miner. Mining is identical to ``dedup_phash`` / the PNG
+    twin: identical-hash collapse, band-bucket candidate join over
+    representatives, candidates-only Hamming verify; pigeonhole ⇒
+    recall 1.0, re-proven every round by the all-pairs oracle. The
+    constant-tile + unit-quantization construction makes the lossy
+    round trip exactly invertible, so the oracle replays the full
+    chain from the raw bytes; randomized decoder parity and the
+    banded==all-pairs gate are pytest-gated (tests/test_phash.py JPEG
+    section)."""
+    from .artifacts import materialized
+
+    bands = materialized(
+        spark,
+        sf_dir,
+        "phash_jpeg_bands",
+        "v1:dhash8:jpeg",
+        lambda: phash_jpeg_bands_df(spark, sf_dir),
+    )
+    return _mine_phash_pairs(bands)
+
+
 # ---------------------------------------------------------------------------
 # Incremental image dedup: classify incoming images against the index
 # ---------------------------------------------------------------------------

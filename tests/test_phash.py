@@ -320,3 +320,36 @@ def test_jpeg_decode_parity_on_random_strings(spark, tmp_path):
     got = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in rows}
     for i, t in enumerate(texts):
         assert got[i] == _replay_bands_jpeg(t), f"mismatch at doc {i}"
+
+
+def _jpeg_bands_by_doc(spark, sf: str) -> dict[int, tuple[int, ...]]:
+    rows = multimodal.phash_jpeg_bands_df(spark, sf).collect()
+    return {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in rows}
+
+
+def test_jpeg_banded_equals_allpairs_truth(spark):
+    """Recall 1.0 realized for the JPEG-path miner (registered r14):
+    the banded candidate+verify output equals brute-force all-pairs
+    Hamming truth over the JPEG-path hashes at sf0.001."""
+    bands = _jpeg_bands_by_doc(spark, SF)
+    truth = sorted(
+        (a, b, _hamming(bands[a], bands[b]))
+        for a, b in itertools.combinations(sorted(bands), 2)
+        if _hamming(bands[a], bands[b]) <= multimodal.PHASH_MAX_HAMMING
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal.dedup_phash_jpeg(spark, SF).collect()
+    )
+    assert got == truth
+
+
+def test_jpeg_hash_space_differs_from_bmp_and_png(spark):
+    """JPEG blocks give an effective 32-px-wide image sampled on 8-px
+    tiles — a third genuine hash space, not a re-badge of either
+    sibling."""
+    bmp = _bands_by_doc(spark, SF)
+    png = _png_bands_by_doc(spark, SF)
+    jpg = _jpeg_bands_by_doc(spark, SF)
+    assert any(jpg[d] != bmp[d] for d in jpg)
+    assert any(jpg[d] != png[d] for d in jpg)
