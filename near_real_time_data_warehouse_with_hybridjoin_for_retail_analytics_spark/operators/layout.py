@@ -263,28 +263,77 @@ def _compact_dest(spark: SparkSession, sf_dir: str) -> str:
     return f"{_COMPACT_ROOT}/{app_id}/{sf_tag}/events"
 
 
-def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
-    """Execute the compaction plan: rewrite the events rows into one
-    parquet file per planned group under ``dest`` (idempotent
-    overwrite). The hour→group map is the metadata-scale planner
-    output, broadcast onto the fact rows (zero extra shuffle beyond the
-    one clustering repartition any sorted/compacted write pays —
-    ``repartition("group_id")`` puts each group wholly inside one task,
-    and ``partitionBy`` then writes exactly one file per group). Rows
-    are bit-preserved: no projection, no filter — the pytest gate
-    asserts before/after row-set equality."""
-    groups = F.broadcast(
-        _compaction_groups(spark, sf_dir).select("hour", "group_id")
+# Within-hour splitting bound (round 14): the running-total rule can
+# only overflow a bin past 2×TARGET when a single HOT input hour-file
+# exceeds the target by itself (normal overflow is < one input file),
+# and parquet's ≈target-size invariant is the point of OPTIMIZE — so
+# any group past this bound is split into ceil(n/TARGET) sub-files of
+# ≈TARGET rows each. The sub assignment pmod(event_id, n_splits) is a
+# MAP-SIDE expression (no within-hour window, no skewed single-task
+# sort — the 100 TB shape), deterministic, and engine-portable, so the
+# streaming gate reproduces it bit-for-bit and the apply oracle can
+# state the exact expected file count.
+COMPACT_SPLIT_ROWS = 2 * COMPACT_TARGET_ROWS
+
+
+def _split_map(groups: DataFrame) -> DataFrame:
+    """(hour, group_id, n_splits) from the planner's (hour, n_rows,
+    group_id) assignment: per-group totals (metadata-scale groupBy over
+    one row per ingest hour-file), n_splits = ceil(total / TARGET) for
+    groups past COMPACT_SPLIT_ROWS, else 1."""
+    totals = groups.groupBy("group_id").agg(
+        F.sum("n_rows").alias("g_rows")
     )
+    splits = totals.select(
+        "group_id",
+        F.when(
+            F.col("g_rows") > COMPACT_SPLIT_ROWS,
+            F.expr(
+                f"(g_rows + {COMPACT_TARGET_ROWS - 1})"
+                f" DIV {COMPACT_TARGET_ROWS}"
+            ),
+        )
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("n_splits"),
+    )
+    return groups.join(splits, "group_id").select(
+        "hour", "group_id", "n_splits"
+    )
+
+
+def _sub_col() -> F.Column:
+    """The deterministic sub-file assignment (built lazily — Column
+    construction needs an active SparkContext)."""
+    return F.pmod(
+        F.coalesce(F.col("event_id"), F.lit(0)), F.col("n_splits")
+    )
+
+
+def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Execute the compaction plan: rewrite the events rows into
+    ≈COMPACT_TARGET_ROWS-sized parquet files under ``dest`` (idempotent
+    overwrite) — one file per planned group, except groups past
+    COMPACT_SPLIT_ROWS (a hot ingest hour), which split into
+    ceil(n/TARGET) sub-files via the map-side ``_sub_col`` rule. The
+    hour→(group, n_splits) map is the metadata-scale planner output,
+    broadcast onto the fact rows (zero extra shuffle beyond the one
+    clustering repartition any sorted/compacted write pays —
+    ``repartition(group_id, sub)`` puts each output file wholly inside
+    one task, and ``partitionBy`` then writes exactly one file per
+    (group, sub)). Rows are bit-preserved: no projection, no filter —
+    the pytest gate asserts before/after row-set equality."""
+    groups = F.broadcast(_split_map(_compaction_groups(spark, sf_dir)))
     ev = load_table(spark, sf_dir, "events").withColumn(
         "hour", F.expr(_HOUR_OR_SENTINEL)
     )
     (
         ev.join(groups, "hour")
-        .drop("hour")
-        .repartition("group_id")
+        .withColumn("sub", _sub_col())
+        .drop("hour", "n_splits")
+        .repartition("group_id", "sub")
         .write.mode("overwrite")
-        .partitionBy("group_id")
+        .partitionBy("group_id", "sub")
         .parquet(dest)
     )
 
@@ -303,13 +352,33 @@ def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before
       FROM inv
+    ),
+    gmap AS (
+      SELECT hour, n_rows,
+             cum_before // {COMPACT_TARGET_ROWS} AS group_id
+      FROM planned
+    ),
+    sp AS (
+      SELECT group_id,
+             CASE WHEN SUM(n_rows) > {COMPACT_SPLIT_ROWS}
+                  THEN (SUM(n_rows) + {COMPACT_TARGET_ROWS - 1})
+                         // {COMPACT_TARGET_ROWS}
+                  ELSE 1 END AS n_splits
+      FROM gmap GROUP BY 1
+    ),
+    assigned AS (
+      SELECT g.group_id, g.hour, s.n_splits, e.event_id
+      FROM (SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour, event_id
+            FROM events) e
+      JOIN gmap g ON e.hour = g.hour
+      JOIN sp s ON g.group_id = s.group_id
     )
-    SELECT CAST(cum_before // {COMPACT_TARGET_ROWS} AS BIGINT) AS group_id,
-           CAST(1 AS BIGINT) AS n_files,
-           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+    SELECT CAST(group_id AS BIGINT) AS group_id,
+           CAST(COUNT(DISTINCT event_id % n_splits) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MIN(hour) AS BIGINT) AS hour_min,
            CAST(MAX(hour) AS BIGINT) AS hour_max
-    FROM planned GROUP BY 1
+    FROM assigned GROUP BY 1
     """,
 )
 def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,14 +387,20 @@ def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the physical file count (``input_file_name`` distinct — not an
     assumption), the row count and the refreshed hour zone map. The
     oracle states the contract the rewrite must meet — every planned
-    bin became exactly ONE file (n_files = 1), with the bin's planned
-    row count and min/max hour envelope preserved — so the driver's
+    bin became exactly ONE file, except a bin past COMPACT_SPLIT_ROWS
+    (possible only via a hot ingest hour), which must have become one
+    ≈target-sized file per populated pmod(event_id, ceil(n/TARGET))
+    residue class (= ceil(n/TARGET) whenever ids cover the classes,
+    which n ≫ n_splits makes generic) — with the bin's planned row
+    count and min/max hour envelope preserved — so the driver's
     value-hash is a standing proof that OPTIMIZE ran correctly, not a
-    replay of the planner. Row-set identity original↔compacted and the
-    time-adjacency pruning property are pytest-gated
-    (tests/test_round12_ops.py). 100 TB shape: the plan is
-    metadata-scale; execution pays the one clustering shuffle + rewrite
-    of exactly the flagged bins that any lakehouse OPTIMIZE pays."""
+    replay of the planner. Row-set identity original↔compacted, the
+    time-adjacency pruning property, and the hot-hour split invariants
+    are pytest-gated (tests/test_round12_ops.py). 100 TB shape: the
+    plan is metadata-scale; execution pays the one clustering shuffle +
+    rewrite of exactly the flagged bins that any lakehouse OPTIMIZE
+    pays, and a hot hour splits via a map-side pmod — never a
+    single-task within-hour sort."""
     dest = _compact_dest(spark, sf_dir)
     compact_events(spark, sf_dir, dest)
     compacted = spark.read.parquet(dest)

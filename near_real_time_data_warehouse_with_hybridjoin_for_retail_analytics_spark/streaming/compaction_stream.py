@@ -33,10 +33,13 @@ Contract and shape:
   the CMS gate), the bin plan recomputes over the deduped staging
   inventory (metadata-scale — one window over O(hours seen) rows),
   and every COMPLETE bin (group_id < the currently-filling max) not
-  yet in ``out_dir``/compacted is rewritten as exactly one file via
-  the same broadcast-map + clustering-repartition + partitionBy write
-  the batch executor uses. Already-written bins are detected from the
-  compacted dir itself, so a crash-retried batch skips them.
+  yet in ``out_dir``/compacted is rewritten — one file per bin, or
+  ceil(n/TARGET) ≈target-sized sub-files for a bin past
+  COMPACT_SPLIT_ROWS (a hot ingest hour) — via the same broadcast-map
+  + clustering-repartition + partitionBy write (and the same map-side
+  pmod split rule) the batch executor uses. Already-written bins are
+  detected from the compacted dir itself, so a crash-retried batch
+  skips them.
 - ``finalize_compaction`` flushes the trailing still-filling bin when
   the feed is declared closed; after it, compacted == the batch
   ``compact_events`` output row-for-row and file-for-file
@@ -94,6 +97,23 @@ def _staging_state(out_dir: str) -> tuple[str, int, int]:
         with open(f"{out_dir}/staging_meta.json") as fh:
             meta = json.load(fh)
         gen, offset = int(meta["generation"]), int(meta["offset"])
+        if "closed_hour" not in meta and offset > 0:
+            # A pre-closed_hour marker that has already swept compacted
+            # bins (offset > 0) has lost those bins' hour coverage:
+            # neither the meta watermark nor live staging can attest
+            # the boundary, so a late row mapping to a done group_id
+            # would be written nowhere and silently dropped by the next
+            # sweep — the exact loss mode the quarantine exists to
+            # prevent. Hard-error like state_compaction's legacy-layout
+            # policy; the operator backfills closed_hour from the
+            # compacted dir's per-done-group max hour out-of-band.
+            raise RuntimeError(
+                f"legacy staging marker in {out_dir}: offset {offset} > 0 "
+                "but no closed_hour watermark — backfill closed_hour from "
+                "the compacted bins' max event-hour before restarting "
+                "(defaulting the late-data guard off would silently drop "
+                "late rows)"
+            )
         closed = int(meta.get("closed_hour", _NO_CLOSED_HOUR))
     except FileNotFoundError:
         # only a genuinely-missing marker means a fresh gate. A
@@ -129,9 +149,14 @@ def _commit_staging_state(
 
 
 def _bin_plan(staged: DataFrame, offset: int = 0) -> DataFrame:
-    """(hour, group_id) over the staged inventory — the batch
+    """(hour, n_rows, group_id) over the staged inventory — the batch
     planner's deterministic rule, metadata-scale. ``offset`` restores
-    global numbering after staging sweeps (see _staging_state)."""
+    global numbering after staging sweeps (see _staging_state).
+    ``n_rows`` feeds the hot-hour split rule in ``_write_bins``; a bin
+    is only written once COMPLETE (ordered ingest: a later bin has
+    started, or finalize declared the feed closed), so its staged
+    per-hour counts equal the batch planner's and the split decision
+    matches ``operators.layout.compact_events`` bit-for-bit."""
     from pyspark.sql import Window
 
     inv = (
@@ -145,8 +170,12 @@ def _bin_plan(staged: DataFrame, offset: int = 0) -> DataFrame:
         ),
         F.lit(0),
     )
-    return inv.select("hour", (cum_before + F.lit(int(offset))).alias("cb")).select(
-        "hour", F.expr(f"cb DIV {COMPACT_TARGET_ROWS}").alias("group_id")
+    return inv.select(
+        "hour", "n_rows", (cum_before + F.lit(int(offset))).alias("cb")
+    ).select(
+        "hour",
+        "n_rows",
+        F.expr(f"cb DIV {COMPACT_TARGET_ROWS}").alias("group_id"),
     )
 
 
@@ -173,19 +202,30 @@ def _written_groups(spark: SparkSession, compacted_dir: str) -> set[int]:
 def _write_bins(
     staged: DataFrame, plan: DataFrame, group_ids: list[int], compacted_dir: str
 ) -> None:
+    """Rewrite the given COMPLETE bins: one file per (group, sub) via
+    the same broadcast-map + clustering-repartition + partitionBy write
+    as the batch executor, including its hot-hour split rule (see
+    ``operators.layout.compact_events`` / ``_split_map`` — sub =
+    pmod(event_id, ceil(bin_rows / TARGET)) for bins past
+    COMPACT_SPLIT_ROWS, else a single sub 0)."""
+    from ..operators.layout import _split_map, _sub_col
+
     if not group_ids:
         return
     groups = F.broadcast(
-        plan.filter(F.col("group_id").isin([int(g) for g in group_ids]))
+        _split_map(
+            plan.filter(F.col("group_id").isin([int(g) for g in group_ids]))
+        )
     )
     (
         staged.drop("batch_id")
         .withColumn("hour", F.expr(_HOUR_OR_SENTINEL))
         .join(groups, "hour")
-        .drop("hour")
-        .repartition("group_id")
+        .withColumn("sub", _sub_col())
+        .drop("hour", "n_splits")
+        .repartition("group_id", "sub")
         .write.mode("append")
-        .partitionBy("group_id")
+        .partitionBy("group_id", "sub")
         .parquet(compacted_dir)
     )
 

@@ -214,22 +214,18 @@ def test_ann_compact_is_idempotent(spark):
     assert again == first
 
 
-def test_compaction_hot_hour_stays_one_file(spark, tmp_path):
-    """Skew boundary, pinned: the deterministic bin rule assigns a
-    whole hour to one bin, so a HOT hour (≫ target rows) produces one
-    OVERSIZED file rather than splitting — acceptable for parquet
-    (zone maps stay disjoint, scans parallelize on row groups), and
-    recorded in SCALE.md as the boundary where a production OPTIMIZE
-    would add within-hour splitting. This test pins today's behavior:
-    row identity holds, the hot bin is exactly one file, and
-    envelopes stay disjoint."""
+def _hot_hour_events(spark, tmp_path, hot_rows: int = 5000):
+    """6 hourly ingest files, hour 3 hot (``hot_rows`` ≫ target):
+    group 0 = hours 0..3 (120 + hot_rows rows — past the split bound),
+    group ceil = hours 4..5 (80 rows, one file). Contiguous event_ids
+    so the pmod split populates every residue class."""
     import datetime as dt
 
     rows = []
     base = dt.datetime(2024, 1, 1)
     eid = 0
     for hour in range(6):
-        n = 5000 if hour == 3 else 40  # hour 3 is hot: 5× target
+        n = hot_rows if hour == 3 else 40
         for i in range(n):
             rows.append(
                 (eid, base + dt.timedelta(hours=hour, seconds=i % 3600),
@@ -243,26 +239,69 @@ def test_compaction_hot_hour_stays_one_file(spark, tmp_path):
     )
     src = str(tmp_path / "events_src")
     df.write.mode("overwrite").parquet(f"{src}/events.parquet")
+    return src, len(rows)
+
+
+def test_compaction_hot_hour_splits_to_target_files(spark, tmp_path):
+    """Skew boundary, CLOSED (round 14): a bin pushed past
+    COMPACT_SPLIT_ROWS by a hot ingest hour no longer becomes one
+    oversized file — it splits into ceil(n/TARGET) files of ≤ TARGET
+    rows each via the map-side pmod(event_id, n_splits) rule (no
+    within-hour window, no single-task sort). Pinned invariants: row
+    identity, hot bin file count and per-file size bound, cold bins
+    still exactly one file, per-GROUP hour envelopes disjoint and
+    ordered."""
+    src, n_total = _hot_hour_events(spark, tmp_path)
     dest = str(tmp_path / "compacted")
     layout.compact_events(spark, src, dest)
     back = spark.read.parquet(dest)
-    assert back.count() == len(rows)
-    stats = (
+    assert back.count() == n_total
+    per_file = (
         back.select(
             F.col("group_id").cast("long").alias("g"),
             F.input_file_name().alias("f"),
             F.expr(f"unix_micros(ts) DIV {layout._US_PER_HOUR}").alias("h"),
         )
-        .groupBy("g")
-        .agg(F.countDistinct("f").alias("nf"), F.count(F.lit(1)).alias("n"),
+        .groupBy("g", "f")
+        .agg(F.count(F.lit(1)).alias("n"),
              F.min("h").alias("hmin"), F.max("h").alias("hmax"))
         .collect()
     )
-    assert all(r["nf"] == 1 for r in stats)
-    assert max(r["n"] for r in stats) >= 5000  # the hot bin, intact
-    spans = sorted((r["hmin"], r["hmax"]) for r in stats)
+    by_group: dict[int, list] = {}
+    for r in per_file:
+        by_group.setdefault(r["g"], []).append(r)
+    hot = max(by_group, key=lambda g: sum(r["n"] for r in by_group[g]))
+    n_hot = sum(r["n"] for r in by_group[hot])
+    assert n_hot == 5120
+    want_files = -(-n_hot // layout.COMPACT_TARGET_ROWS)  # ceil = 6
+    assert len(by_group[hot]) == want_files
+    for r in by_group[hot]:
+        assert r["n"] <= layout.COMPACT_TARGET_ROWS  # ≈target, never 2×
+    for g, files in by_group.items():
+        if g != hot:
+            assert len(files) == 1  # cold bins unchanged
+    spans = sorted(
+        (min(r["hmin"] for r in files), max(r["hmax"] for r in files))
+        for files in by_group.values()
+    )
     for (a, b), (c, d) in zip(spans, spans[1:]):
-        assert c > b  # disjoint, ordered
+        assert c > b  # group envelopes disjoint, ordered
+
+
+def test_compaction_apply_reports_split_file_count(spark, tmp_path):
+    """The apply entry's n_files measures the split physically
+    (input_file_name distinct == ceil(n/TARGET) for the hot bin) — the
+    same quantity its DuckDB oracle replays as the populated-residue
+    count."""
+    src, _ = _hot_hour_events(spark, tmp_path)
+    rows = {
+        r["group_id"]: (r["n_files"], r["n_rows"])
+        for r in layout.layout_compaction_apply(spark, src).collect()
+    }
+    hot_gid = max(rows, key=lambda g: rows[g][1])
+    n_files, n_rows = rows[hot_gid]
+    assert n_rows == 5120 and n_files == 6
+    assert all(nf == 1 for g, (nf, _) in rows.items() if g != hot_gid)
 
 
 def test_compaction_preserves_null_ts_rows(spark, tmp_path):

@@ -320,3 +320,85 @@ def test_written_groups_distinguishes_debris_from_damage(spark, tmp_path):
             f.write_bytes(b"\x00broken")
     with pytest.raises(Exception):
         compaction_stream._written_groups(spark, str(d))
+
+
+def test_stream_hot_hour_splits_like_batch(spark, tmp_path):
+    """Round-14 within-hour splitting, streaming twin: a hot ingest
+    hour arriving through the gate splits its bin into the SAME
+    ceil(n/TARGET) ≈target-sized (group, sub) files as the batch
+    executor — same rows, same file layout — because the bin is only
+    written once complete, when the staged per-hour counts equal the
+    batch planner's and the map-side pmod rule sees identical inputs."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for hour in range(6):
+        n = 5000 if hour == 3 else 40  # hour 3 hot: past 2x target
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=hour, seconds=i % 3600),
+                 eid % 97, "view", float(i), "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "hot_src")
+    df.write.mode("overwrite").parquet(f"{src}/events.parquet")
+
+    feed = tmp_path / "hot_feed"
+    feed.mkdir()
+    for hour in range(6):  # one ordered file per ingest hour
+        part = str(tmp_path / f"hot_part{hour}")
+        lo = base + dt.timedelta(hours=hour)
+        hi = lo + dt.timedelta(hours=1)
+        df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        srcf = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = feed / f"{hour:04d}.parquet"
+        os.rename(os.path.join(part, srcf), dst)
+        os.utime(dst, (2_000_000 + hour, 2_000_000 + hour))
+
+    out = _run(spark, tmp_path, str(feed), tag="hot")
+    compaction_stream.finalize_compaction(spark, out)
+    batch_dest = str(tmp_path / "hot_batch")
+    layout.compact_events(spark, src, batch_dest)
+
+    batch = spark.read.parquet(batch_dest)
+    got = spark.read.parquet(f"{out}/compacted").select(*batch.columns)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    gb = _bins(spark, f"{out}/compacted")
+    bb = _bins(spark, batch_dest)
+    assert gb == bb
+    hot_gid = max(gb, key=lambda g: gb[g][0])
+    assert gb[hot_gid] == (5120, 6)  # ceil(5120/1000) files
+    assert all(nf == 1 for g, (_, nf) in gb.items() if g != hot_gid)
+
+
+def test_legacy_marker_without_closed_hour_hard_errors(spark, tmp_path):
+    """A pre-upgrade staging marker that already swept bins (offset >
+    0) but lacks the closed_hour watermark cannot attest the late-data
+    boundary — reading it must hard-error (state_compaction's legacy
+    policy), not silently default the guard off (advice, round 13). A
+    fresh-gate marker (offset 0) without the field stays accepted."""
+    import json
+
+    import pytest
+
+    out = tmp_path / "legacy_out"
+    out.mkdir()
+    with open(out / "staging_meta.json", "w") as fh:
+        json.dump({"generation": 2, "offset": 1000}, fh)
+    with pytest.raises(RuntimeError, match="closed_hour"):
+        compaction_stream._staging_state(str(out))
+
+    with open(out / "staging_meta.json", "w") as fh:
+        json.dump({"generation": 0, "offset": 0}, fh)
+    sdir, off, closed = compaction_stream._staging_state(str(out))
+    assert off == 0 and closed == compaction_stream._NO_CLOSED_HOUR
