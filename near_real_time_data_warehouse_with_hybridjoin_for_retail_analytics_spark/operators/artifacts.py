@@ -54,9 +54,24 @@ def gc_stale_app_dirs(root: str, keep: str, max_age_s: int = 6 * 3600) -> None:
     /tmp accrues one full rewrite per session forever. The age guard
     keeps live sessions safe (a run writes its dir minutes before any
     other session could sweep it); removal is ignore_errors because a
-    lost race here only leaks a dir until the next sweep."""
+    lost race here only leaks a dir until the next sweep.
+
+    Liveness beacon (round-14 advice): steady-state rewrites only
+    touch the NESTED {sf_tag}/events dirs — overwrite recreates the
+    leaf, so the top-level app dir's mtime goes stale while the
+    session is very much alive, and a >max_age_s session could be
+    swept by a concurrent driver between its write and read-back. So
+    every call first touches the session's own dir: callers invoke
+    this immediately before using their dest, which renews the lease
+    exactly when it matters."""
     import time
 
+    own = os.path.join(root, keep)
+    if os.path.isdir(own):
+        try:
+            os.utime(own)
+        except OSError:
+            pass
     try:
         names = os.listdir(root)
     except OSError:

@@ -1175,7 +1175,10 @@ def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return materialized(spark, sf_dir, "shard_plan", "v1", build)
+    # N_SHARDS folded into the version: changing the constant must
+    # invalidate the cached N-row plan, or the store would keep
+    # serving the old shard count (round-14 advice).
+    return materialized(spark, sf_dir, "shard_plan", f"v1-n{N_SHARDS}", build)
 
 
 # ---------------------------------------------------------------------------

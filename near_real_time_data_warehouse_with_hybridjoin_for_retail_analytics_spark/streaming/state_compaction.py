@@ -173,10 +173,20 @@ def accumulate(
             "overwrite"
         ).parquet(partials_dir)
         if gen is not None:
+            import re
             import shutil
 
-            # best-effort: the superseded generation is garbage once
-            # the marker has moved on; a crash here only leaks a dir.
-            shutil.rmtree(f"{state_dir}/base_g{gen}", ignore_errors=True)
+            # best-effort: every generation below the committed one is
+            # garbage once the marker has moved on. Sweeping ALL lower
+            # indices (not just the immediately superseded gen) also
+            # reclaims dirs a previous crash leaked between the
+            # partials clear and its own rmtree — otherwise those
+            # orphans were never revisited (round-14 advice).
+            for name in os.listdir(state_dir):
+                m = re.fullmatch(r"base_g(\d+)", name)
+                if m and int(m.group(1)) < new_gen:
+                    shutil.rmtree(
+                        os.path.join(state_dir, name), ignore_errors=True
+                    )
         merged = spark.read.parquet(new_base_dir).drop("wmark")
     return merged

@@ -65,6 +65,11 @@ def test_gc_stale_app_dirs(tmp_path):
     os.utime(root / "app-live", (old, old))  # old but it is OURS
     gc_stale_app_dirs(str(root), "app-live")
     assert sorted(os.listdir(root)) == ["app-live", "app-young", "loosefile"]
+    # liveness beacon (round-14 advice): the call renews the live
+    # session's own lease, so a long-lived session whose steady-state
+    # rewrites only touch NESTED dirs cannot be swept by a concurrent
+    # driver's later GC.
+    assert time.time() - os.path.getmtime(root / "app-live") < 60
 
 
 def test_existing_max_id_debris_vs_damage(spark, tmp_path):

@@ -174,3 +174,48 @@ def test_legacy_base_dir_without_marker_is_hard_error(spark, tmp_path):
         state_compaction.accumulate(
             spark, sd, 9, _partial(spark, 1), ["k"], _merge
         )
+
+
+def test_compaction_sweeps_orphaned_lower_generations(spark, tmp_path):
+    """A crash after a past compaction's partials clear but before its
+    rmtree leaks base_g{old}; the NEXT compaction must reclaim every
+    generation below the committed one, not only the one it itself
+    supersedes (advice, round 13)."""
+    import os
+
+    sd = str(tmp_path / "state")
+    # drive enough batches for the first compaction (commits base_g0)
+    for b in range(state_compaction.COMPACT_EVERY):
+        state_compaction.accumulate(
+            spark, sd, b, _partial(spark, 1), ["k"], _merge
+        )
+    assert state_compaction._base_generation(sd) == 0
+    os.makedirs(f"{sd}/base_g-oops", exist_ok=True)  # non-matching: kept
+    # drive to the next compaction (commits base_g1, sweeps base_g0)
+    for b in range(
+        state_compaction.COMPACT_EVERY, 2 * state_compaction.COMPACT_EVERY
+    ):
+        state_compaction.accumulate(
+            spark, sd, b, _partial(spark, 1), ["k"], _merge
+        )
+    assert state_compaction._base_generation(sd) == 1
+    # re-plant base_g0, simulating a generation a PAST crash leaked
+    # between its partials clear and its own rmtree: it is NOT the
+    # immediate predecessor of the next commit, so the old
+    # only-sweep-what-I-supersede rule never revisited it.
+    os.makedirs(f"{sd}/base_g0", exist_ok=True)
+    open(f"{sd}/base_g0/leftover", "w").close()
+    for b in range(
+        2 * state_compaction.COMPACT_EVERY,
+        3 * state_compaction.COMPACT_EVERY,
+    ):
+        state_compaction.accumulate(
+            spark, sd, b, _partial(spark, 1), ["k"], _merge
+        )
+    assert state_compaction._base_generation(sd) == 2
+    gens = sorted(
+        n for n in os.listdir(sd)
+        if n.startswith("base_g") and n[6:].isdigit()
+    )
+    assert gens == ["base_g2"], f"orphaned generations must be swept: {gens}"
+    assert os.path.isdir(f"{sd}/base_g-oops")  # only ^base_g\d+$ swept
