@@ -479,26 +479,54 @@ def _existing_max_id(spark: SparkSession, output_dir: str) -> int:
     return int(row[0] or 0)
 
 
+def _is_missing_table_error(exc: Exception, table: str) -> bool:
+    """True iff the JDBC failure is specifically the sink TABLE not
+    existing. Bare substrings like "does not exist" over-match —
+    Postgres says the same of a missing DATABASE or ROLE, and some
+    drivers of a failed host resolution — and misclassifying those as
+    "first run" would return offset 0 over a possibly populated table
+    (round-13 advice). So the match is anchored: either the engine's
+    undefined-table SQLState (Postgres 42P01, Derby 42X05/42Y55) or a
+    does-not-exist/not-found message that NAMES the table in the
+    engine's quoting (Postgres: relation "t"; Derby: 'T')."""
+    msg = str(exc)
+    low = msg.lower()
+    if not ("does not exist" in low or "not found" in low):
+        return False
+    if "42P01" in msg or "42X05" in msg or "42Y55" in msg:
+        return True
+    # last path component for schema-qualified names
+    bare = table.rsplit(".", 1)[-1]
+    tokens = {
+        f'"{table.lower()}"',      # postgres: relation "sales"
+        f'"{bare.lower()}"',
+        f"'{table.upper()}'",      # derby: Table/View 'SALES'
+        f"'{bare.upper()}'",
+    }
+    return any(t.lower() in low for t in tokens)
+
+
 def _existing_max_id_jdbc(spark: SparkSession, opts: dict) -> int:
     """Sequence bootstrap against a live sink table (the reference reads
     the Postgres sequence's last_value, hybridjoin.py:80-85). A MISSING
     table starts at 0 — first stream run creates it. Any other failure
-    (connection refused, timeout, auth) must PROPAGATE: returning 0
-    over an unreachable-but-populated table would restart the sequence
-    and insert duplicate sales_ids when the database comes back. JDBC
-    drivers don't share an error taxonomy, so missing-table is
-    classified by the messages the supported engines emit (Derby:
-    "'T' does not exist"; Postgres: "relation ... does not exist")."""
+    (connection refused, timeout, auth, missing database/role) must
+    PROPAGATE: returning 0 over an unreachable-but-populated table
+    would restart the sequence and insert duplicate sales_ids when the
+    database comes back. JDBC drivers don't share an error taxonomy,
+    so ``_is_missing_table_error`` anchors the classification on the
+    undefined-table SQLStates or a message that names the table
+    itself."""
     from ..sources.jdbc import read_jdbc_table
 
     o = dict(opts)
     o.pop("batchsize", None)
+    table = o.pop("table")
     try:
-        existing = read_jdbc_table(spark, o.pop("url"), o.pop("table"), **o)
+        existing = read_jdbc_table(spark, o.pop("url"), table, **o)
         row = existing.agg(F.max("sales_id")).collect()[0]
         return int(row[0] or 0)
     except Exception as exc:
-        msg = str(exc).lower()
-        if "does not exist" in msg or "not found" in msg:
+        if _is_missing_table_error(exc, table):
             return 0  # first run: the stream's first batch creates it
         raise

@@ -194,3 +194,41 @@ def test_jdbc_partitioned_read_option_passthrough(spark, derby_url):
     )
     assert back.rdd.getNumPartitions() == 3
     assert back.count() == 5
+
+
+def test_missing_table_classifier_both_engines():
+    """The sequence-bootstrap classifier must treat ONLY
+    undefined-table failures as 'first run' (→ offset 0). Postgres and
+    Derby message forms classify as missing; a missing DATABASE or
+    ROLE, host-resolution failures, and unrelated errors must
+    propagate even though they too say 'does not exist' (advice,
+    round 13)."""
+    miss = hj._is_missing_table_error
+    t = "sales"
+    # Postgres: undefined_table, message and SQLState forms
+    assert miss(Exception('ERROR: relation "sales" does not exist'), t)
+    assert miss(
+        Exception("org.postgresql.util.PSQLException: ERROR: relation "
+                  '"sales" does not exist\n  SQLState: 42P01'), t)
+    # Derby forms
+    assert miss(Exception("Table/View 'SALES' does not exist."), t)
+    assert miss(
+        Exception("java.sql.SQLSyntaxErrorException: Table/View 'SALES' "
+                  "does not exist. SQLState 42X05"), t)
+    # schema-qualified sink
+    assert miss(
+        Exception('ERROR: relation "warehouse.sales" does not exist'),
+        "warehouse.sales")
+    assert miss(
+        Exception('ERROR: relation "sales" does not exist'),
+        "warehouse.sales")
+    # NOT missing-table: database / role / host / other table
+    assert not miss(
+        Exception('FATAL: database "warehouse" does not exist'), t)
+    assert not miss(
+        Exception('FATAL: role "etl" does not exist'), t)
+    assert not miss(
+        Exception("java.net.UnknownHostException: dbhost not found"), t)
+    assert not miss(
+        Exception('ERROR: relation "other_table" does not exist'), t)
+    assert not miss(Exception("connection refused"), t)
