@@ -148,22 +148,29 @@ def _latest_year(
     column-pruned scan of ``date_col``), exactly as the oracle SQL
     scopes it (``FROM lineitem``) — NOT from the already-joined star
     relation: Catalyst does not share subtrees, so deriving the scalar
-    from ``df`` would scan and join the whole star twice. The 1-row
-    result broadcasts as a runtime filter over the joined relation.
+    from ``df`` would scan and join the whole star twice.
+
+    The 1-row scalar is collected to the DRIVER (a bounded scalar
+    read, same class as the centroid/metadata collects elsewhere) and
+    applied as a LITERAL filter, not joined as a runtime subquery: the
+    round-14 sf1 adjudication found Spark never inserts dynamic
+    partition pruning for a scalar-aggregate build side (the DPP rule
+    requires a selective Filter on the filtering side), so the
+    broadcast-join form scanned EVERY year of the star — the 0.47
+    decade exponent at sf1. A literal on the star's l_year PARTITION
+    column is a static PartitionFilter: cold years never leave the
+    file listing, at any scale.
     """
     li = load_table(spark, sf_dir, "lineitem").select(date_col)
-    mx = li.select(F.max(year_i(date_col)).alias("_maxy"))
-    # On the materialized star, filter the PARTITION column instead of
-    # re-deriving year(): year(col) = scalar is not a prunable parquet
-    # predicate, but an equi-join on the partition column lets dynamic
-    # partition pruning skip every other year's files. Same value by
-    # construction (l_year := year(l_shipdate) at write time).
+    maxy = li.select(F.max(year_i(date_col))).collect()[0][0]
+    if maxy is None:
+        return df.filter(F.lit(False))
     ycol = (
         F.col("l_year")
         if date_col == "l_shipdate" and "l_year" in df.columns
         else year_i(date_col)
     )
-    return df.join(F.broadcast(mx), ycol == F.col("_maxy")).drop("_maxy")
+    return df.filter(ycol == F.lit(int(maxy)))
 
 
 _SQL_LATEST_YEAR = (
@@ -343,18 +350,39 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _fact_customer(spark, sf_dir)
     # Scalar MAX(date) from the bare lineitem table (one pruned column
     # scan) — matching the oracle's `FROM lineitem` CTE, not the joined
-    # star relation, which would execute the 4-way join twice.
-    md = (
+    # star relation, which would execute the 4-way join twice. The
+    # 1-row bound is collected to the driver and applied as LITERALS
+    # (round-14 sf1 adjudication): the former 1-row theta BNLJ kept
+    # the window as a runtime condition, so nothing pushed into the
+    # scan and the whole star was read at every scale (0.49 decade
+    # exponent at sf1). Literal bounds give (a) a static l_year
+    # PartitionFilter — only the ≤2 calendar years the 6-month window
+    # can touch are listed — and (b) a pushable l_date range the
+    # sorted-by-shipdate star answers from row-group zone maps.
+    # add_months stays Spark-evaluated so month-arithmetic semantics
+    # cannot drift from the SQL twin.
+    row = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.max(F.to_date("l_shipdate")).alias("latest"))
+        .select("latest", F.add_months("latest", -6).alias("lo"))
+        .collect()[0]
     )
-    d = F.to_date("l_shipdate")
-    return (
-        df.join(
-            F.broadcast(md),
-            d.between(F.add_months(F.col("latest"), -6), F.col("latest")),
+    latest, lo = row["latest"], row["lo"]
+    if latest is None:
+        df = df.filter(F.lit(False))
+    else:
+        d = (
+            F.col("l_date")
+            if "l_date" in df.columns
+            else F.to_date("l_shipdate")
         )
-        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        if "l_year" in df.columns:
+            df = df.filter(
+                F.col("l_year").between(F.lit(lo.year), F.lit(latest.year))
+            )
+        df = df.filter(d.between(F.lit(lo), F.lit(latest)))
+    return (
+        df.groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
         .agg(dsum(REV).alias("total_revenue"), lsum(QTY).alias("total_units"))
     )
 
