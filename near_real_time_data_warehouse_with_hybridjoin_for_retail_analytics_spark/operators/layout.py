@@ -418,3 +418,123 @@ def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hour").alias("hour_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order execution (OPTIMIZE ZORDER itself, not just the envelope table)
+# ---------------------------------------------------------------------------
+# STAGED (round 14): kernel + pytest gates committed; the registry
+# entry is deferred to round 15 because the round-14 rotation window is
+# at exact capacity (tests/test_rotation.py budget — COVERAGE.md
+# "Round-15 projection"). Completes the plan→apply symmetry the
+# compaction pair already has: layout_zorder_events PLANS the layout
+# (envelope table from expressions); this executes the rewrite and
+# measures the envelopes from the files themselves.
+
+
+def _zorder_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + (u, t, file_bucket) — the same map-side Morton-key
+    expressions the planner uses, over the full row (no projection:
+    the rewrite is bit-preserving)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
+    keyed = ev.withColumn(
+        "u", F.col("user_id").bitwiseAND(F.lit(_MASK))
+    ).withColumn("t", hour_idx.bitwiseAND(F.lit(_MASK)))
+    return keyed.withColumn(
+        "file_bucket", F.shiftright(_z_col(), _BUCKET_SHIFT)
+    ).drop("u", "t")
+
+
+def zorder_apply_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Execute the z-order layout: rewrite events into exactly one
+    parquet file per z-range bucket under ``dest`` (idempotent
+    overwrite). The z-key is a map-side integer expression (zero
+    shuffle to compute); the single clustering ``repartition`` on the
+    bucket id is the one shuffle any sorted/clustered write pays, and
+    ``partitionBy`` then writes exactly one file per bucket — the
+    measurable form of the module docstring's
+    ``repartitionByRange(z)`` production shape. Rows are
+    bit-preserved: no projection, no filter."""
+    (
+        _zorder_keyed(spark, sf_dir)
+        .repartition("file_bucket")
+        .write.mode("overwrite")
+        .partitionBy("file_bucket")
+        .parquet(dest)
+    )
+
+
+def zorder_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite + POST-rewrite inventory measured from the files
+    themselves: per bucket, the physical file count
+    (``input_file_name`` distinct — not an assumption), row count and
+    both clustering-dimension envelopes. The staged oracle
+    (``_zorder_apply_sql``) states the contract: every planned bucket
+    became exactly ONE file with the planner's row count and
+    envelopes — so a future driver value-hash is a standing proof the
+    rewrite ran correctly, not a replay of the planner."""
+    dest = _zorder_dest(spark, sf_dir)
+    zorder_apply_events(spark, sf_dir, dest)
+    back = spark.read.parquet(dest)
+    hour_idx = F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
+    return (
+        back.select(
+            F.col("file_bucket").cast("long").alias("file_bucket"),
+            F.input_file_name().alias("file"),
+            "user_id",
+            hour_idx.alias("hour_idx"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.countDistinct("file").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("hour_idx").alias("min_hour"),
+            F.max("hour_idx").alias("max_hour"),
+        )
+    )
+
+
+def _zorder_dest(spark: SparkSession, sf_dir: str) -> str:
+    """Per-application rewrite destination (same race contract as
+    ``_compact_dest``)."""
+    from .artifacts import gc_stale_app_dirs
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
+    app_id = spark.sparkContext.applicationId
+    root = "/tmp/sparkgraft_zorder"
+    gc_stale_app_dirs(root, app_id)
+    return f"{root}/{app_id}/{sf_tag}/events"
+
+
+def _zorder_apply_sql() -> str:
+    """Staged oracle for the round-15 ``layout_zorder_apply`` entry:
+    the planner's envelope SQL plus the physical one-file-per-bucket
+    contract (n_files literal 1, like compaction_apply's pre-split
+    form — buckets are z-ranges, never hot-hour-skewed, because the
+    bucket id takes the TOP 6 interleaved bits: a single hour spreads
+    across user-bit buckets)."""
+    return f"""
+    WITH keyed AS (
+      SELECT user_id,
+             epoch_us(ts) // {_US_PER_HOUR} AS hour_idx,
+             user_id & {_MASK} AS u,
+             (epoch_us(ts) // {_US_PER_HOUR}) & {_MASK} AS t
+      FROM events
+    ),
+    z AS (
+      SELECT user_id, hour_idx,
+             ({_z_terms_sql()}) >> {_BUCKET_SHIFT} AS file_bucket
+      FROM keyed
+    )
+    SELECT CAST(file_bucket AS BIGINT) AS file_bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(MIN(hour_idx) AS BIGINT) AS min_hour,
+           CAST(MAX(hour_idx) AS BIGINT) AS max_hour
+    FROM z GROUP BY 1
+    """
