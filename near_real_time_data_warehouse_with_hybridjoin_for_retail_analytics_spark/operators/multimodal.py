@@ -1937,13 +1937,28 @@ def _make_phash_bands_worker(encode):
 
 
 phash_png_dhash_bands = _make_phash_bands_worker(encode_png)
-# JPEG-path kernel, STAGED (round 12): the same dHash through the full
-# real baseline-JPEG decode (marker walk, Huffman, IDCT — exactly
-# invertible on constant tiles, see jpeg.py). Pytest-gated against an
-# independent byte replay; its registry entry is deferred to round 13
-# because the round-12 rotation window is at exact capacity
-# (tests/test_rotation.py budget — COVERAGE.md "Round-13 projection").
-phash_jpeg_dhash_bands = _make_phash_bands_worker(_encode_jpeg_payload)
+# JPEG-path kernel (registered round 14): the same dHash through the
+# full real baseline-JPEG decode (marker walk, Huffman, IDCT — exactly
+# invertible on constant tiles, see jpeg.py), pytest-gated against an
+# independent byte replay. The PHASH path uses a WIDER block row than
+# the decode-stats entries (16 blocks vs JPEG_BLOCKS_W=4): at 4 blocks
+# the 9-column thumbnail lands ≤4 distinct tiles per row, so most
+# gradient bits are structurally zero — each 16-bit band took only 63
+# distinct values over sf0.1 (max bucket 384 → ~70k candidate pairs
+# per band, quadratic-in-bucket mining cost and an uninformative
+# hash). At 16 blocks the 9 sampled columns hit 9 distinct tiles
+# (max bucket 32, bands ~3.7k-distinct). Decode cost is unchanged —
+# total pixels are 64·ceil(n/BW)·BW ≈ 64·n either way.
+PHASH_JPEG_BLOCKS_W = 16
+
+
+def _encode_jpeg_payload_phash(raw: bytes) -> bytes:
+    from .jpeg import encode_jpeg_blocks
+
+    return encode_jpeg_blocks(raw, PHASH_JPEG_BLOCKS_W)
+
+
+phash_jpeg_dhash_bands = _make_phash_bands_worker(_encode_jpeg_payload_phash)
 
 
 def phash_jpeg_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2065,7 +2080,7 @@ def _sql_phash_bands_jpeg() -> str:
     — the same floor arithmetic as resize_nearest on the 8·BW × 8·bh
     image. Ends with ``pbands`` (doc_id, b0..b3), the same shape as
     ``_sql_phash_bands``."""
-    from .jpeg import JPEG_BLOCKS_W as bw
+    bw = PHASH_JPEG_BLOCKS_W
 
     g = PHASH_GRID
     band_cols = ",\n         ".join(
@@ -2134,7 +2149,7 @@ def dedup_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "phash_jpeg_bands",
-        "v1:dhash8:jpeg",
+        f"v2:dhash8:jpeg:bw{PHASH_JPEG_BLOCKS_W}",
         lambda: phash_jpeg_bands_df(spark, sf_dir),
     )
     return _mine_phash_pairs(bands)

@@ -275,9 +275,7 @@ def _replay_bands_jpeg(text: str) -> tuple[int, ...]:
     decode returns the 3-channel replication, so thumbnail gray at
     (r, c) = 3 × byte[(row8)·BW + col8] with the same floor
     arithmetic as resize_nearest on the 8·BW × 8·BH image."""
-    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.jpeg import (
-        JPEG_BLOCKS_W as BW,
-    )
+    BW = multimodal.PHASH_JPEG_BLOCKS_W
 
     raw = text.encode("utf-8")
     g = multimodal.PHASH_GRID
