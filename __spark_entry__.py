@@ -223,9 +223,13 @@ def _projected_next_load(
         # counts; ordering (`_hash_forced`) is unchanged and still
         # over-forces on a stale manifest, which is the safe direction.
         man = _manifest()
-        forced = [
+        # Hand-listed forces count unconditionally — they mean
+        # "re-verify regardless", so a fresh driver row must not
+        # project them away; only the mechanical hash diff gets the
+        # virtual refresh.
+        forced = [n for n in _FORCE_VERIFY] + [
             n
-            for n in _FORCE_VERIFY + _hash_forced(names)
+            for n in _hash_forced(names)
             if last.get(n, 0) <= man.get(n, {}).get("round", 0)
         ]
     forced_set = {n for n in forced if n in names} - pinned
