@@ -89,6 +89,21 @@ def gc_stale_app_dirs(root: str, keep: str, max_age_s: int = 6 * 3600) -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def app_scoped_dest(spark, sf_dir: str, root: str, leaf: str) -> str:
+    """Per-application rewrite destination {root}/{app_id}/{sf_tag}/
+    {leaf} — the shared contract of every write-side entry
+    (layout_compaction_apply, ann_index_compact, the staged z-order
+    apply): two concurrent drivers on the same scale factor must never
+    race an overwrite and read back a mixed inventory, the path is
+    stable within a session so repeated calls overwrite in place
+    (idempotence), stale sibling app dirs are swept, and the call
+    renews the live session's own GC lease (see gc_stale_app_dirs)."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
+    app_id = spark.sparkContext.applicationId
+    gc_stale_app_dirs(root, app_id)
+    return f"{root}/{app_id}/{sf_tag}/{leaf}"
+
+
 def materialized(
     spark: SparkSession,
     sf_dir: str,

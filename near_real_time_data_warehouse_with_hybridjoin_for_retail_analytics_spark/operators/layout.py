@@ -255,12 +255,9 @@ def _compact_dest(spark: SparkSession, sf_dir: str) -> str:
     repeated calls overwrite in place and idempotence holds. Stale
     sibling app dirs are swept (per-app scoping would otherwise accrue
     one full events rewrite per session forever)."""
-    from .artifacts import gc_stale_app_dirs
+    from .artifacts import app_scoped_dest
 
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
-    app_id = spark.sparkContext.applicationId
-    gc_stale_app_dirs(_COMPACT_ROOT, app_id)
-    return f"{_COMPACT_ROOT}/{app_id}/{sf_tag}/events"
+    return app_scoped_dest(spark, sf_dir, _COMPACT_ROOT, "events")
 
 
 # Within-hour splitting bound (round 14): the running-total rule can
@@ -340,9 +337,19 @@ def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
 
 @query(
     "layout_compaction_apply",
+    # The oracle replays the EXECUTOR's rule exactly (round-14 review
+    # findings): the NULL-ts sentinel hour (-1, matching
+    # _HOUR_OR_SENTINEL — a plain equi-join would silently drop the
+    # rows the executor preserves), the coalesce(event_id, 0) the
+    # split rule applies, and pmod semantics for the residue count
+    # (DuckDB's % is signed; ((x % n) + n) % n matches Spark's pmod
+    # for any sign). The planner entry keeps the plain expressions —
+    # its documented exemption (non-null oracle corpus) stands; the
+    # APPLY entry measures physical files, so its oracle must model
+    # the physical rule completely.
     f"""
     WITH inv AS (
-      SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour,
+      SELECT coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) AS hour,
              CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM events GROUP BY 1
     ),
@@ -367,14 +374,17 @@ def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
       FROM gmap GROUP BY 1
     ),
     assigned AS (
-      SELECT g.group_id, g.hour, s.n_splits, e.event_id
-      FROM (SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour, event_id
+      SELECT g.group_id, g.hour, s.n_splits,
+             coalesce(e.event_id, 0) AS eid
+      FROM (SELECT coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) AS hour,
+                   event_id
             FROM events) e
       JOIN gmap g ON e.hour = g.hour
       JOIN sp s ON g.group_id = s.group_id
     )
     SELECT CAST(group_id AS BIGINT) AS group_id,
-           CAST(COUNT(DISTINCT event_id % n_splits) AS BIGINT) AS n_files,
+           CAST(COUNT(DISTINCT ((eid % n_splits) + n_splits) % n_splits)
+                AS BIGINT) AS n_files,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MIN(hour) AS BIGINT) AS hour_min,
            CAST(MAX(hour) AS BIGINT) AS hour_max
@@ -408,7 +418,9 @@ def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted.select(
             F.col("group_id").cast("long").alias("group_id"),
             F.input_file_name().alias("file"),
-            F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("hour"),
+            # sentinel, matching the executor and the oracle: NULL-ts
+            # rows are measured as hour -1, not skipped by MIN/MAX
+            F.expr(_HOUR_OR_SENTINEL).alias("hour"),
         )
         .groupBy("group_id")
         .agg(
@@ -500,13 +512,9 @@ def zorder_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_dest(spark: SparkSession, sf_dir: str) -> str:
     """Per-application rewrite destination (same race contract as
     ``_compact_dest``)."""
-    from .artifacts import gc_stale_app_dirs
+    from .artifacts import app_scoped_dest
 
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
-    app_id = spark.sparkContext.applicationId
-    root = "/tmp/sparkgraft_zorder"
-    gc_stale_app_dirs(root, app_id)
-    return f"{root}/{app_id}/{sf_tag}/events"
+    return app_scoped_dest(spark, sf_dir, "/tmp/sparkgraft_zorder", "events")
 
 
 def _zorder_apply_sql() -> str:

@@ -2980,12 +2980,9 @@ def _ann_compact_dest(spark: SparkSession, sf_dir: str) -> str:
     stable, so repeated calls overwrite in place and idempotence
     holds. Stale sibling app dirs are swept (per-app scoping would
     otherwise accrue one rewrite per session forever)."""
-    from .artifacts import gc_stale_app_dirs
+    from .artifacts import app_scoped_dest
 
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
-    app_id = spark.sparkContext.applicationId
-    gc_stale_app_dirs(_ANN_COMPACT_ROOT, app_id)
-    return f"{_ANN_COMPACT_ROOT}/{app_id}/{sf_tag}/lists"
+    return app_scoped_dest(spark, sf_dir, _ANN_COMPACT_ROOT, "lists")
 
 
 def _ann_compact_sql() -> str:

@@ -207,7 +207,25 @@ def _write_bins(
     as the batch executor, including its hot-hour split rule (see
     ``operators.layout.compact_events`` / ``_split_map`` — sub =
     pmod(event_id, ceil(bin_rows / TARGET)) for bins past
-    COMPACT_SPLIT_ROWS, else a single sub 0)."""
+    COMPACT_SPLIT_ROWS, else a single sub 0).
+
+    PER-BIN ATOMIC COMMIT (round-14 review finding): with splitting, a
+    bin is no longer one file, so a crash mid job-commit could leave a
+    PARTIAL set of its sub-files visible — and ``_written_groups``
+    keys on group_id presence, so the retried batch would skip the bin
+    and the next sweep would drop its staged rows (silent loss). Each
+    bin is therefore written to an underscore-staging dir (invisible
+    to readers; overwrite — a crashed half-write is rewritten on
+    retry) and published with ONE ``os.rename`` of the whole directory
+    to ``group_id=K``: doneness detection (dir presence) is again
+    exactly as coarse as the commit unit, at any sub-file count. One
+    Spark job per bin — ordered ingest closes bins one at a time, so
+    the per-tick bin count is ~1 (finalize may pay a few). On an
+    object store the dir rename becomes the same manifest commit a
+    table format does; same single-writer contract as the rest of the
+    gate."""
+    import os
+
     from ..operators.layout import _split_map, _sub_col
 
     if not group_ids:
@@ -217,17 +235,28 @@ def _write_bins(
             plan.filter(F.col("group_id").isin([int(g) for g in group_ids]))
         )
     )
-    (
+    keyed = (
         staged.drop("batch_id")
         .withColumn("hour", F.expr(_HOUR_OR_SENTINEL))
         .join(groups, "hour")
         .withColumn("sub", _sub_col())
         .drop("hour", "n_splits")
-        .repartition("group_id", "sub")
-        .write.mode("append")
-        .partitionBy("group_id", "sub")
-        .parquet(compacted_dir)
     )
+    os.makedirs(compacted_dir, exist_ok=True)
+    for gid in sorted(int(g) for g in group_ids):
+        dest = os.path.join(compacted_dir, f"group_id={gid}")
+        if os.path.isdir(dest):
+            continue  # committed by a previous life — retry skips it
+        tmp = os.path.join(compacted_dir, f"_staging_bin_{gid}")
+        (
+            keyed.filter(F.col("group_id") == gid)
+            .drop("group_id")
+            .repartition("sub")
+            .write.mode("overwrite")
+            .partitionBy("sub")
+            .parquet(tmp)
+        )
+        os.rename(tmp, dest)  # the commit point: all-or-nothing
 
 
 def run_compaction_stream(

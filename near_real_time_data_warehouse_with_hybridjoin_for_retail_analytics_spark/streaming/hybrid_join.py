@@ -429,6 +429,25 @@ def _reconcile_batch(marker: str, output_dir: str) -> None:
         # in the sink: a later OPTIMIZE (etl.compact.compact_parquet)
         # legitimately rewrites committed files under new names.
         return
+    import shutil
+
+    # Same argument when the dir exists but holds none of the manifest
+    # files (a crash interrupted the post-move rmtree, leaving debris):
+    # every move completed, the rows are durable, and OPTIMIZE may
+    # since have renamed them — demanding the manifest names exist in
+    # the sink would be a FALSE damage error (round-14 review finding).
+    # Damage detection stays for the mid-move states, where each file
+    # sits in exactly one of staging/sink: a file still staged is
+    # moved; a file in NEITHER while siblings are still staged cannot
+    # be produced by any crash point of this protocol and must raise.
+    staged_files = [
+        rel
+        for rel in manifest["files"]
+        if os.path.exists(os.path.join(staging, rel))
+    ]
+    if not staged_files:
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     for rel in manifest["files"]:
         src = os.path.join(staging, rel)
         dst = os.path.join(output_dir, rel)
@@ -441,8 +460,6 @@ def _reconcile_batch(marker: str, output_dir: str) -> None:
                 f"sink: {rel} (marker {os.path.basename(marker)}) — "
                 "out-of-band damage, refusing to continue"
             )
-    import shutil
-
     shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -488,13 +505,17 @@ def _is_missing_table_error(exc: Exception, table: str) -> bool:
     (round-13 advice). So the match is anchored: either the engine's
     undefined-table SQLState (Postgres 42P01, Derby 42X05/42Y55) or a
     does-not-exist/not-found message that NAMES the table in the
-    engine's quoting (Postgres: relation "t"; Derby: 'T')."""
+    engine's quoting (Postgres: relation "t"; Derby: 'T'). SQLStates
+    are checked FIRST and alone suffice — they are locale-independent
+    (a German-locale Postgres says 'Relation »t« existiert nicht' with
+    the same 42P01) and cannot over-match; the phrase+token form is
+    the fallback for drivers that drop the state from the message."""
     msg = str(exc)
+    if "42P01" in msg or "42X05" in msg or "42Y55" in msg:
+        return True
     low = msg.lower()
     if not ("does not exist" in low or "not found" in low):
         return False
-    if "42P01" in msg or "42X05" in msg or "42Y55" in msg:
-        return True
     # last path component for schema-qualified names
     bare = table.rsplit(".", 1)[-1]
     tokens = {

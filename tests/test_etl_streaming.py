@@ -440,3 +440,59 @@ def test_uncommitted_staging_is_overwritten_on_replay(
     )
     assert after == before
     assert not staging.exists()
+
+
+def test_reconcile_tolerates_optimize_after_interrupted_cleanup(
+    spark, dims, workdir
+):
+    """Round-14 review finding: a crash between the last move and the
+    staging rmtree leaves a debris-only staging dir; if OPTIMIZE
+    (compact_parquet) then renames the sink files before restart, the
+    manifest names exist NOWHERE — but every row is durable, so
+    reconcile must treat it as complete, not raise false damage."""
+    import json
+    import os
+
+    cust, prod = dims
+    out = workdir / "sales_opt_crash"
+    q0 = hj.run_stream(
+        spark,
+        str(workdir / "in"),
+        "orderID string, Customer_ID string, Product_ID string, quantity string, date string",
+        cust,
+        prod,
+        output_dir=str(out),
+        checkpoint_dir=str(workdir / "ckpt_opt_crash0"),
+        max_files_per_trigger=1,
+    )
+    q0.awaitTermination(120)
+    before = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+
+    victim = None
+    for p in sorted(out.iterdir()):
+        if p.name.startswith("_batch_") and p.name.endswith("_committed"):
+            try:
+                man = json.loads(p.read_text())
+            except ValueError:
+                continue
+            if man["files"]:
+                victim = man
+    assert victim
+    # simulate the interrupted rmtree: debris-only staging dir
+    staging = out / "_staging" / victim["staging"]
+    staging.mkdir(parents=True, exist_ok=True)
+    (staging / "_SUCCESS").write_bytes(b"")
+    # OPTIMIZE renames every committed file
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.etl.compact import (
+        compact_parquet,
+    )
+
+    compact_parquet(spark, str(out), sort_within_by=["date_id"])
+    for rel in victim["files"]:
+        assert not (out / rel).exists(), "OPTIMIZE must have renamed files"
+
+    # startup reconcile must complete silently, rows intact
+    hj._reconcile_pending_batches(str(out))
+    assert not staging.exists()
+    after = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+    assert after == before

@@ -215,6 +215,10 @@ def test_missing_table_classifier_both_engines():
     assert miss(
         Exception("java.sql.SQLSyntaxErrorException: Table/View 'SALES' "
                   "does not exist. SQLState 42X05"), t)
+    # locale-independent: SQLState alone suffices (German Postgres)
+    assert miss(
+        Exception("FEHLER: Relation \u00bbsales\u00ab existiert nicht\n"
+                  "  SQLState: 42P01"), t)
     # schema-qualified sink
     assert miss(
         Exception('ERROR: relation "warehouse.sales" does not exist'),

@@ -80,3 +80,59 @@ def test_zorder_apply_staged_oracle_matches_planner_contract(spark):
         for r in layout.zorder_apply_inventory(spark, SF).collect()
     )
     assert got == want
+
+
+def test_compaction_apply_oracle_models_hostile_corpus(spark, tmp_path):
+    """Round-14 review findings, pinned: the apply oracle must replay
+    the EXECUTOR on corpora the driver testdata never shows — a hot
+    hour (split fires), NULL ts (sentinel hour), NULL and negative
+    event_ids (coalesce + pmod sign semantics). Run the entry and its
+    DuckDB oracle side by side on such a corpus and require equality."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for hour in range(5):
+        n = 4500 if hour == 2 else 60  # hour 2 hot: past 2x target
+        for i in range(n):
+            # sprinkle negative ids through the hot hour so pmod vs
+            # signed-% diverges if either side models it wrong
+            e = -eid if (hour == 2 and i % 7 == 0) else eid
+            rows.append(
+                (e, base + dt.timedelta(hours=hour, seconds=i % 3600),
+                 eid % 97, "view", float(i), "{}")
+            )
+            eid += 1
+    rows.append((eid, None, 1, "view", 0.0, "{}"))      # NULL ts
+    rows.append((None, None, 2, "view", 0.0, "{}"))     # NULL ts + id
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "hostile")
+    df.coalesce(2).write.mode("overwrite").parquet(f"{src}/events.parquet")
+
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in layout.layout_compaction_apply(spark, src).collect()
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
+        registry,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{src}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(int(v) for v in r)
+        for r in con.execute(
+            registry.ORACLES["layout_compaction_apply"]
+        ).fetchall()
+    )
+    assert got == want

@@ -402,3 +402,81 @@ def test_legacy_marker_without_closed_hour_hard_errors(spark, tmp_path):
         json.dump({"generation": 0, "offset": 0}, fh)
     sdir, off, closed = compaction_stream._staging_state(str(out))
     assert off == 0 and closed == compaction_stream._NO_CLOSED_HOUR
+
+
+def test_partial_split_bin_write_is_retried_not_lost(spark, tmp_path):
+    """Round-14 review finding, pinned: a crash mid-commit of a SPLIT
+    bin must not leave a partial file set that doneness detection
+    mistakes for a committed bin (the retried batch would skip it and
+    the sweep would drop its rows — silent loss). The per-bin staging
+    dir + atomic dir rename makes the commit all-or-nothing: simulate
+    the crash state (bin files half-written under the underscore
+    staging dir, destination dir absent) and assert the gate neither
+    counts the bin as done nor loses a row end-to-end."""
+    import datetime as dt
+    import json
+    import shutil
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for hour in range(6):
+        n = 5000 if hour == 3 else 40
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=hour, seconds=i % 3600),
+                 eid % 97, "view", float(i), "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = tmp_path / "pfeed"
+    feed.mkdir()
+    for hour in range(6):
+        part = str(tmp_path / f"ppart{hour}")
+        lo = base + dt.timedelta(hours=hour)
+        hi = lo + dt.timedelta(hours=1)
+        df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        srcf = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = feed / f"{hour:04d}.parquet"
+        os.rename(os.path.join(part, srcf), dst)
+        os.utime(dst, (3_000_000 + hour, 3_000_000 + hour))
+
+    out = _run(spark, tmp_path, str(feed), tag="partial")
+    compacted = tmp_path / "out_partial" / "compacted"
+    # the hot bin (6 sub-files) is down; simulate the crash state:
+    # move its committed dir BACK to the underscore staging name and
+    # delete half its sub dirs — exactly what a mid-commit crash under
+    # the OLD append-mode write could leave visible
+    hot = max(
+        (p for p in compacted.iterdir() if p.name.startswith("group_id=")),
+        key=lambda p: sum(f.stat().st_size for f in p.rglob("*.parquet")),
+    )
+    subs = sorted(d for d in hot.iterdir() if d.name.startswith("sub="))
+    assert len(subs) == 6, "the hot bin must have split"
+    staging_name = compacted / ("_staging_bin_" + hot.name.split("=")[1])
+    os.rename(hot, staging_name)
+    for d in list(staging_name.iterdir()):
+        if d.name.startswith("sub=") and int(d.name.split("=")[1]) >= 3:
+            shutil.rmtree(d)
+    # doneness must NOT include the bin (its dir is gone)
+    done = compaction_stream._written_groups(spark, str(compacted))
+    assert int(hot.name.split("=")[1]) not in done
+    # replaying the feed (fresh checkpoint) must rebuild the bin whole
+    q = compaction_stream.run_compaction_stream(
+        spark, str(feed), str(tmp_path / "out_partial"),
+        checkpoint=str(tmp_path / "ckpt_partial2"),
+    )
+    q.awaitTermination(300)
+    compaction_stream.finalize_compaction(spark, str(tmp_path / "out_partial"))
+    back = spark.read.parquet(str(compacted))
+    assert back.count() == len(rows)
+    assert back.select("event_id").distinct().count() == len(rows)
+    # a leftover _staging_bin_* dir is invisible debris (underscore
+    # prefix) — the retried write overwrote it before the rename, so
+    # whether the rename consumed it or not, no reader ever sees it
