@@ -213,50 +213,52 @@ def _write_bins(
     bin is no longer one file, so a crash mid job-commit could leave a
     PARTIAL set of its sub-files visible — and ``_written_groups``
     keys on group_id presence, so the retried batch would skip the bin
-    and the next sweep would drop its staged rows (silent loss). Each
-    bin is therefore written to an underscore-staging dir (invisible
-    to readers; overwrite — a crashed half-write is rewritten on
-    retry) and published with ONE ``os.rename`` of the whole directory
-    to ``group_id=K``: doneness detection (dir presence) is again
-    exactly as coarse as the commit unit, at any sub-file count. One
-    Spark job per bin — ordered ingest closes bins one at a time, so
-    the per-tick bin count is ~1 (finalize may pay a few). On an
-    object store the dir rename becomes the same manifest commit a
-    table format does; same single-writer contract as the rest of the
-    gate."""
+    and the next sweep would drop its staged rows (silent loss). All
+    pending bins are therefore written in ONE job into an
+    underscore-staging root (invisible to readers; overwrite — a
+    crashed half-write is rewritten whole on retry), then each bin's
+    ``group_id=K`` subdir is published with one ``os.rename``:
+    doneness detection (dir presence) is again exactly as coarse as
+    the commit unit, at any sub-file count, while the staging scan +
+    dedup + join is paid once per call, not per bin (a crash between
+    renames leaves a prefix of whole bins committed; the retry
+    rewrites only the remainder). On an object store the dir rename
+    becomes the same manifest commit a table format does; same
+    single-writer contract as the rest of the gate."""
     import os
+    import shutil
 
     from ..operators.layout import _split_map, _sub_col
 
-    if not group_ids:
+    os.makedirs(compacted_dir, exist_ok=True)
+    todo = sorted(
+        gid
+        for gid in (int(g) for g in group_ids)
+        if not os.path.isdir(os.path.join(compacted_dir, f"group_id={gid}"))
+    )
+    if not todo:
         return
     groups = F.broadcast(
-        _split_map(
-            plan.filter(F.col("group_id").isin([int(g) for g in group_ids]))
-        )
+        _split_map(plan.filter(F.col("group_id").isin(todo)))
     )
-    keyed = (
+    tmp_root = os.path.join(compacted_dir, "_staging_bins")
+    (
         staged.drop("batch_id")
         .withColumn("hour", F.expr(_HOUR_OR_SENTINEL))
         .join(groups, "hour")
         .withColumn("sub", _sub_col())
         .drop("hour", "n_splits")
+        .repartition("group_id", "sub")
+        .write.mode("overwrite")
+        .partitionBy("group_id", "sub")
+        .parquet(tmp_root)
     )
-    os.makedirs(compacted_dir, exist_ok=True)
-    for gid in sorted(int(g) for g in group_ids):
+    for gid in todo:
+        src = os.path.join(tmp_root, f"group_id={gid}")
         dest = os.path.join(compacted_dir, f"group_id={gid}")
-        if os.path.isdir(dest):
-            continue  # committed by a previous life — retry skips it
-        tmp = os.path.join(compacted_dir, f"_staging_bin_{gid}")
-        (
-            keyed.filter(F.col("group_id") == gid)
-            .drop("group_id")
-            .repartition("sub")
-            .write.mode("overwrite")
-            .partitionBy("sub")
-            .parquet(tmp)
-        )
-        os.rename(tmp, dest)  # the commit point: all-or-nothing
+        if not os.path.isdir(dest):
+            os.rename(src, dest)  # the commit point: all-or-nothing
+    shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 def run_compaction_stream(

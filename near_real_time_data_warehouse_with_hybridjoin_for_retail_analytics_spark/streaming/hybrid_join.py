@@ -446,6 +446,20 @@ def _reconcile_batch(marker: str, output_dir: str) -> None:
         if os.path.exists(os.path.join(staging, rel))
     ]
     if not staged_files:
+        # Residual window, accepted and LOUD: this state is also what
+        # an out-of-band deletion of still-staged files would leave,
+        # and the two are indistinguishable from here (OPTIMIZE
+        # preserves rows under new names; a deletion loses them). The
+        # single-writer contract already excludes tmp cleaners from
+        # _staging, so the benign reading stands — but say what was
+        # assumed, so a loss would at least be traceable.
+        print(
+            f"run_stream reconcile: marker {os.path.basename(marker)} "
+            f"has a debris-only staging dir — treating its "
+            f"{len(manifest['files'])} file(s) as moved in a previous "
+            "life (sink files may since have been rewritten by "
+            "OPTIMIZE); removing the staging dir"
+        )
         shutil.rmtree(staging, ignore_errors=True)
         return
     for rel in manifest["files"]:

@@ -443,8 +443,10 @@ def test_uncommitted_staging_is_overwritten_on_replay(
 
 
 def test_reconcile_tolerates_optimize_after_interrupted_cleanup(
-    spark, dims, workdir
+    spark, dims, workdir, stream_result
 ):
+    # stream_result is unused directly but creates workdir/'in' — the
+    # test must be runnable standalone (review finding, round 14)
     """Round-14 review finding: a crash between the last move and the
     staging rmtree leaves a debris-only staging dir; if OPTIMIZE
     (compact_parquet) then renames the sink files before restart, the
