@@ -435,24 +435,31 @@ def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Z-order execution (OPTIMIZE ZORDER itself, not just the envelope table)
 # ---------------------------------------------------------------------------
-# STAGED (round 14): kernel + pytest gates committed; the registry
-# entry is deferred to round 15 because the round-14 rotation window is
-# at exact capacity (tests/test_rotation.py budget — COVERAGE.md
-# "Round-15 projection"). Completes the plan→apply symmetry the
-# compaction pair already has: layout_zorder_events PLANS the layout
-# (envelope table from expressions); this executes the rewrite and
-# measures the envelopes from the files themselves.
+# Registered round 15 (staged round 14 for a rotation slot). Completes
+# the plan→apply symmetry the compaction pair already has:
+# layout_zorder_events PLANS the layout (envelope table from
+# expressions); this executes the rewrite and measures the envelopes
+# from the files themselves. Like compaction_apply, the EXECUTION path
+# is NULL-safe: a NULL ts or user_id keys on the -1 sentinel (so no row
+# lands in a Hive default partition and the inventory never groups
+# under NULL), while the planner entry keeps the plain expressions
+# under its documented non-null-corpus exemption. Pre-epoch timestamps
+# need no special-casing: Spark's integer DIV and DuckDB's bigint //
+# both truncate toward zero (pinned by the hostile-corpus test).
+
+# NULL-safe user key, mirroring _HOUR_OR_SENTINEL for the time dim.
+_USER_OR_SENTINEL = "coalesce(user_id, -1)"
 
 
 def _zorder_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + (u, t, file_bucket) — the same map-side Morton-key
     expressions the planner uses, over the full row (no projection:
-    the rewrite is bit-preserving)."""
+    the rewrite is bit-preserving). Sentinel keys keep NULL-dimension
+    rows inside a real bucket (-1 & MASK = MASK: the top z-range)."""
     ev = load_table(spark, sf_dir, "events")
-    hour_idx = F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
     keyed = ev.withColumn(
-        "u", F.col("user_id").bitwiseAND(F.lit(_MASK))
-    ).withColumn("t", hour_idx.bitwiseAND(F.lit(_MASK)))
+        "u", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_MASK))
+    ).withColumn("t", F.expr(_HOUR_OR_SENTINEL).bitwiseAND(F.lit(_MASK)))
     return keyed.withColumn(
         "file_bucket", F.shiftright(_z_col(), _BUCKET_SHIFT)
     ).drop("u", "t")
@@ -477,38 +484,6 @@ def zorder_apply_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
     )
 
 
-def zorder_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rewrite + POST-rewrite inventory measured from the files
-    themselves: per bucket, the physical file count
-    (``input_file_name`` distinct — not an assumption), row count and
-    both clustering-dimension envelopes. The staged oracle
-    (``_zorder_apply_sql``) states the contract: every planned bucket
-    became exactly ONE file with the planner's row count and
-    envelopes — so a future driver value-hash is a standing proof the
-    rewrite ran correctly, not a replay of the planner."""
-    dest = _zorder_dest(spark, sf_dir)
-    zorder_apply_events(spark, sf_dir, dest)
-    back = spark.read.parquet(dest)
-    hour_idx = F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
-    return (
-        back.select(
-            F.col("file_bucket").cast("long").alias("file_bucket"),
-            F.input_file_name().alias("file"),
-            "user_id",
-            hour_idx.alias("hour_idx"),
-        )
-        .groupBy("file_bucket")
-        .agg(
-            F.countDistinct("file").alias("n_files"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.min("user_id").alias("min_user"),
-            F.max("user_id").alias("max_user"),
-            F.min("hour_idx").alias("min_hour"),
-            F.max("hour_idx").alias("max_hour"),
-        )
-    )
-
-
 def _zorder_dest(spark: SparkSession, sf_dir: str) -> str:
     """Per-application rewrite destination (same race contract as
     ``_compact_dest``)."""
@@ -518,31 +493,71 @@ def _zorder_dest(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _zorder_apply_sql() -> str:
-    """Staged oracle for the round-15 ``layout_zorder_apply`` entry:
-    the planner's envelope SQL plus the physical one-file-per-bucket
-    contract (n_files literal 1, like compaction_apply's pre-split
-    form — buckets are z-ranges, never hot-hour-skewed, because the
-    bucket id takes the TOP 6 interleaved bits: a single hour spreads
-    across user-bit buckets)."""
+    """Oracle for the ``layout_zorder_apply`` entry: the planner's
+    envelope SQL — with the executor's sentinel keys, so NULL ts /
+    user_id rows are measured at -1 rather than skipped by MIN/MAX —
+    plus the physical one-file-per-bucket contract (n_files literal 1,
+    like compaction_apply's pre-split form — buckets are z-ranges,
+    never hot-hour-skewed, because the bucket id takes the TOP 6
+    interleaved bits: a single hour spreads across user-bit buckets).
+    Integer // in DuckDB truncates toward zero exactly like Spark's
+    DIV, so pre-epoch timestamps agree (hostile-corpus test)."""
     return f"""
     WITH keyed AS (
-      SELECT user_id,
-             epoch_us(ts) // {_US_PER_HOUR} AS hour_idx,
-             user_id & {_MASK} AS u,
-             (epoch_us(ts) // {_US_PER_HOUR}) & {_MASK} AS t
+      SELECT coalesce(user_id, -1) AS user_key,
+             coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) AS hour_idx,
+             coalesce(user_id, -1) & {_MASK} AS u,
+             coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) & {_MASK} AS t
       FROM events
     ),
     z AS (
-      SELECT user_id, hour_idx,
+      SELECT user_key, hour_idx,
              ({_z_terms_sql()}) >> {_BUCKET_SHIFT} AS file_bucket
       FROM keyed
     )
     SELECT CAST(file_bucket AS BIGINT) AS file_bucket,
            CAST(1 AS BIGINT) AS n_files,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(MIN(user_id) AS BIGINT) AS min_user,
-           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(MIN(user_key) AS BIGINT) AS min_user,
+           CAST(MAX(user_key) AS BIGINT) AS max_user,
            CAST(MIN(hour_idx) AS BIGINT) AS min_hour,
            CAST(MAX(hour_idx) AS BIGINT) AS max_hour
     FROM z GROUP BY 1
     """
+
+
+@query("layout_zorder_apply", _zorder_apply_sql())
+def zorder_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite + POST-rewrite inventory measured from the files
+    themselves: per bucket, the physical file count
+    (``input_file_name`` distinct — not an assumption), row count and
+    both clustering-dimension envelopes. The oracle
+    (``_zorder_apply_sql``) states the contract: every planned bucket
+    became exactly ONE file with the planner's row count and
+    envelopes — so the driver value-hash is a standing proof the
+    rewrite ran correctly, not a replay of the planner. 100 TB shape:
+    the z-key is a map-side integer expression; the rewrite pays the
+    one clustering shuffle any OPTIMIZE ZORDER pays; the inventory is
+    a groupBy over Z_FILES bounded groups."""
+    dest = _zorder_dest(spark, sf_dir)
+    zorder_apply_events(spark, sf_dir, dest)
+    back = spark.read.parquet(dest)
+    return (
+        back.select(
+            F.col("file_bucket").cast("long").alias("file_bucket"),
+            F.input_file_name().alias("file"),
+            # sentinels, matching the executor and the oracle: NULL
+            # user/ts rows are measured at -1, not skipped by MIN/MAX
+            F.expr(_USER_OR_SENTINEL).alias("user_key"),
+            F.expr(_HOUR_OR_SENTINEL).alias("hour_idx"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.countDistinct("file").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("user_key").alias("min_user"),
+            F.max("user_key").alias("max_user"),
+            F.min("hour_idx").alias("min_hour"),
+            F.max("hour_idx").alias("max_hour"),
+        )
+    )
