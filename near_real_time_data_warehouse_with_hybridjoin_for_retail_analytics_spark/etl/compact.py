@@ -51,7 +51,17 @@ def compact_parquet(
     file count. ``sort_within_by`` sorts rows inside each output file so
     parquet min/max statistics prune on those columns (e.g. date_id) —
     the zone-map layout a warehouse fact wants.
+
+    Pending batch markers are reconciled FIRST (completing any staged
+    moves and recording the moved flag): compacting a sink with a
+    committed-but-unmoved batch would miss its rows, and renaming the
+    files of a moved-but-unflagged batch would turn a benign crash
+    state into a false damage error (v2 reconcile contract,
+    streaming/hybrid_join.py).
     """
+    from ..streaming.hybrid_join import _reconcile_pending_batches
+
+    _reconcile_pending_batches(path)
     df = spark.read.parquet(path)
     n_files = max(1, _dir_bytes(path) // target_file_bytes)
     if sort_within_by:

@@ -89,6 +89,21 @@ def gc_stale_app_dirs(root: str, keep: str, max_age_s: int = 6 * 3600) -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def renew_lease(dest: str) -> None:
+    """Renew the GC lease on the app-scoped dir that owns ``dest``
+    (layout {root}/{app_id}/{sf_tag}/{leaf} — the app dir is two
+    levels up). ``app_scoped_dest`` renews at CALL time only, so a
+    single rewrite + read-back that outlives max_age_s could still be
+    swept mid-operation by a concurrent driver (round-14 advice);
+    write-side entries call this after the write completes, bounding
+    the unrenewed span to one phase instead of the whole operation."""
+    app_dir = os.path.dirname(os.path.dirname(dest))
+    try:
+        os.utime(app_dir)
+    except OSError:
+        pass
+
+
 def app_scoped_dest(spark, sf_dir: str, root: str, leaf: str) -> str:
     """Per-application rewrite destination {root}/{app_id}/{sf_tag}/
     {leaf} — the shared contract of every write-side entry

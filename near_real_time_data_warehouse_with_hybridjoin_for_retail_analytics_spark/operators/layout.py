@@ -333,6 +333,12 @@ def compact_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
         .partitionBy("group_id", "sub")
         .parquet(dest)
     )
+    # the write may have outlived most of the GC lease renewed at
+    # dest-derivation time; renew before the caller's read-back so the
+    # unrenewed span is one phase, not the whole operation
+    from .artifacts import renew_lease
+
+    renew_lease(dest)
 
 
 @query(
@@ -482,6 +488,10 @@ def zorder_apply_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
         .partitionBy("file_bucket")
         .parquet(dest)
     )
+    # renew the GC lease after the long write (see compact_events)
+    from .artifacts import renew_lease
+
+    renew_lease(dest)
 
 
 def _zorder_dest(spark: SparkSession, sf_dir: str) -> str:

@@ -256,8 +256,29 @@ def _write_bins(
     for gid in todo:
         src = os.path.join(tmp_root, f"group_id={gid}")
         dest = os.path.join(compacted_dir, f"group_id={gid}")
-        if not os.path.isdir(dest):
-            os.rename(src, dest)  # the commit point: all-or-nothing
+        if os.path.isdir(dest):
+            continue
+        if not os.path.isdir(src):
+            # A todo bin the write job produced no partition for:
+            # plan/staging drift, or a dest dir removed out-of-band
+            # after a sweep emptied its staged rows. A bare
+            # FileNotFoundError here would abort mid-publish with some
+            # bins already committed and no diagnosis (round-14
+            # advice) — name the bin and the committed-prefix state.
+            committed = [
+                g for g in todo
+                if os.path.isdir(os.path.join(compacted_dir, f"group_id={g}"))
+            ]
+            raise RuntimeError(
+                f"compaction publish: planned bin group_id={gid} "
+                f"produced no staged partition under {tmp_root} — "
+                "plan/staging drift or an out-of-band dest removal "
+                f"after its staging rows were swept. Bins already "
+                f"committed this publish: {committed}; remaining todo "
+                f"bins were NOT published. The staged root is kept for "
+                "forensics."
+            )
+        os.rename(src, dest)  # the commit point per bin: all-or-nothing
     shutil.rmtree(tmp_root, ignore_errors=True)
 
 

@@ -402,8 +402,57 @@ def _commit_manifest_marker(marker: str, staging: str) -> None:
             files.append(os.path.relpath(full, staging))
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"staging": os.path.basename(staging), "files": files}, fh)
+        # v2 (round 15): completion is recorded POSITIVELY — after the
+        # last move _reconcile_batch rewrites the marker with
+        # moved:true BEFORE removing the staging dir, so a debris-only
+        # staging dir without the flag is a provable crash state (all
+        # files must be in the sink), not an assumption, and an absent
+        # staging dir without the flag is provable out-of-band damage.
+        json.dump(
+            {"v": 2, "staging": os.path.basename(staging), "files": files},
+            fh,
+        )
     os.replace(tmp, marker)
+
+
+def _mark_moved(marker: str, manifest: dict) -> None:
+    """Record that every manifest file reached the sink — the positive
+    completion flag (tmp-write + os.replace, same idiom as the commit
+    itself). Written BEFORE the staging rmtree, so the protocol's
+    states are totally ordered: no-flag+staged = mid-move,
+    no-flag+debris-only = crash before this write (every file must be
+    verifiable in the sink), flag = done (staging dir is pure debris
+    whatever it holds)."""
+    import json
+
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({**manifest, "moved": True}, fh)
+    os.replace(tmp, marker)
+
+
+def _record_assumed_reconcile(output_dir: str, marker: str, n_files: int) -> None:
+    """Durable, reader-visible record of a LEGACY (v1) debris-only
+    reconcile — the one state where 'all moves completed in a previous
+    life' is assumed rather than proven (v2 markers prove it via the
+    moved flag or a sink-presence check). Appends to
+    ``_assumed_reconciles.json`` in the sink (underscore prefix:
+    invisible to parquet readers, carried across OPTIMIZE by
+    compact_parquet's bookkeeping copy), so an out-of-band deletion
+    would be traceable from the sink itself, not just a log line."""
+    import json
+
+    path = os.path.join(output_dir, "_assumed_reconciles.json")
+    try:
+        with open(path) as fh:
+            records = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        records = []
+    records.append({"marker": os.path.basename(marker), "files": n_files})
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(records, fh)
+    os.replace(tmp, path)
 
 
 def _reconcile_batch(marker: str, output_dir: str) -> None:
@@ -413,8 +462,23 @@ def _reconcile_batch(marker: str, output_dir: str) -> None:
     is moved; a manifest file found in NEITHER place is out-of-band
     damage and must propagate (treating it as done could silently drop
     committed rows). Legacy empty markers (pre-manifest commits, and
-    the JDBC sink's) have no manifest — nothing to reconcile."""
+    the JDBC sink's) have no manifest — nothing to reconcile.
+
+    v2 protocol (round 15, closes the round-14 advice ambiguity):
+    completion is recorded positively — ``_mark_moved`` rewrites the
+    marker with moved:true after the last move and BEFORE the staging
+    rmtree. A flagged marker is done regardless of staging debris; an
+    un-flagged v2 marker with a debris-only staging dir must have
+    every manifest file verifiable in the sink (the only benign crash
+    point is between the last move and the flag write, and OPTIMIZE
+    cannot have renamed the files in that window because
+    compact_parquet reconciles pending markers first); an un-flagged
+    v2 marker whose staging dir is GONE is out-of-band damage. Legacy
+    v1 markers keep the old benign readings, but the debris-only
+    assumption is now recorded durably in the sink
+    (``_record_assumed_reconcile``), not just printed."""
     import json
+    import shutil
 
     try:
         with open(marker) as fh:
@@ -422,44 +486,73 @@ def _reconcile_batch(marker: str, output_dir: str) -> None:
     except ValueError:
         return  # legacy empty marker: data was written before it
     staging = os.path.join(output_dir, "_staging", manifest["staging"])
-    if not os.path.isdir(staging):
-        # Staging is removed only AFTER every move completed, so an
-        # absent dir proves this batch fully reconciled in a previous
-        # life. Do NOT then require the manifest names to still exist
-        # in the sink: a later OPTIMIZE (etl.compact.compact_parquet)
-        # legitimately rewrites committed files under new names.
+    if manifest.get("moved"):
+        # Positively complete: anything left under staging is debris
+        # from a crash between the flag write and the rmtree.
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
         return
-    import shutil
-
-    # Same argument when the dir exists but holds none of the manifest
-    # files (a crash interrupted the post-move rmtree, leaving debris):
-    # every move completed, the rows are durable, and OPTIMIZE may
-    # since have renamed them — demanding the manifest names exist in
-    # the sink would be a FALSE damage error (round-14 review finding).
-    # Damage detection stays for the mid-move states, where each file
-    # sits in exactly one of staging/sink: a file still staged is
-    # moved; a file in NEITHER while siblings are still staged cannot
-    # be produced by any crash point of this protocol and must raise.
+    v2 = manifest.get("v", 1) >= 2
+    if not os.path.isdir(staging):
+        if v2:
+            # v2 removes staging only AFTER the flag write, so this
+            # state is unreachable by any crash point of the protocol.
+            raise RuntimeError(
+                f"committed batch {os.path.basename(marker)} has no "
+                "moved flag and no staging dir — the staging dir was "
+                "removed out-of-band before completion was recorded; "
+                "its rows may be missing from the sink. Recover from "
+                "the source (replay the batch's input with a fresh "
+                "checkpoint) or, if the rows are verified present, "
+                "rewrite the marker with moved:true."
+            )
+        # v1 removed staging only after every move completed — proof
+        # of completion under the old protocol.
+        return
     staged_files = [
         rel
         for rel in manifest["files"]
         if os.path.exists(os.path.join(staging, rel))
     ]
     if not staged_files:
-        # Residual window, accepted and LOUD: this state is also what
-        # an out-of-band deletion of still-staged files would leave,
-        # and the two are indistinguishable from here (OPTIMIZE
-        # preserves rows under new names; a deletion loses them). The
-        # single-writer contract already excludes tmp cleaners from
-        # _staging, so the benign reading stands — but say what was
-        # assumed, so a loss would at least be traceable.
-        print(
-            f"run_stream reconcile: marker {os.path.basename(marker)} "
-            f"has a debris-only staging dir — treating its "
-            f"{len(manifest['files'])} file(s) as moved in a previous "
-            "life (sink files may since have been rewritten by "
-            "OPTIMIZE); removing the staging dir"
-        )
+        # Debris-only staging dir: a crash interrupted the flag write
+        # or the rmtree after all moves completed.
+        in_sink = [
+            rel
+            for rel in manifest["files"]
+            if os.path.exists(os.path.join(output_dir, rel))
+        ]
+        missing = [r for r in manifest["files"] if r not in set(in_sink)]
+        if v2 and missing:
+            # Under v2 every benign crash leaves all files in the sink
+            # (OPTIMIZE reconciles-then-flags before renaming), so a
+            # missing file here is an out-of-band deletion of
+            # committed rows — the exact loss the round-14 advice said
+            # must not hide behind a print.
+            raise RuntimeError(
+                f"committed batch {os.path.basename(marker)}: "
+                f"{len(missing)} manifest file(s) missing from both "
+                f"staging and sink (e.g. {missing[0]}) — out-of-band "
+                "damage, refusing to continue"
+            )
+        if missing:
+            # v1 only: OPTIMIZE may legitimately have renamed the
+            # files under the old protocol, which is indistinguishable
+            # from a deletion here. Keep the benign reading (the
+            # single-writer contract excludes tmp cleaners from
+            # _staging) but record it durably in the sink.
+            print(
+                f"run_stream reconcile: legacy marker "
+                f"{os.path.basename(marker)} has a debris-only staging "
+                f"dir — treating its {len(manifest['files'])} file(s) "
+                "as moved in a previous life (sink files may since "
+                "have been rewritten by OPTIMIZE); recording the "
+                "assumption in _assumed_reconciles.json"
+            )
+            _record_assumed_reconcile(
+                output_dir, marker, len(manifest["files"])
+            )
+        _mark_moved(marker, manifest)
         shutil.rmtree(staging, ignore_errors=True)
         return
     for rel in manifest["files"]:
@@ -474,6 +567,7 @@ def _reconcile_batch(marker: str, output_dir: str) -> None:
                 f"sink: {rel} (marker {os.path.basename(marker)}) — "
                 "out-of-band damage, refusing to continue"
             )
+    _mark_moved(marker, manifest)
     shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -522,10 +616,17 @@ def _is_missing_table_error(exc: Exception, table: str) -> bool:
     engine's quoting (Postgres: relation "t"; Derby: 'T'). SQLStates
     are checked FIRST and alone suffice — they are locale-independent
     (a German-locale Postgres says 'Relation »t« existiert nicht' with
-    the same 42P01) and cannot over-match; the phrase+token form is
-    the fallback for drivers that drop the state from the message."""
+    the same 42P01); the phrase+token form is
+    the fallback for drivers that drop the state from the message.
+    The SQLState match is ANCHORED to an explicit SQLState label
+    (round-14 advice): JDBC exception text embeds the failed SQL and
+    driver context, so a bare '42P01' substring could come from quoted
+    query text or an identifier and misclassify an unrelated failure
+    as first-run — returning offset 0 over a populated table."""
+    import re
+
     msg = str(exc)
-    if "42P01" in msg or "42X05" in msg or "42Y55" in msg:
+    if re.search(r"(?i)\bsqlstate\b\s*[:=]?\s*'?(42P01|42X05|42Y55)\b", msg):
         return True
     low = msg.lower()
     if not ("does not exist" in low or "not found" in low):

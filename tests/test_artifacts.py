@@ -148,3 +148,27 @@ def test_multimodal_components_artifact_roundtrip(spark, sf_dir):
     served = labels()  # warm store: pure parquet read
     assert inline == built == served
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_renew_lease_touches_app_dir(tmp_path):
+    """renew_lease renews the GC lease on the app-scoped dir two
+    levels above the dest (round-14 advice: a write outliving
+    max_age_s could be swept mid-operation — write-side entries renew
+    after the write, not only at dest-derivation time)."""
+    import os
+    import time
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.artifacts import (
+        renew_lease,
+    )
+
+    app = tmp_path / "app-123"
+    dest = app / "sf0.01" / "events"
+    dest.mkdir(parents=True)
+    past = time.time() - 10_000
+    os.utime(app, (past, past))
+    assert time.time() - os.path.getmtime(app) > 9_000
+    renew_lease(str(dest))
+    assert time.time() - os.path.getmtime(app) < 60
+    # nonexistent dest parent: silently tolerated (best-effort beacon)
+    renew_lease(str(tmp_path / "nope" / "x" / "y"))

@@ -357,6 +357,16 @@ def test_crash_between_commit_and_moves_is_reconciled(
         assert src.exists(), "committed file must be in the sink"
         (staging / rel).parent.mkdir(parents=True, exist_ok=True)
         os.rename(src, staging / rel)
+    # faithful crash state: the moved flag is written only AFTER the
+    # moves, so the pre-move crash leaves the marker without it
+    marker_path = next(
+        p for p in out.iterdir()
+        if p.name.startswith("_batch_") and p.name.endswith("_committed")
+        and p.read_text() and json.loads(p.read_text()).get("staging")
+        == chosen["staging"]
+    )
+    unmoved = {k: v for k, v in chosen.items() if k != "moved"}
+    marker_path.write_text(json.dumps(unmoved))
 
     q = hj.run_stream(
         spark,

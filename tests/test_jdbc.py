@@ -236,3 +236,14 @@ def test_missing_table_classifier_both_engines():
     assert not miss(
         Exception('ERROR: relation "other_table" does not exist'), t)
     assert not miss(Exception("connection refused"), t)
+    # anchored SQLState (advice, round 14): a bare state code inside
+    # quoted SQL text or an identifier must NOT classify as first-run
+    assert not miss(
+        Exception("ERROR: syntax error in "
+                  "SELECT * FROM log WHERE code = '42P01' ORDER BY 1"), t)
+    assert not miss(
+        Exception('ERROR: column "sqlstate_42X05_flag" does not exist'), t)
+    # but labeled forms in common layouts still classify
+    assert miss(Exception("... [SQLState: 42P01] ..."), t)
+    assert miss(Exception("ERRORCODE=-204, SQLSTATE=42P01, ..."), t)
+    assert miss(Exception("SQLState '42X05': table missing"), t)

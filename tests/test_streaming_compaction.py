@@ -480,3 +480,42 @@ def test_partial_split_bin_write_is_retried_not_lost(spark, tmp_path):
     # a leftover _staging_bin_* dir is invisible debris (underscore
     # prefix) — the retried write overwrote it before the rename, so
     # whether the rename consumed it or not, no reader ever sees it
+
+
+def test_publish_missing_staged_bin_raises_named_error(spark, tmp_path):
+    """Round-14 advice (_write_bins:260): if a todo gid yields no
+    group_id=K partition from the write job (plan/staging drift, or a
+    dest removed out-of-band after its staged rows were swept), the
+    publish loop must fail with a protocol error NAMING the bin and
+    the committed-prefix state — not a bare FileNotFoundError after
+    some bins already committed."""
+    import datetime as dt
+
+    import pytest
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), i % 7,
+         "view", 0.0, "{}")
+        for i in range(20)
+    ]
+    staged = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("batch_id", F.lit(0))
+    hour0 = int(dt.datetime(2024, 1, 1,
+                            tzinfo=dt.timezone.utc).timestamp()) // 3600
+    plan = spark.createDataFrame(
+        [(hour0, 20, 0), (hour0 + 99, 50, 5)],
+        "hour long, n_rows long, group_id long",
+    )
+    out = str(tmp_path / "compacted")
+    # todo includes group 5, whose hour has NO staged rows → the write
+    # job emits no group_id=5 partition
+    with pytest.raises(RuntimeError, match=r"group_id=5") as ei:
+        compaction_stream._write_bins(staged, plan, [0, 5], out)
+    assert "committed this publish" in str(ei.value)
+    # the committed prefix is explicit and intact: bin 0 published
+    assert os.path.isdir(os.path.join(out, "group_id=0"))
+    # staged root kept for forensics
+    assert os.path.isdir(os.path.join(out, "_staging_bins"))
