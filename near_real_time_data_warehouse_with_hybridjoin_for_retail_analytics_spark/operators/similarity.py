@@ -3062,6 +3062,12 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("cluster")
         .parquet(dest)
     )
+    # renew the GC lease after the long write so the unrenewed span is
+    # one phase, not the whole write+read-back (round-14 advice; same
+    # fix as layout.compact_events / zorder_apply_events)
+    from .artifacts import renew_lease
+
+    renew_lease(dest)
     back = spark.read.parquet(dest)
     return (
         back.select(
