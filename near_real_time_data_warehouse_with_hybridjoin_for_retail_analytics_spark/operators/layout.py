@@ -571,3 +571,120 @@ def zorder_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hour_idx").alias("max_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 3-key z-order (multi-column OPTIMIZE ZORDER BY, staged for round 16)
+# ---------------------------------------------------------------------------
+# STAGED (round 15): kernel + oracle builder + pytest gates committed;
+# the registry entry is deferred because the round-15 rotation window
+# is at exact capacity (COVERAGE.md round-15 spend). Extends the
+# 2-key layout to the three-column clustering Delta/Iceberg's
+# OPTIMIZE ZORDER BY (a, b, c) supports: interleave Z3_BITS bits of
+# (user, hour, floor(value)) — value quantized to its integer part,
+# the natural zone-map unit for a measure column — so every file
+# bucket is narrow in ALL THREE dimensions at once and a predicate on
+# any one of them prunes most buckets. Same 100 TB shape as the 2-key
+# form: the z3 key is a map-side integer expression, the production
+# write is one repartitionByRange(z3), and the envelope table is a
+# groupBy over Z3_FILES bounded groups.
+
+Z3_BITS = 10  # bits interleaved per dimension → 30-bit z-space
+Z3_FILES = 64  # bucket = z3 >> (3·Z3_BITS − 6): top two bits per dim
+_MASK3 = (1 << Z3_BITS) - 1
+_BUCKET3_SHIFT = 3 * Z3_BITS - 6
+
+
+def _z3_terms_sql() -> str:
+    """DuckDB expression interleaving u (bits 3i), t (3i+1), v (3i+2)."""
+    terms = []
+    for i in range(Z3_BITS):
+        terms.append(f"(((u >> {i}) & 1) << {3 * i})")
+        terms.append(f"(((t >> {i}) & 1) << {3 * i + 1})")
+        terms.append(f"(((v >> {i}) & 1) << {3 * i + 2})")
+    return " + ".join(terms)
+
+
+def _z3_col() -> F.Column:
+    """Spark column interleaving u (bits 3i), t (3i+1), v (3i+2)."""
+    z = F.lit(0).cast("long")
+    for i in range(Z3_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(F.col("u"), i).bitwiseAND(F.lit(1)), 3 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(F.col("t"), i).bitwiseAND(F.lit(1)), 3 * i + 1
+        )
+        z = z + F.shiftleft(
+            F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)), 3 * i + 2
+        )
+    return z
+
+
+def _zorder3_sql() -> str:
+    """Staged oracle for the round-16 ``layout_zorder3_events`` entry:
+    the 3-dimension envelope table. Integer-only arithmetic after the
+    one CAST(floor(value) AS BIGINT) — identical in both engines
+    (DuckDB floor() returns DOUBLE, hence the cast; Spark floor()
+    already returns LONG)."""
+    return f"""
+    WITH keyed AS (
+      SELECT user_id,
+             epoch_us(ts) // {_US_PER_HOUR} AS hour_idx,
+             CAST(floor(value) AS BIGINT) AS value_floor,
+             user_id & {_MASK3} AS u,
+             (epoch_us(ts) // {_US_PER_HOUR}) & {_MASK3} AS t,
+             CAST(floor(value) AS BIGINT) & {_MASK3} AS v
+      FROM events
+    ),
+    z AS (
+      SELECT user_id, hour_idx, value_floor,
+             ({_z3_terms_sql()}) >> {_BUCKET3_SHIFT} AS file_bucket
+      FROM keyed
+    )
+    SELECT CAST(file_bucket AS BIGINT) AS file_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(MIN(hour_idx) AS BIGINT) AS min_hour,
+           CAST(MAX(hour_idx) AS BIGINT) AS max_hour,
+           CAST(MIN(value_floor) AS BIGINT) AS min_vf,
+           CAST(MAX(value_floor) AS BIGINT) AS max_vf
+    FROM z GROUP BY 1
+    """
+
+
+def layout_zorder3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map envelope table of a 3-key z-ordered events layout: per
+    file bucket (z3-range), the row count and the min/max of ALL THREE
+    clustering dimensions (user, hour, floor(value)). The demonstrable
+    property (pytest): the top 6 z3 bits fix the top two bits of every
+    dimension, so each bucket confines each masked dimension to one
+    aligned 2^{Z3_BITS-2} block — a predicate on ANY single dimension
+    prunes ~3/4 of buckets. Staged for round 16 (see module note)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
+    vf = F.floor(F.col("value")).cast("long")
+    keyed = ev.select(
+        "user_id",
+        hour_idx.alias("hour_idx"),
+        vf.alias("value_floor"),
+        F.col("user_id").bitwiseAND(F.lit(_MASK3)).alias("u"),
+        hour_idx.bitwiseAND(F.lit(_MASK3)).alias("t"),
+        vf.bitwiseAND(F.lit(_MASK3)).alias("v"),
+    )
+    z = keyed.select(
+        "user_id",
+        "hour_idx",
+        "value_floor",
+        F.shiftright(_z3_col(), _BUCKET3_SHIFT).alias("file_bucket"),
+    )
+    return z.groupBy("file_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("hour_idx").alias("min_hour"),
+        F.max("hour_idx").alias("max_hour"),
+        F.min("value_floor").alias("min_vf"),
+        F.max("value_floor").alias("max_vf"),
+    )

@@ -259,3 +259,67 @@ def test_optimize_reconciles_unflagged_markers_first(spark, tmp_path):
     assert json.loads((out / "_batch_0_committed").read_text())["moved"] is True
     hj._reconcile_pending_batches(str(out))
     assert spark.read.parquet(str(out)).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# 3-key z-order (staged for round-16 registration; verdict item 6)
+# ---------------------------------------------------------------------------
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    layout,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_zorder3_staged_oracle_matches_kernel(spark):
+    """Dry-run of the exact comparison the round-16 driver row will
+    make: the staged DuckDB oracle vs the Spark kernel, value-exact."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF01}/events.parquet')"
+    )
+    want = sorted(
+        tuple(int(v) for v in r)
+        for r in con.execute(layout._zorder3_sql()).fetchall()
+    )
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in layout.layout_zorder3_events(spark, SF01).collect()
+    )
+    assert got == want
+    assert len(got) > 1
+
+
+def test_zorder3_buckets_confine_all_three_dimensions(spark):
+    """The pruning property: each bucket's MASKED envelope in each of
+    the three dimensions sits inside one aligned 2^(Z3_BITS-2) block —
+    the top two bits per dimension are fixed by the bucket id, so a
+    point predicate on ANY single dimension prunes ~3/4 of buckets."""
+    block = 1 << (layout.Z3_BITS - 2)
+    mask = layout._MASK3
+    rows = layout.layout_zorder3_events(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        for lo, hi in (
+            (r["min_user"], r["max_user"]),
+            (r["min_hour"], r["max_hour"]),
+            (r["min_vf"], r["max_vf"]),
+        ):
+            mlo, mhi = lo & mask, hi & mask
+            # masked envelope is an interval iff the unmasked range
+            # doesn't wrap the mask period; testdata dims don't wrap
+            # within a bucket (hour spans << 2^10, user/value bounded)
+            assert mlo // block == mhi // block, r
+
+
+def test_zorder3_row_conservation(spark):
+    rows = layout.layout_zorder3_events(spark, SF01).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF01}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_events"] for r in rows) == n
