@@ -688,3 +688,113 @@ def layout_zorder3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value_floor").alias("min_vf"),
         F.max("value_floor").alias("max_vf"),
     )
+
+
+# NULL/NaN-safe value key for the 3-key EXECUTION path: a measure
+# column can hold NULL, NaN, or ±Inf (none of which Spark's long cast
+# and DuckDB's BIGINT cast agree on — DuckDB errors on NaN/Inf casts),
+# so all of them key on the -1 sentinel. |value| ≥ 2^62 also takes the
+# sentinel: past there floor()'s double result is not exactly
+# representable and the two engines could round differently.
+_VALUE_FLOOR_OR_SENTINEL = (
+    "CASE WHEN value IS NULL OR isnan(value) "
+    "OR value >= 4611686018427387904.0 OR value <= -4611686018427387904.0 "
+    "THEN CAST(-1 AS BIGINT) ELSE CAST(floor(value) AS BIGINT) END"
+)
+
+
+def _zorder3_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + (u, t, v, file_bucket) — the 3-key executor's map-side
+    Morton expressions over the full row (bit-preserving rewrite).
+    Sentinel keys for every dimension, like the 2-key executor."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = (
+        ev.withColumn("u", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_MASK3)))
+        .withColumn("t", F.expr(_HOUR_OR_SENTINEL).bitwiseAND(F.lit(_MASK3)))
+        .withColumn(
+            "v", F.expr(_VALUE_FLOOR_OR_SENTINEL).bitwiseAND(F.lit(_MASK3))
+        )
+    )
+    return keyed.withColumn(
+        "file_bucket", F.shiftright(_z3_col(), _BUCKET3_SHIFT)
+    ).drop("u", "t", "v")
+
+
+def zorder3_apply_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Execute the 3-key z-order layout: one parquet file per z3-range
+    bucket under ``dest`` (idempotent overwrite). Same cost shape as
+    the 2-key executor: map-side key, one clustering repartition,
+    partitionBy write."""
+    (
+        _zorder3_keyed(spark, sf_dir)
+        .repartition("file_bucket")
+        .write.mode("overwrite")
+        .partitionBy("file_bucket")
+        .parquet(dest)
+    )
+    from .artifacts import renew_lease
+
+    renew_lease(dest)
+
+
+def _zorder3_apply_sql() -> str:
+    """Staged oracle for the round-16 ``layout_zorder3_apply`` entry:
+    the 3-dimension envelope table with the executor's sentinel keys
+    plus the physical one-file-per-bucket contract."""
+    return f"""
+    WITH keyed AS (
+      SELECT coalesce(user_id, -1) AS user_key,
+             coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) AS hour_idx,
+             ({_VALUE_FLOOR_OR_SENTINEL}) AS value_floor,
+             coalesce(user_id, -1) & {_MASK3} AS u,
+             coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) & {_MASK3} AS t,
+             ({_VALUE_FLOOR_OR_SENTINEL}) & {_MASK3} AS v
+      FROM events
+    ),
+    z AS (
+      SELECT user_key, hour_idx, value_floor,
+             ({_z3_terms_sql()}) >> {_BUCKET3_SHIFT} AS file_bucket
+      FROM keyed
+    )
+    SELECT CAST(file_bucket AS BIGINT) AS file_bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_key) AS BIGINT) AS min_user,
+           CAST(MAX(user_key) AS BIGINT) AS max_user,
+           CAST(MIN(hour_idx) AS BIGINT) AS min_hour,
+           CAST(MAX(hour_idx) AS BIGINT) AS max_hour,
+           CAST(MIN(value_floor) AS BIGINT) AS min_vf,
+           CAST(MAX(value_floor) AS BIGINT) AS max_vf
+    FROM z GROUP BY 1
+    """
+
+
+def zorder3_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite + POST-rewrite inventory measured from the files (same
+    proof pattern as ``zorder_apply_inventory``, one more dimension).
+    Staged for round 16; see the module staging note."""
+    from .artifacts import app_scoped_dest
+
+    dest = app_scoped_dest(spark, sf_dir, "/tmp/sparkgraft_zorder3", "events")
+    zorder3_apply_events(spark, sf_dir, dest)
+    back = spark.read.parquet(dest)
+    return (
+        back.select(
+            F.col("file_bucket").cast("long").alias("file_bucket"),
+            F.input_file_name().alias("file"),
+            F.expr(_USER_OR_SENTINEL).alias("user_key"),
+            F.expr(_HOUR_OR_SENTINEL).alias("hour_idx"),
+            F.expr(_VALUE_FLOOR_OR_SENTINEL).alias("value_floor"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.countDistinct("file").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("user_key").alias("min_user"),
+            F.max("user_key").alias("max_user"),
+            F.min("hour_idx").alias("min_hour"),
+            F.max("hour_idx").alias("max_hour"),
+            F.min("value_floor").alias("min_vf"),
+            F.max("value_floor").alias("max_vf"),
+        )
+    )

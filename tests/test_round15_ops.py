@@ -323,3 +323,86 @@ def test_zorder3_row_conservation(spark):
         f"SELECT count(*) FROM read_parquet('{SF01}/events.parquet')"
     ).fetchone()[0]
     assert sum(r["n_events"] for r in rows) == n
+
+
+def _hostile_events3(spark, tmp_path):
+    """The zorder3 hazards: everything in _hostile_events plus NaN,
+    ±Inf, huge, negative, and NULL values."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(120):
+        rows.append(
+            (i, base + dt.timedelta(hours=i % 4, seconds=i), i % 97,
+             "view", float(i % 11) * 7.3, "{}")
+        )
+    hostile_vals = [
+        float("nan"), float("inf"), float("-inf"), 1e300, -1e300,
+        9.3e18, -9.3e18, -42.7, None, 0.0,
+    ]
+    for j, v in enumerate(hostile_vals):
+        rows.append((200 + j, base, 5, "view", v, "{}"))
+    rows.append((300, None, None, "view", 1.0, "{}"))  # NULL ts + user
+    rows.append((301, dt.datetime(1969, 6, 1, 1, 2, 3), 6, "view", 2.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "hostile3")
+    df.coalesce(2).write.mode("overwrite").parquet(f"{src}/events.parquet")
+    return src
+
+
+def test_zorder3_apply_staged_oracle_matches_hostile_corpus(spark, tmp_path):
+    """Dry-run of the future driver comparison on a corpus with every
+    value-column pathology: NULL/NaN/±Inf/huge values key on the -1
+    sentinel identically in both engines."""
+    import duckdb
+
+    src = _hostile_events3(spark, tmp_path)
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in layout.zorder3_apply_inventory(spark, src).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{src}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(int(v) for v in r)
+        for r in con.execute(layout._zorder3_apply_sql()).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder3_apply_preserves_rows_and_one_file_per_bucket(spark, tmp_path):
+    src = _hostile_events3(spark, tmp_path)
+    inv = layout.zorder3_apply_inventory(spark, src).collect()
+    n_in = spark.read.parquet(f"{src}/events.parquet").count()
+    assert sum(r["n_events"] for r in inv) == n_in
+    assert all(r["n_files"] == 1 for r in inv)
+
+
+def test_zorder3_apply_matches_clean_corpus_oracle(spark):
+    """On the driver testdata the staged oracle must also agree — the
+    sentinel expressions are no-ops over a clean corpus except for the
+    shared floor quantization."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF01}/events.parquet')"
+    )
+    want = sorted(
+        tuple(int(v) for v in r)
+        for r in con.execute(layout._zorder3_apply_sql()).fetchall()
+    )
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in layout.zorder3_apply_inventory(spark, SF01).collect()
+    )
+    assert got == want

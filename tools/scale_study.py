@@ -97,6 +97,13 @@ ENTRIES = [
     # linear-in-the-increment by construction; measure it.
     "dedup_embedding_incremental",
     "dedup_phash_incremental",
+    # round-15 additions: the z-order EXECUTOR (one clustering shuffle
+    # + rewrite + bounded inventory → expect e ≈ 1 data-bound with a
+    # job-overhead floor, like layout_compaction_apply) and the
+    # JPEG-path banded image near-dup registered r14 (decode-kernel
+    # bound, e ≈ 1).
+    "layout_zorder_apply",
+    "dedup_phash_jpeg",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
