@@ -360,10 +360,10 @@ def test_crash_between_commit_and_moves_is_reconciled(
     # faithful crash state: the moved flag is written only AFTER the
     # moves, so the pre-move crash leaves the marker without it
     marker_path = next(
-        p for p in out.iterdir()
+        p for p in sorted(out.iterdir())
         if p.name.startswith("_batch_") and p.name.endswith("_committed")
-        and p.read_text() and json.loads(p.read_text()).get("staging")
-        == chosen["staging"]
+        and p.read_text().strip()
+        and json.loads(p.read_text()).get("staging") == chosen["staging"]
     )
     unmoved = {k: v for k, v in chosen.items() if k != "moved"}
     marker_path.write_text(json.dumps(unmoved))
