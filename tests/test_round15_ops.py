@@ -406,3 +406,102 @@ def test_zorder3_apply_matches_clean_corpus_oracle(spark):
         for r in layout.zorder3_apply_inventory(spark, SF01).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Crash-injection sweep over the v2 commit protocol: after a crash at
+# ANY operation boundary (including crashes during a first recovery),
+# reconcile converges to all-files-in-sink-exactly-once with the moved
+# flag set — no loss, no duplicate, no false damage error.
+# ---------------------------------------------------------------------------
+
+
+class _CrashNow(Exception):
+    pass
+
+
+def _protocol_ops(out, staging, marker, files):
+    """The post-commit operation sequence as thunks: N moves, flag
+    write, staging rmtree (exactly _reconcile_batch's happy path)."""
+    import shutil
+
+    def mover(rel):
+        def _m():
+            src, dst = staging / rel, out / rel
+            if src.exists():
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                os.replace(src, dst)
+        return _m
+
+    def flag():
+        man = json.loads(marker.read_text())
+        man["moved"] = True
+        tmp = str(marker) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, str(marker))
+
+    def clean():
+        shutil.rmtree(staging, ignore_errors=True)
+
+    return [mover(r) for r in files] + [flag, clean]
+
+
+def _fresh_committed_state(tmp_path, tag, files):
+    out = tmp_path / f"sink_{tag}"
+    staging = out / "_staging" / "batch_0"
+    staging.mkdir(parents=True)
+    (staging / "_SUCCESS").write_bytes(b"")
+    for rel in files:
+        p = staging / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(rel.encode())
+    marker = out / "_batch_0_committed"
+    marker.write_text(
+        json.dumps({"v": 2, "staging": "batch_0", "files": files})
+    )
+    return out, staging, marker
+
+
+def _assert_converged(out, staging, marker, files):
+    assert json.loads(marker.read_text())["moved"] is True
+    assert not staging.exists()
+    for rel in files:
+        assert (out / rel).read_bytes() == rel.encode(), rel
+    assert not (out / "_assumed_reconciles.json").exists()
+
+
+def test_v2_protocol_converges_from_every_crash_point(tmp_path):
+    files = ["a.parquet", "sub/b.parquet", "c.parquet"]
+    n_ops = len(files) + 2
+    for crash_after in range(n_ops + 1):
+        out, staging, marker = _fresh_committed_state(
+            tmp_path, f"k{crash_after}", files
+        )
+        for op in _protocol_ops(out, staging, marker, files)[:crash_after]:
+            op()
+        hj._reconcile_pending_batches(str(out))
+        _assert_converged(out, staging, marker, files)
+
+
+def test_v2_protocol_converges_from_double_crash(tmp_path):
+    """Crash mid-protocol, then crash AGAIN mid-recovery (recovery
+    replays the same op sequence), then recover fully."""
+    files = ["a.parquet", "sub/b.parquet", "c.parquet"]
+    n_ops = len(files) + 2
+    case = 0
+    for first in range(n_ops):
+        for second in range(n_ops + 1):
+            out, staging, marker = _fresh_committed_state(
+                tmp_path, f"d{case}", files
+            )
+            case += 1
+            for op in _protocol_ops(out, staging, marker, files)[:first]:
+                op()
+            # recovery attempt that itself crashes after `second` ops:
+            # replay the remaining protocol ops, which is exactly what
+            # _reconcile_batch does (moves are skip-if-absent)
+            for op in _protocol_ops(out, staging, marker, files)[:second]:
+                op()
+            hj._reconcile_pending_batches(str(out))
+            _assert_converged(out, staging, marker, files)
