@@ -798,3 +798,160 @@ def zorder3_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value_floor").alias("max_vf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout (staged for round 16, like the 3-key Morton)
+# ---------------------------------------------------------------------------
+# The locality upgrade over Morton that Delta's OPTIMIZE gained in
+# 2023 (Databricks liquid clustering) and Iceberg supports via its
+# zorder/hilbert sort strategies: the Hilbert space-filling curve has
+# the SAME aligned-block confinement guarantee as Morton (the top 2k
+# bits of d name one level-k cell — an axis-aligned 2^(HB_BITS-k)
+# square), PLUS unit-step continuity: consecutive curve positions are
+# grid-adjacent, so consecutive FILE BUCKETS are adjacent squares and
+# a range scan over bucket ids walks a connected region. Morton lacks
+# that (at 64 buckets, 31 of 63 consecutive Morton pairs jump —
+# measured in tests): a bucket-range read seeks across the grid.
+#
+# Engine parity by construction: the per-iteration transform of the
+# standard xy2d loop (rx/ry quadrant bits → d += s²·((3rx)^ry) →
+# conditional flip+swap) is emitted ONCE as SQL text fragments shared
+# verbatim by the Spark executor (chained selectExpr stages) and the
+# DuckDB oracle (chained CTEs), so the two engines evaluate literally
+# identical expressions. rx/ry materialize as named per-stage columns
+# — Catalyst's projection collapse cannot exponentially duplicate the
+# (x, y) dependency chain because each stage's outputs are referenced
+# by name, and DuckDB sees the same linear chain of CTEs.
+#
+# 100 TB shape: identical to the Morton planner — the key is
+# HB_BITS map-side integer stages (no shuffle, no UDF), the
+# production write is one repartitionByRange(h), and the envelope
+# table is a groupBy over HB_FILES bounded groups.
+
+HB_BITS = 16  # bits per dimension → 32-bit Hilbert index
+HB_FILES = 64  # bucket = d >> (2·HB_BITS − 6): one level-3 cell each
+_HB_MASK = (1 << HB_BITS) - 1
+_HB_BUCKET_SHIFT = 2 * HB_BITS - 6
+
+
+def _hilbert_stage_sql(s: int) -> tuple[str, str, str, str, str]:
+    """The five expression fragments of one xy2d iteration at step
+    ``s`` — shared verbatim by both engines (see module note)."""
+    rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+    ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+    dn = f"d + {s * s} * (CASE WHEN rx = 1 THEN 3 - ry ELSE ry END)"
+    xn = (
+        "CASE WHEN ry = 0 THEN "
+        f"(CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END) ELSE x END"
+    )
+    yn = (
+        "CASE WHEN ry = 0 THEN "
+        f"(CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END) ELSE y END"
+    )
+    return rx, ry, dn, xn, yn
+
+
+def _hilbert_steps() -> list[int]:
+    return [1 << i for i in range(HB_BITS - 1, -1, -1)]
+
+
+def _hilbert_sql() -> str:
+    """Staged oracle for the round-16 ``layout_hilbert_events`` entry:
+    the xy2d loop as a linear chain of CTEs, then the envelope table."""
+    ctes = [
+        f"""h0 AS (
+      SELECT user_id,
+             epoch_us(ts) // {_US_PER_HOUR} AS hour_idx,
+             user_id & {_HB_MASK} AS x,
+             (epoch_us(ts) // {_US_PER_HOUR}) & {_HB_MASK} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM events
+    )"""
+    ]
+    for i, s in enumerate(_hilbert_steps()):
+        rx, ry, dn, xn, yn = _hilbert_stage_sql(s)
+        ctes.append(
+            f"""h{i}a AS (
+      SELECT user_id, hour_idx, x, y, d, {rx} AS rx, {ry} AS ry FROM h{i}
+    )"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (
+      SELECT user_id, hour_idx, {xn} AS x, {yn} AS y, {dn} AS d FROM h{i}a
+    )"""
+        )
+    n = HB_BITS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(d >> {_HB_BUCKET_SHIFT} AS BIGINT) AS file_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(MIN(hour_idx) AS BIGINT) AS min_hour,
+           CAST(MAX(hour_idx) AS BIGINT) AS max_hour
+    FROM h{n} GROUP BY 1
+    """
+    )
+
+
+def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map envelope table of a Hilbert-clustered events layout:
+    per file bucket (one level-3 Hilbert cell), the row count and the
+    min/max of both clustering dimensions. Staged for round 16; the
+    module note has the locality argument (confinement like Morton,
+    plus consecutive buckets are adjacent squares — both pytest-proven
+    exhaustively on a 32×32 grid and on the corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}")
+    df = ev.select(
+        "user_id",
+        hour_idx.alias("hour_idx"),
+        F.col("user_id").bitwiseAND(F.lit(_HB_MASK)).alias("x"),
+        hour_idx.bitwiseAND(F.lit(_HB_MASK)).alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for s in _hilbert_steps():
+        rx, ry, dn, xn, yn = _hilbert_stage_sql(s)
+        df = df.selectExpr(
+            "user_id", "hour_idx", "x", "y", "d",
+            f"{rx} AS rx", f"{ry} AS ry",
+        ).selectExpr(
+            "user_id", "hour_idx",
+            f"{xn} AS x", f"{yn} AS y", f"{dn} AS d",
+        )
+    return (
+        df.select(
+            "user_id",
+            "hour_idx",
+            F.shiftright(F.col("d"), _HB_BUCKET_SHIFT).alias("file_bucket"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("hour_idx").alias("min_hour"),
+            F.max("hour_idx").alias("max_hour"),
+        )
+    )
+
+
+def hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Reference xy2d (plain Python) — the ground truth the SQL
+    fragments are tested against, exhaustively on small grids."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d

@@ -505,3 +505,127 @@ def test_v2_protocol_converges_from_double_crash(tmp_path):
                 op()
             hj._reconcile_pending_batches(str(out))
             _assert_converged(out, staging, marker, files)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert layout (staged for round 16)
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_python_reference_is_a_hilbert_curve():
+    """Exhaustive ground-truth check on grids up to 32x32: bijective
+    and unit-step adjacent — the defining Hilbert properties."""
+    for n in (2, 4, 8, 16, 32):
+        seen = {}
+        for x in range(n):
+            for y in range(n):
+                seen[layout.hilbert_xy2d(n, x, y)] = (x, y)
+        assert sorted(seen) == list(range(n * n)), n
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = seen[d], seen[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, (n, d)
+
+
+def test_hilbert_sql_fragments_match_python_reference():
+    """The shared SQL fragments, evaluated by DuckDB over every cell
+    of a 32x32 grid, reproduce the Python reference exactly — so both
+    engines (which evaluate the same text) compute true xy2d."""
+    import duckdb
+
+    n_bits, n = 5, 32
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE g AS SELECT x, y, CAST(0 AS BIGINT) AS d "
+        f"FROM range({n}) t1(x), range({n}) t2(y)"
+    )
+    sql = "SELECT x, y, d FROM g"
+    x0 = "x"  # track original coords through the stage chain
+    # wrap: stage the chain exactly like _hilbert_sql but carry (x0,y0)
+    ctes = [f"h0 AS (SELECT x AS x0, y AS y0, x, y, d FROM g)"]
+    for i, s in enumerate([1 << i for i in range(n_bits - 1, -1, -1)]):
+        rx, ry, dn, xn, yn = layout._hilbert_stage_sql(s)
+        ctes.append(
+            f"h{i}a AS (SELECT x0, y0, x, y, d, {rx} AS rx, {ry} AS ry "
+            f"FROM h{i})"
+        )
+        ctes.append(
+            f"h{i+1} AS (SELECT x0, y0, {xn} AS x, {yn} AS y, {dn} AS d "
+            f"FROM h{i}a)"
+        )
+    got = con.execute(
+        "WITH " + ", ".join(ctes) + f" SELECT x0, y0, d FROM h{n_bits}"
+    ).fetchall()
+    for x0v, y0v, d in got:
+        assert d == layout.hilbert_xy2d(n, x0v, y0v), (x0v, y0v)
+
+
+def test_hilbert_staged_oracle_matches_spark_kernel(spark):
+    """Dry-run of the future driver comparison at sf0.01."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF01}/events.parquet')"
+    )
+    want = sorted(
+        tuple(int(v) for v in r)
+        for r in con.execute(layout._hilbert_sql()).fetchall()
+    )
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in layout.layout_hilbert_events(spark, SF01).collect()
+    )
+    assert got == want
+
+
+def test_hilbert_buckets_confined_and_consecutive_adjacent():
+    """The two layout guarantees, proven exhaustively at the bucket
+    granularity (level-3 cells of a 32x32 grid): every bucket is one
+    axis-aligned block in BOTH dimensions (Morton-equal confinement),
+    and consecutive buckets are grid-adjacent blocks (the Hilbert
+    advantage — Morton jumps on ~half of consecutive pairs)."""
+    n_bits, n, k = 5, 32, 3
+    shift = 2 * n_bits - 2 * k
+    block = n >> k
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for x in range(n):
+        for y in range(n):
+            cells[layout.hilbert_xy2d(n, x, y) >> shift].append((x, y))
+    assert len(cells) == 1 << (2 * k)
+    centers = {}
+    for b, pts in cells.items():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert min(xs) // block == max(xs) // block, b
+        assert min(ys) // block == max(ys) // block, b
+        centers[b] = (min(xs) // block, min(ys) // block)
+    for b in range(len(cells) - 1):
+        (ax, ay), (bx, by) = centers[b], centers[b + 1]
+        assert abs(ax - bx) + abs(ay - by) == 1, b
+
+    # Morton, same granularity: demonstrably NOT continuous
+    def morton(x, y):
+        z = 0
+        for i in range(n_bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    mcells = defaultdict(list)
+    for x in range(n):
+        for y in range(n):
+            mcells[morton(x, y) >> shift].append((x, y))
+    mcent = {
+        b: (min(p[0] for p in pts) // block, min(p[1] for p in pts) // block)
+        for b, pts in mcells.items()
+    }
+    jumps = sum(
+        1
+        for b in range(len(mcells) - 1)
+        if abs(mcent[b][0] - mcent[b + 1][0])
+        + abs(mcent[b][1] - mcent[b + 1][1])
+        != 1
+    )
+    assert jumps > 0  # Hilbert's 0 jumps is a real differentiator
