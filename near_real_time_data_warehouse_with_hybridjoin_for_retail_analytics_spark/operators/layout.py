@@ -840,7 +840,12 @@ def _hilbert_stage_sql(s: int) -> tuple[str, str, str, str, str]:
     ``s`` — shared verbatim by both engines (see module note)."""
     rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
     ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
-    dn = f"d + {s * s} * (CASE WHEN rx = 1 THEN 3 - ry ELSE ry END)"
+    # s² as an explicit BIGINT: at s = 2^15 the quadrant factor 3
+    # overflows INT32 under Spark's ANSI arithmetic (3·2^30 > 2^31−1)
+    dn = (
+        f"d + CAST({s * s} AS BIGINT) * "
+        "(CASE WHEN rx = 1 THEN 3 - ry ELSE ry END)"
+    )
     xn = (
         "CASE WHEN ry = 0 THEN "
         f"(CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END) ELSE x END"
@@ -955,3 +960,109 @@ def hilbert_xy2d(n: int, x: int, y: int) -> int:
             x, y = y, x
         s //= 2
     return d
+
+
+def _hilbert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + file_bucket (Hilbert cell id) — the executor's keying
+    pass over the full row (bit-preserving rewrite). Sentinel keys for
+    NULL dimensions, like every execution path in this module."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "x", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_HB_MASK))
+    ).withColumn(
+        "y", F.expr(_HOUR_OR_SENTINEL).bitwiseAND(F.lit(_HB_MASK))
+    ).withColumn("d", F.lit(0).cast("long"))
+    for s in _hilbert_steps():
+        rx, ry, dn, xn, yn = _hilbert_stage_sql(s)
+        cols = [c for c in df.columns if c not in ("x", "y", "d")]
+        df = df.selectExpr(
+            *cols, "x", "y", "d", f"{rx} AS rx", f"{ry} AS ry"
+        ).selectExpr(*cols, f"{xn} AS x", f"{yn} AS y", f"{dn} AS d")
+    return df.withColumn(
+        "file_bucket", F.shiftright(F.col("d"), _HB_BUCKET_SHIFT)
+    ).drop("x", "y", "d")
+
+
+def hilbert_apply_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Execute the Hilbert layout: one parquet file per level-3 cell
+    under ``dest`` (idempotent overwrite) — consecutive files cover
+    adjacent squares, so a bucket-range read is a connected region."""
+    (
+        _hilbert_keyed(spark, sf_dir)
+        .repartition("file_bucket")
+        .write.mode("overwrite")
+        .partitionBy("file_bucket")
+        .parquet(dest)
+    )
+    from .artifacts import renew_lease
+
+    renew_lease(dest)
+
+
+def _hilbert_apply_sql() -> str:
+    """Staged oracle for ``layout_hilbert_apply``: the planner chain
+    with the executor's sentinel keys plus the one-file-per-bucket
+    physical contract."""
+    ctes = [
+        f"""h0 AS (
+      SELECT coalesce(user_id, -1) AS user_key,
+             coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) AS hour_idx,
+             coalesce(user_id, -1) & {_HB_MASK} AS x,
+             coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) & {_HB_MASK} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM events
+    )"""
+    ]
+    for i, s in enumerate(_hilbert_steps()):
+        rx, ry, dn, xn, yn = _hilbert_stage_sql(s)
+        ctes.append(
+            f"""h{i}a AS (
+      SELECT user_key, hour_idx, x, y, d, {rx} AS rx, {ry} AS ry FROM h{i}
+    )"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (
+      SELECT user_key, hour_idx, {xn} AS x, {yn} AS y, {dn} AS d FROM h{i}a
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(d >> {_HB_BUCKET_SHIFT} AS BIGINT) AS file_bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_key) AS BIGINT) AS min_user,
+           CAST(MAX(user_key) AS BIGINT) AS max_user,
+           CAST(MIN(hour_idx) AS BIGINT) AS min_hour,
+           CAST(MAX(hour_idx) AS BIGINT) AS max_hour
+    FROM h{HB_BITS} GROUP BY 1
+    """
+    )
+
+
+def hilbert_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite + POST-rewrite inventory measured from the files (same
+    proof pattern as ``zorder_apply_inventory``). Staged for round 16."""
+    from .artifacts import app_scoped_dest
+
+    dest = app_scoped_dest(spark, sf_dir, "/tmp/sparkgraft_hilbert", "events")
+    hilbert_apply_events(spark, sf_dir, dest)
+    back = spark.read.parquet(dest)
+    return (
+        back.select(
+            F.col("file_bucket").cast("long").alias("file_bucket"),
+            F.input_file_name().alias("file"),
+            F.expr(_USER_OR_SENTINEL).alias("user_key"),
+            F.expr(_HOUR_OR_SENTINEL).alias("hour_idx"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.countDistinct("file").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("user_key").alias("min_user"),
+            F.max("user_key").alias("max_user"),
+            F.min("hour_idx").alias("min_hour"),
+            F.max("hour_idx").alias("max_hour"),
+        )
+    )

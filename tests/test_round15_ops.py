@@ -629,3 +629,34 @@ def test_hilbert_buckets_confined_and_consecutive_adjacent():
         != 1
     )
     assert jumps > 0  # Hilbert's 0 jumps is a real differentiator
+
+
+def test_hilbert_apply_staged_oracle_matches_hostile_corpus(spark, tmp_path):
+    """The staged executor + oracle agree on the hostile corpus (NULL
+    ts/user, negative user, pre-epoch ts) — sentinel keys on both
+    engines, like the Morton executors."""
+    import duckdb
+
+    src = _hostile_events(spark, tmp_path)
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in layout.hilbert_apply_inventory(spark, src).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{src}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(int(v) for v in r)
+        for r in con.execute(layout._hilbert_apply_sql()).fetchall()
+    )
+    assert got == want
+
+
+def test_hilbert_apply_preserves_rows_one_file_per_bucket(spark, tmp_path):
+    src = _hostile_events(spark, tmp_path)
+    inv = layout.hilbert_apply_inventory(spark, src).collect()
+    n_in = spark.read.parquet(f"{src}/events.parquet").count()
+    assert sum(r["n_events"] for r in inv) == n_in
+    assert all(r["n_files"] == 1 for r in inv)
