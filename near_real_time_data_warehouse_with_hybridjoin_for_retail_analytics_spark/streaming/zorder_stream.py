@@ -1,0 +1,278 @@
+"""Streaming z-order maintainer: the ingest twin of
+``operators.layout.zorder_apply_inventory``, extending the
+batch+streaming maintenance symmetry to MULTI-DIMENSIONAL layout —
+the "liquid clustering" shape: a continuously ingesting table stays
+z-clustered without a nightly full OPTIMIZE.
+
+Unlike the bin compactor (``compaction_stream``), z-range buckets are
+SPATIAL and never close: any trigger may land rows in any bucket, and
+late data is normal, not a violation. So the gate's unit of work is
+the DIRTY BUCKET, not the closed bin:
+
+- Per micro-batch: arriving rows append to a staging dir tagged with
+  (batch_id, file_bucket) — the z-key is the same map-side Morton
+  expression the batch executor uses (``layout._zorder_keyed``), so
+  appends are one write, zero shuffle-beyond-the-append. Replayed
+  batches re-append identical rows; every staging read dedups on
+  (batch_id, event_id), the same exactly-once mechanism as the other
+  gates.
+- When the staged backlog crosses ``REWRITE_STAGED_ROWS`` (or at
+  ``finalize_zorder``), a REWRITE folds the staged rows into the
+  clustered base: only the buckets with staged rows are rewritten
+  (base partition-pruned to those buckets + staged rows → one file
+  per dirty bucket), while every CLEAN bucket's file is carried into
+  the new generation by hardlink — the constant-metadata "unchanged
+  files stay in the manifest" move of a real table format (Delta's
+  log entry / Iceberg's manifest reuse; os.link stands in for the
+  object-store server-side copy). The fold commits by writing the
+  new generation dir completely, then os.replace'ing ONE marker
+  {gen, folded_through}: a crash at any point leaves a marker
+  consistent with the directory it names.
+- Folds consume whole batches: the marker's ``folded_through`` is the
+  max batch_id folded, and every staging read filters
+  batch_id > folded_through — so a crash between the marker commit
+  and the staging sweep cannot double-fold (the filter already
+  excludes the folded rows), and ``sweep_staging`` is deferrable
+  vacuum, exactly like the compactor's.
+
+Contract (same as every gate in this package): ONE logical pipeline
+owns the sink — continued ingest keeps the same checkpoint, so batch
+ids are monotone and the folded_through watermark is sound; a lost
+checkpoint may replay, but replays re-deliver the same input in the
+same batch order, so re-appended rows are either watermark-excluded
+(already folded — identical content) or deduped on (batch_id,
+event_id). A DIFFERENT pipeline appending to the same sink (fresh
+checkpoint, new data, restarting batch ids) needs a table format's
+transaction log.
+
+After ``finalize_zorder``, the clustered table equals the batch
+executor's output bucket-for-bucket (row set AND the one-file-per-
+bucket invariant) — pinned by tests/test_streaming_zorder.py along
+with restart idempotence and the dirty-bucket-only rewrite property.
+
+100 TB shape: appends are map-side; each fold shuffles ONLY the dirty
+buckets' rows (partition-pruned base read + staged rows, one
+clustering repartition); clean buckets cost one metadata link each;
+staging is bounded by the rewrite threshold, not lifetime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.layout import _BUCKET_SHIFT, _MASK, _z_col
+from ..operators.layout import _HOUR_OR_SENTINEL, _USER_OR_SENTINEL
+from .windows import EVENTS_SCHEMA
+
+# Staged-row backlog that triggers an incremental rewrite. Test-scale
+# (the testdata feeds are tiny); production sizes this to the target
+# file size × a small multiple, like Delta's OPTIMIZE thresholds.
+REWRITE_STAGED_ROWS = 500
+
+
+def _bucketed(df: DataFrame) -> DataFrame:
+    """Rows + file_bucket via the batch executor's sentinel-keyed
+    map-side Morton expressions."""
+    keyed = df.withColumn(
+        "u", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_MASK))
+    ).withColumn("t", F.expr(_HOUR_OR_SENTINEL).bitwiseAND(F.lit(_MASK)))
+    return keyed.withColumn(
+        "file_bucket", F.shiftright(_z_col(), _BUCKET_SHIFT)
+    ).drop("u", "t")
+
+
+def _marker_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_zorder_gen")
+
+
+def _gen_state(out_dir: str) -> tuple[int, int]:
+    """(generation, folded_through batch id) from the committed
+    marker; (-1, -1) before the first fold."""
+    try:
+        with open(_marker_path(out_dir)) as fh:
+            m = json.load(fh)
+        return int(m["gen"]), int(m["folded_through"])
+    except (OSError, ValueError, KeyError):
+        return -1, -1
+
+
+def _base_dir(out_dir: str, gen: int) -> str:
+    return os.path.join(out_dir, "clustered", f"base_g{gen}")
+
+
+def _staged(spark: SparkSession, staging_dir: str, folded_through: int) -> DataFrame:
+    """Exactly-once view of the unfolded staged rows: replay dedup on
+    (batch_id, event_id), folded batches excluded by the watermark."""
+    df = spark.read.parquet(staging_dir)
+    return df.filter(F.col("batch_id") > folded_through).dropDuplicates(
+        ["batch_id", "event_id"]
+    )
+
+
+def clustered_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The reader's view: committed base generation + unfolded staged
+    rows (the delta a table-format reader merges from the log)."""
+    gen, folded = _gen_state(out_dir)
+    staging = os.path.join(out_dir, "staging")
+    parts = []
+    if gen >= 0:
+        parts.append(spark.read.parquet(_base_dir(out_dir, gen)))
+    if os.path.isdir(staging):
+        parts.append(
+            _staged(spark, staging, folded).drop("batch_id")
+        )
+    if not parts:
+        raise FileNotFoundError(f"no clustered data under {out_dir}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _fold(spark: SparkSession, out_dir: str) -> None:
+    """Incremental rewrite: fold every unfolded staged batch into a
+    new base generation, rewriting ONLY the dirty buckets; clean
+    buckets hardlink across. Commit = one os.replace of the marker."""
+    staging = os.path.join(out_dir, "staging")
+    if not os.path.isdir(staging):
+        return
+    gen, folded = _gen_state(out_dir)
+    staged = _staged(spark, staging, folded)
+    agg = staged.agg(
+        F.count(F.lit(1)), F.max("batch_id")
+    ).collect()[0]
+    n_new, max_batch = int(agg[0] or 0), agg[1]
+    if n_new == 0:
+        return
+    dirty = sorted(
+        int(r[0])
+        for r in staged.select("file_bucket").distinct().collect()
+    )  # bounded: ≤ Z_FILES buckets exist in total
+    new_gen = gen + 1
+    new_base = _base_dir(out_dir, new_gen)
+    if os.path.isdir(new_base):
+        shutil.rmtree(new_base)  # uncommitted debris from a crash
+    delta = staged.drop("batch_id")
+    if gen >= 0:
+        old_base = _base_dir(out_dir, gen)
+        base = spark.read.parquet(old_base)
+        # dirty buckets: base rows join the staged rows in the rewrite
+        # (partition-pruned read — file_bucket is the partition column)
+        rewrite = base.filter(F.col("file_bucket").isin(dirty)).unionByName(
+            delta
+        )
+    else:
+        old_base = None
+        rewrite = delta
+    (
+        rewrite.repartition("file_bucket")
+        .write.mode("overwrite")
+        .partitionBy("file_bucket")
+        .parquet(new_base)
+    )
+    if old_base is not None:
+        # clean buckets: carry every file by hardlink (metadata-only,
+        # the manifest-reuse move; object stores use server-side copy)
+        for name in os.listdir(old_base):
+            if not name.startswith("file_bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if b in set(dirty):
+                continue
+            src_dir = os.path.join(old_base, name)
+            dst_dir = os.path.join(new_base, name)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in os.listdir(src_dir):
+                if f.startswith(("_", ".")):
+                    continue
+                dst = os.path.join(dst_dir, f)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(src_dir, f), dst)
+    tmp = _marker_path(out_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"gen": new_gen, "folded_through": int(max_batch)}, fh)
+    os.replace(tmp, _marker_path(out_dir))  # the commit point
+    spark.catalog.refreshByPath(new_base)
+
+
+def sweep_staging(spark: SparkSession, out_dir: str) -> None:
+    """Deferrable vacuum: drop staged rows of already-folded batches
+    (the fold filter excludes them regardless — this only reclaims
+    space) and superseded base generations."""
+    gen, folded = _gen_state(out_dir)
+    staging = os.path.join(out_dir, "staging")
+    if os.path.isdir(staging) and folded >= 0:
+        survivors = spark.read.parquet(staging).filter(
+            F.col("batch_id") > folded
+        )
+        nxt = staging + ".next"
+        if os.path.isdir(nxt):
+            shutil.rmtree(nxt)
+        survivors.write.mode("overwrite").parquet(nxt)
+        old = staging + ".old"
+        os.rename(staging, old)
+        os.rename(nxt, staging)
+        shutil.rmtree(old, ignore_errors=True)
+        spark.catalog.refreshByPath(staging)
+    root = os.path.join(out_dir, "clustered")
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("base_g") and int(name[6:]) < gen:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def finalize_zorder(spark: SparkSession, out_dir: str) -> None:
+    """Fold the remaining backlog when the feed is declared closed;
+    after this the clustered base equals the batch executor's output
+    bucket-for-bucket."""
+    _fold(spark, out_dir)
+
+
+def run_zorder_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+    rewrite_staged_rows: int = REWRITE_STAGED_ROWS,
+) -> StreamingQuery:
+    """Continuous z-order maintenance over an events parquet feed.
+    See the module docstring for the contract."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    staging = os.path.join(out_dir, "staging")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        (
+            _bucketed(batch_df)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(staging)
+        )
+        _, folded = _gen_state(out_dir)
+        backlog = (
+            _staged(spark, staging, folded).count()
+        )  # metadata-light: one count over the bounded backlog
+        if backlog >= rewrite_staged_rows:
+            _fold(spark, out_dir)
+
+    writer = (
+        raw.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(out_dir, "_checkpoint"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    return writer.start()
