@@ -118,6 +118,7 @@ def _staged(spark: SparkSession, staging_dir: str, folded_through: int) -> DataF
 def clustered_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """The reader's view: committed base generation + unfolded staged
     rows (the delta a table-format reader merges from the log)."""
+    _recover_sweep(out_dir)
     gen, folded = _gen_state(out_dir)
     staging = os.path.join(out_dir, "staging")
     parts = []
@@ -139,6 +140,7 @@ def _fold(spark: SparkSession, out_dir: str) -> None:
     """Incremental rewrite: fold every unfolded staged batch into a
     new base generation, rewriting ONLY the dirty buckets; clean
     buckets hardlink across. Commit = one os.replace of the marker."""
+    _recover_sweep(out_dir)
     staging = os.path.join(out_dir, "staging")
     if not os.path.isdir(staging):
         return
@@ -201,10 +203,25 @@ def _fold(spark: SparkSession, out_dir: str) -> None:
     spark.catalog.refreshByPath(new_base)
 
 
+def _recover_sweep(out_dir: str) -> None:
+    """Complete a sweep interrupted between its two renames: staging
+    gone but the survivors dir present means the swap's first half
+    ran — finish it, or any UNFOLDED survivor rows would be invisible
+    to readers and the fold. Called before every staging consumer."""
+    staging = os.path.join(out_dir, "staging")
+    nxt = staging + ".next"
+    if not os.path.isdir(staging) and os.path.isdir(nxt):
+        os.rename(nxt, staging)
+    shutil.rmtree(staging + ".old", ignore_errors=True)
+
+
 def sweep_staging(spark: SparkSession, out_dir: str) -> None:
     """Deferrable vacuum: drop staged rows of already-folded batches
     (the fold filter excludes them regardless — this only reclaims
-    space) and superseded base generations."""
+    space) and superseded base generations. Crash-safe: the survivors
+    are fully written to a sibling dir before the two-rename swap, and
+    ``_recover_sweep`` completes a swap interrupted between them."""
+    _recover_sweep(out_dir)
     gen, folded = _gen_state(out_dir)
     staging = os.path.join(out_dir, "staging")
     if os.path.isdir(staging) and folded >= 0:
@@ -253,6 +270,7 @@ def run_zorder_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(out_dir, exist_ok=True)
+        _recover_sweep(out_dir)
         (
             _bucketed(batch_df)
             .withColumn("batch_id", F.lit(int(batch_id)))
