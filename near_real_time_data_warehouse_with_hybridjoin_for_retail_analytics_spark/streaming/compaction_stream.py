@@ -253,10 +253,15 @@ def _write_bins(
         .partitionBy("group_id", "sub")
         .parquet(tmp_root)
     )
+    published: list[int] = []
+    pre_existing: list[int] = []
     for gid in todo:
         src = os.path.join(tmp_root, f"group_id={gid}")
         dest = os.path.join(compacted_dir, f"group_id={gid}")
         if os.path.isdir(dest):
+            # landed between the todo scan and this loop (e.g. a
+            # concurrent retry) — not this publish's work
+            pre_existing.append(gid)
             continue
         if not os.path.isdir(src):
             # A todo bin the write job produced no partition for:
@@ -264,21 +269,21 @@ def _write_bins(
             # after a sweep emptied its staged rows. A bare
             # FileNotFoundError here would abort mid-publish with some
             # bins already committed and no diagnosis (round-14
-            # advice) — name the bin and the committed-prefix state.
-            committed = [
-                g for g in todo
-                if os.path.isdir(os.path.join(compacted_dir, f"group_id={g}"))
-            ]
+            # advice) — name the bin and the committed-prefix state,
+            # separating what THIS loop renamed from dirs that already
+            # existed (round-15 advice: the old message counted both
+            # as "committed this publish").
             raise RuntimeError(
                 f"compaction publish: planned bin group_id={gid} "
                 f"produced no staged partition under {tmp_root} — "
                 "plan/staging drift or an out-of-band dest removal "
-                f"after its staging rows were swept. Bins already "
-                f"committed this publish: {committed}; remaining todo "
-                f"bins were NOT published. The staged root is kept for "
-                "forensics."
+                f"after its staging rows were swept. Bins published by "
+                f"this loop: {published}; bins found pre-existing and "
+                f"skipped: {pre_existing}; remaining todo bins were NOT "
+                "published. The staged root is kept for forensics."
             )
         os.rename(src, dest)  # the commit point per bin: all-or-nothing
+        published.append(gid)
     shutil.rmtree(tmp_root, ignore_errors=True)
 
 

@@ -622,24 +622,54 @@ def _is_missing_table_error(exc: Exception, table: str) -> bool:
     (round-14 advice): JDBC exception text embeds the failed SQL and
     driver context, so a bare '42P01' substring could come from quoted
     query text or an identifier and misclassify an unrelated failure
-    as first-run — returning offset 0 over a populated table."""
+    as first-run — returning offset 0 over a populated table.
+
+    Round-15 advice: a driver can embed the bare state WITHOUT the
+    label while localizing the phrase away (pgjdbc does not print the
+    state at all; its German message is 'FEHLER: Relation »sales«
+    existiert nicht'). Two additions, both still table-anchored so the
+    round-14 negative cases stay negative: (a) a STANDALONE state
+    token at non-alphanumeric boundaries classifies iff the message
+    also NAMES the table in some engine quoting — an unrelated failure
+    that both quotes the sink table and contains an undefined-table
+    state code at a token boundary is not a plausible accident; (b)
+    the phrase fallback knows the big engines' localized
+    does-not-exist forms and guillemet/backtick/bracket quoting."""
     import re
 
     msg = str(exc)
     if re.search(r"(?i)\bsqlstate\b\s*[:=]?\s*'?(42P01|42X05|42Y55)\b", msg):
         return True
     low = msg.lower()
-    if not ("does not exist" in low or "not found" in low):
-        return False
     # last path component for schema-qualified names
     bare = table.rsplit(".", 1)[-1]
-    tokens = {
-        f'"{table.lower()}"',      # postgres: relation "sales"
-        f'"{bare.lower()}"',
-        f"'{table.upper()}'",      # derby: Table/View 'SALES'
-        f"'{bare.upper()}'",
-    }
-    return any(t.lower() in low for t in tokens)
+    quoted = []
+    for n in {table.lower(), bare.lower()}:
+        quoted += [
+            f'"{n}"',       # postgres: relation "sales"
+            f"'{n}'",       # derby: Table/View 'SALES' (msg lowered)
+            f"»{n}«",  # postgres de_DE: Relation »sales«
+            f"«{n}»",  # postgres fr_FR: relation « sales »
+            f"« {n} »",
+            f"`{n}`",       # mysql: Table 'db'.`sales`
+            f"[{n}]",       # sql server: object [sales]
+        ]
+    names_table = any(q in low for q in quoted)
+    if names_table and re.search(
+        r"(?<![0-9A-Za-z_])(42P01|42X05|42Y55)(?![0-9A-Za-z_])", msg
+    ):
+        return True  # bare state at a token boundary + the table named
+    phrases = (
+        "does not exist",      # en
+        "not found",
+        "existiert nicht",     # de (postgres)
+        "n'existe pas",        # fr
+        "no existe",           # es
+        "não existe",     # pt
+    )
+    if not any(p in low for p in phrases):
+        return False
+    return names_table
 
 
 def _existing_max_id_jdbc(spark: SparkSession, opts: dict) -> int:

@@ -65,7 +65,6 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-
 from ..operators.layout import _BUCKET_SHIFT, _MASK, _z_col
 from ..operators.layout import _HOUR_OR_SENTINEL, _USER_OR_SENTINEL
 from .windows import EVENTS_SCHEMA
@@ -74,6 +73,12 @@ from .windows import EVENTS_SCHEMA
 # (the testdata feeds are tiny); production sizes this to the target
 # file size × a small multiple, like Delta's OPTIMIZE thresholds.
 REWRITE_STAGED_ROWS = 500
+
+# Staging layout: events columns + the z-bucket + the ingest batch id.
+# Pinned explicitly so staging reads never depend on schema inference —
+# a fully-swept staging dir holds zero data files, and inference over
+# an empty dir errors where a declared schema returns an empty frame.
+_STAGING_SCHEMA = EVENTS_SCHEMA + ", file_bucket long, batch_id long"
 
 
 def _bucketed(df: DataFrame) -> DataFrame:
@@ -93,13 +98,31 @@ def _marker_path(out_dir: str) -> str:
 
 def _gen_state(out_dir: str) -> tuple[int, int]:
     """(generation, folded_through batch id) from the committed
-    marker; (-1, -1) before the first fold."""
+    marker; (-1, -1) ONLY when the marker is genuinely absent (first
+    run). Any other read failure (EACCES/EIO/EMFILE, …) propagates —
+    a transient error mapped to "no base" would make ``_fold`` treat
+    the real committed generation as uncommitted debris (rmtree) and
+    rebuild from staged rows only, and would make ``clustered_table``
+    silently drop the base from the reader view. A present-but-corrupt
+    marker is a hard protocol error for the same reason: ours is
+    written with os.replace, so truncation signals out-of-band damage
+    (same policy as compaction_stream._staging_state)."""
     try:
-        with open(_marker_path(out_dir)) as fh:
-            m = json.load(fh)
-        return int(m["gen"]), int(m["folded_through"])
-    except (OSError, ValueError, KeyError):
+        fh = open(_marker_path(out_dir))
+    except FileNotFoundError:
         return -1, -1
+    with fh:
+        try:
+            m = json.load(fh)
+            return int(m["gen"]), int(m["folded_through"])
+        except (ValueError, KeyError, TypeError) as e:
+            raise RuntimeError(
+                f"corrupt z-order generation marker {_marker_path(out_dir)}"
+                f" ({e!r}): the marker is committed atomically, so this is"
+                " out-of-band damage — refusing to guess the generation"
+                " (a reset would drop the committed base from the reader"
+                " view and let the next fold rmtree it)"
+            ) from e
 
 
 def _base_dir(out_dir: str, gen: int) -> str:
@@ -108,8 +131,18 @@ def _base_dir(out_dir: str, gen: int) -> str:
 
 def _staged(spark: SparkSession, staging_dir: str, folded_through: int) -> DataFrame:
     """Exactly-once view of the unfolded staged rows: replay dedup on
-    (batch_id, event_id), folded batches excluded by the watermark."""
-    df = spark.read.parquet(staging_dir)
+    (batch_id, event_id), folded batches excluded by the watermark.
+    ``ignoreMissingFiles``: the only writer that removes staging files
+    is ``sweep_staging``, which deletes ONLY fully-folded files — a
+    file that vanishes between this read's listing and its scan held
+    nothing the watermark filter would keep, so skipping it is exact
+    (and narrower than swallowing real damage: a file already missing
+    at listing time is not skipped, it is simply never seen)."""
+    df = (
+        spark.read.schema(_STAGING_SCHEMA)
+        .option("ignoreMissingFiles", "true")
+        .parquet(staging_dir)
+    )
     return df.filter(F.col("batch_id") > folded_through).dropDuplicates(
         ["batch_id", "event_id"]
     )
@@ -204,10 +237,13 @@ def _fold(spark: SparkSession, out_dir: str) -> None:
 
 
 def _recover_sweep(out_dir: str) -> None:
-    """Complete a sweep interrupted between its two renames: staging
-    gone but the survivors dir present means the swap's first half
-    ran — finish it, or any UNFOLDED survivor rows would be invisible
-    to readers and the fold. Called before every staging consumer."""
+    """Legacy-state recovery: the pre-r16 sweep swapped the live
+    staging dir through a two-rename (staging → .old, .next →
+    staging), so a crash between them left the survivors invisible in
+    ``staging.next``. The current sweep never renames the live dir
+    (see ``sweep_staging``), so this only fires on a disk state
+    written by that older code. Kept at every staging consumer: two
+    isdir checks when there is nothing to recover."""
     staging = os.path.join(out_dir, "staging")
     nxt = staging + ".next"
     if not os.path.isdir(staging) and os.path.isdir(nxt):
@@ -215,27 +251,62 @@ def _recover_sweep(out_dir: str) -> None:
     shutil.rmtree(staging + ".old", ignore_errors=True)
 
 
+def _staging_files(staging: str) -> list[str]:
+    """Snapshot of the staging dir's data files (the sweep's candidate
+    set — files appended after this listing are never candidates)."""
+    return sorted(
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _sweep_listed(spark: SparkSession, files: list[str], folded: int) -> None:
+    """Delete every LISTED staging file all of whose rows are folded
+    (max batch_id ≤ the marker watermark). One metadata-light scan
+    groups the bounded backlog by file; deletion is idempotent (a
+    folded file's rows are already excluded by every reader's
+    watermark filter), so a crash mid-loop just leaves some folded
+    files for the next sweep."""
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        return
+    per_file = (
+        spark.read.schema(_STAGING_SCHEMA)
+        .option("ignoreMissingFiles", "true")
+        .parquet(*files)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.max("batch_id").alias("max_batch"))
+        .collect()
+    )  # bounded: one row per staged file
+    from urllib.parse import unquote, urlparse
+
+    for r in per_file:
+        if int(r["max_batch"]) <= folded:
+            path = unquote(urlparse(r["file"]).path)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass  # already reclaimed — idempotent
+
+
 def sweep_staging(spark: SparkSession, out_dir: str) -> None:
-    """Deferrable vacuum: drop staged rows of already-folded batches
-    (the fold filter excludes them regardless — this only reclaims
-    space) and superseded base generations. Crash-safe: the survivors
-    are fully written to a sibling dir before the two-rename swap, and
-    ``_recover_sweep`` completes a swap interrupted between them."""
+    """Deferrable vacuum: drop staged files of already-folded batches
+    (the fold filter excludes their rows regardless — this only
+    reclaims space) and superseded base generations. Safe against a
+    concurrently running stream (round-15 advice): the live staging
+    dir is never renamed or rewritten — the candidate file list is
+    snapshotted FIRST, each listed file is removed only if ALL its
+    rows are folded, and a micro-batch append landing mid-sweep writes
+    new files the snapshot never saw. Each sink append holds exactly
+    one batch_id, so whole-file deletion loses nothing; a mixed-batch
+    file (only producible by out-of-band writes) survives until its
+    last row folds."""
     _recover_sweep(out_dir)
     gen, folded = _gen_state(out_dir)
     staging = os.path.join(out_dir, "staging")
     if os.path.isdir(staging) and folded >= 0:
-        survivors = spark.read.parquet(staging).filter(
-            F.col("batch_id") > folded
-        )
-        nxt = staging + ".next"
-        if os.path.isdir(nxt):
-            shutil.rmtree(nxt)
-        survivors.write.mode("overwrite").parquet(nxt)
-        old = staging + ".old"
-        os.rename(staging, old)
-        os.rename(nxt, staging)
-        shutil.rmtree(old, ignore_errors=True)
+        _sweep_listed(spark, _staging_files(staging), folded)
         spark.catalog.refreshByPath(staging)
     root = os.path.join(out_dir, "clustered")
     if os.path.isdir(root):
@@ -273,7 +344,7 @@ def run_zorder_stream(
         _recover_sweep(out_dir)
         (
             _bucketed(batch_df)
-            .withColumn("batch_id", F.lit(int(batch_id)))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
             .write.mode("append")
             .parquet(staging)
         )

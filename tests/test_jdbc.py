@@ -247,3 +247,20 @@ def test_missing_table_classifier_both_engines():
     assert miss(Exception("... [SQLState: 42P01] ..."), t)
     assert miss(Exception("ERRORCODE=-204, SQLSTATE=42P01, ..."), t)
     assert miss(Exception("SQLState '42X05': table missing"), t)
+    # round-15 advice: drivers that embed the BARE state (no label)
+    # while localizing the phrase away classify iff the table is also
+    # named in some engine quoting...
+    assert miss(
+        Exception('ERROR [42P01]: Relation »sales« kaputt'), t)
+    assert miss(Exception('(42P01) relation "sales"'), t)
+    # ...and the phrase fallback knows the big locales' forms
+    assert miss(
+        Exception("FEHLER: Relation »sales« existiert nicht"), t)
+    assert miss(
+        Exception("ERREUR: la relation « sales » n'existe pas"), t)
+    assert miss(
+        Exception("ERROR: no existe la relación «sales»"), t)
+    # bare state WITHOUT the table named must still propagate
+    assert not miss(Exception("ERROR [42P01]: something broke"), t)
+    assert not miss(
+        Exception("FEHLER: Relation »other« existiert nicht"), t)

@@ -514,7 +514,10 @@ def test_publish_missing_staged_bin_raises_named_error(spark, tmp_path):
     # job emits no group_id=5 partition
     with pytest.raises(RuntimeError, match=r"group_id=5") as ei:
         compaction_stream._write_bins(staged, plan, [0, 5], out)
-    assert "committed this publish" in str(ei.value)
+    # round-15 advice: the forensics message separates bins THIS loop
+    # renamed from dirs that pre-existed (none here)
+    assert "published by this loop: [0]" in str(ei.value)
+    assert "pre-existing and skipped: []" in str(ei.value)
     # the committed prefix is explicit and intact: bin 0 published
     assert os.path.isdir(os.path.join(out, "group_id=0"))
     # staged root kept for forensics

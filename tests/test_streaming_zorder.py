@@ -166,8 +166,14 @@ def test_sweep_reclaims_folded_staging_and_old_generations(spark, tmp_path):
     zorder_stream.sweep_staging(spark, out)
     gen, folded = zorder_stream._gen_state(out)
     staging = os.path.join(out, "staging")
-    surv = spark.read.parquet(staging).count() if os.path.isdir(staging) else 0
-    assert surv == 0  # everything folded → vacuum empties staging
+    # everything folded → vacuum empties staging (schema is pinned, so
+    # a zero-file staging dir reads as empty, not an inference error)
+    surv = (
+        spark.read.schema(zorder_stream._STAGING_SCHEMA)
+        .parquet(staging).count()
+        if os.path.isdir(staging) else 0
+    )
+    assert surv == 0
     root = os.path.join(out, "clustered")
     gens = [n for n in os.listdir(root) if n.startswith("base_g")]
     assert gens == [f"base_g{gen}"]
@@ -222,3 +228,121 @@ def test_interrupted_sweep_swap_recovers_unfolded_rows(spark, tmp_path):
     gen, folded = zorder_stream._gen_state(out)
     assert (gen, folded) == (1, 2)
     assert spark.read.parquet(zorder_stream._base_dir(out, gen)).count() == 30
+
+
+def _staged_fixture(spark, out, n_batches=3, folded_through=1):
+    """A sink dir with a committed base (batches 0..folded_through) and
+    staging holding ONE FILE PER BATCH (the sink's append shape)."""
+    import datetime as dt
+
+    os.makedirs(out, exist_ok=True)
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i % 60), i % 5, "view", 1.0, "{}", b)
+        for b in range(n_batches)
+        for i in range(b * 10, b * 10 + 10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, batch_id long",
+    )
+    staged = zorder_stream._bucketed(df)
+    staging = os.path.join(out, "staging")
+    base = zorder_stream._base_dir(out, 0)
+    (
+        staged.filter(f"batch_id <= {folded_through}").drop("batch_id")
+        .repartition("file_bucket").write.mode("overwrite")
+        .partitionBy("file_bucket").parquet(base)
+    )
+    with open(zorder_stream._marker_path(out), "w") as fh:
+        json.dump({"gen": 0, "folded_through": folded_through}, fh)
+    for b in range(n_batches):  # one append (→ one file) per batch
+        staged.filter(f"batch_id = {b}").coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+    return staging
+
+
+def test_corrupt_marker_is_a_hard_error_not_first_run(spark, tmp_path):
+    """Round-15 advice: a present-but-unparseable marker must NOT read
+    as 'no base' — that would drop the committed generation from the
+    reader view and let the next fold rmtree it."""
+    import pytest
+
+    out = str(tmp_path / "zs")
+    _staged_fixture(spark, out)
+    with open(zorder_stream._marker_path(out), "w") as fh:
+        fh.write('{"gen": 0')  # truncated json
+    with pytest.raises(RuntimeError, match="corrupt z-order"):
+        zorder_stream._gen_state(out)
+    with open(zorder_stream._marker_path(out), "w") as fh:
+        fh.write('{"generation": 0}')  # wrong keys
+    with pytest.raises(RuntimeError, match="corrupt z-order"):
+        zorder_stream._gen_state(out)
+    # and a non-ENOENT read failure propagates instead of → (-1, -1)
+    os.remove(zorder_stream._marker_path(out))
+    os.makedirs(zorder_stream._marker_path(out))  # open() → IsADirectoryError
+    with pytest.raises(OSError):
+        zorder_stream._gen_state(out)
+    os.rmdir(zorder_stream._marker_path(out))
+    assert zorder_stream._gen_state(out) == (-1, -1)  # genuinely absent
+
+
+def test_sweep_never_touches_files_outside_its_snapshot(spark, tmp_path):
+    """Round-15 advice: the old sweep renamed the LIVE staging dir, so
+    an append landing mid-sweep was renamed away and deleted. The
+    per-file sweep only deletes files from its snapshot listing —
+    a file appended after the listing survives verbatim."""
+    out = str(tmp_path / "zs")
+    staging = _staged_fixture(spark, out, n_batches=3, folded_through=1)
+    listed = zorder_stream._staging_files(staging)
+    # a micro-batch append lands AFTER the sweep's listing
+    import datetime as dt
+
+    late = spark.createDataFrame(
+        [(99, dt.datetime(2024, 1, 2), 1, "view", 1.0, "{}", 3)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, batch_id long",
+    )
+    zorder_stream._bucketed(late).coalesce(1).write.mode("append").parquet(
+        staging
+    )
+    zorder_stream._sweep_listed(spark, listed, folded=1)
+    # folded files (batches 0,1) reclaimed; batch 2 and the late append
+    # survive and the reader serves base + both unfolded batches
+    left = zorder_stream._staged(spark, staging, -1)
+    assert sorted(
+        r[0] for r in left.select("batch_id").distinct().collect()
+    ) == [2, 3]
+    view = zorder_stream.clustered_table(spark, out)
+    assert view.count() == 31  # 20 folded + 10 batch-2 + 1 late
+    assert view.filter("event_id = 99").count() == 1
+
+
+def test_sweep_crash_midway_is_idempotent(spark, tmp_path):
+    """A crash mid-delete leaves a subset of folded files; re-running
+    the sweep converges and no unfolded row is ever a candidate."""
+    out = str(tmp_path / "zs")
+    staging = _staged_fixture(spark, out, n_batches=3, folded_through=1)
+    files = zorder_stream._staging_files(staging)
+    # simulate the crash: exactly one listed file already deleted
+    # (sweep half-ran); which one is folded doesn't matter — deletion
+    # of a folded file is idempotent and an unfolded file is never
+    # deleted by _sweep_listed
+    per_batch = {}
+    for f in list(files):
+        b = spark.read.schema(zorder_stream._STAGING_SCHEMA).parquet(
+            f
+        ).select("batch_id").first()[0]
+        per_batch[f] = int(b)
+    victim = next(f for f, b in per_batch.items() if b == 0)
+    os.remove(victim)
+    zorder_stream.sweep_staging(spark, out)
+    left = zorder_stream._staged(spark, staging, -1)
+    assert sorted(
+        r[0] for r in left.select("batch_id").distinct().collect()
+    ) == [2]
+    assert zorder_stream.clustered_table(spark, out).count() == 30
+    # second sweep: no-op, same state
+    zorder_stream.sweep_staging(spark, out)
+    assert zorder_stream.clustered_table(spark, out).count() == 30
