@@ -156,7 +156,11 @@ def _ordered(
     """Pinned, then forced (manifest-diff + hand list), then the rest
     oldest-verified first (never-verified = most stale). ``last``,
     ``extra_forced`` and ``pinned_names`` are injectable for the
-    rotation simulation test; production callers pass only ``names``."""
+    rotation simulation test; production callers pass only ``names``.
+    The FULLGATE-only tier is filtered here so every caller (driver
+    dicts, budget projection, tests passing the raw registry) sees the
+    same rotated set."""
+    names = _driver_names(names)
     if pinned_names is None:
         pinned_names = _PINNED
     pinned = [n for n in pinned_names if n in names]
@@ -202,6 +206,7 @@ def _projected_next_load(
     growth must keep load ≤ window, else forced entries displace due
     stale ones and the bound silently stretches — the budget
     tests/test_rotation.py enforces at growth time."""
+    names = _driver_names(names)
     if pinned_names is None:
         pinned_names = _PINNED
     pinned = {n for n in pinned_names if n in names}
@@ -246,12 +251,24 @@ def _projected_next_load(
     return len(pinned) + len(forced_set) + n_new + len(due), bound
 
 
+def _driver_names(d: dict) -> dict:
+    """The driver-rotated subset: everything registered minus the
+    FULLGATE-only tier (registry.FULLGATE_ONLY — low-churn entries
+    whose kernels a rotated sibling covers; they keep their pytest,
+    bench and per-round FULLGATE_r{N}.json oracle rows, just not a
+    driver window slot). Rotation budget math uses this same subset,
+    so a demotion frees exactly one slot per due entry."""
+    return {n: v for n, v in d.items() if n not in registry.FULLGATE_ONLY}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the
     beyond-reference dedup/similarity/text/multimodal operators."""
-    return {n: registry.QUERIES[n] for n in _ordered(registry.QUERIES)}
+    names = _driver_names(registry.QUERIES)
+    return {n: registry.QUERIES[n] for n in _ordered(names)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle for each (SQL-expressible) query."""
-    return {n: registry.ORACLES[n] for n in _ordered(registry.ORACLES)}
+    names = _driver_names(registry.ORACLES)
+    return {n: registry.ORACLES[n] for n in _ordered(names)}

@@ -574,11 +574,10 @@ def zorder_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 3-key z-order (multi-column OPTIMIZE ZORDER BY, staged for round 16)
+# 3-key z-order (multi-column OPTIMIZE ZORDER BY)
 # ---------------------------------------------------------------------------
-# STAGED (round 15): kernel + oracle builder + pytest gates committed;
-# the registry entry is deferred because the round-15 rotation window
-# is at exact capacity (COVERAGE.md round-15 spend). Extends the
+# Staged round 15, REGISTERED round 16 once the rotation headroom
+# landed (variant merge + FULLGATE-only tier). Extends the
 # 2-key layout to the three-column clustering Delta/Iceberg's
 # OPTIMIZE ZORDER BY (a, b, c) supports: interleave Z3_BITS bits of
 # (user, hour, floor(value)) — value quantized to its integer part,
@@ -654,6 +653,7 @@ def _zorder3_sql() -> str:
     """
 
 
+@query("layout_zorder3_events", _zorder3_sql())
 def layout_zorder3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map envelope table of a 3-key z-ordered events layout: per
     file bucket (z3-range), the row count and the min/max of ALL THREE
@@ -769,10 +769,11 @@ def _zorder3_apply_sql() -> str:
     """
 
 
+@query("layout_zorder3_apply", _zorder3_apply_sql())
 def zorder3_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rewrite + POST-rewrite inventory measured from the files (same
     proof pattern as ``zorder_apply_inventory``, one more dimension).
-    Staged for round 16; see the module staging note."""
+    Registered round 16 (staged round 15)."""
     from .artifacts import app_scoped_dest
 
     dest = app_scoped_dest(spark, sf_dir, "/tmp/sparkgraft_zorder3", "events")
@@ -801,7 +802,7 @@ def zorder3_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Hilbert-curve layout (staged for round 16, like the 3-key Morton)
+# Hilbert-curve layout (staged round 15, registered round 16)
 # ---------------------------------------------------------------------------
 # The locality upgrade over Morton that Delta's OPTIMIZE gained in
 # 2023 (Databricks liquid clustering) and Iceberg supports via its
@@ -902,10 +903,11 @@ def _hilbert_sql() -> str:
     )
 
 
+@query("layout_hilbert_events", _hilbert_sql())
 def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map envelope table of a Hilbert-clustered events layout:
     per file bucket (one level-3 Hilbert cell), the row count and the
-    min/max of both clustering dimensions. Staged for round 16; the
+    min/max of both clustering dimensions. Registered round 16; the
     module note has the locality argument (confinement like Morton,
     plus consecutive buckets are adjacent squares — both pytest-proven
     exhaustively on a 32×32 grid and on the corpus)."""
@@ -1041,9 +1043,11 @@ def _hilbert_apply_sql() -> str:
     )
 
 
+@query("layout_hilbert_apply", _hilbert_apply_sql())
 def hilbert_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rewrite + POST-rewrite inventory measured from the files (same
-    proof pattern as ``zorder_apply_inventory``). Staged for round 16."""
+    proof pattern as ``zorder_apply_inventory``). Registered round 16
+    (staged round 15)."""
     from .artifacts import app_scoped_dest
 
     dest = app_scoped_dest(spark, sf_dir, "/tmp/sparkgraft_hilbert", "events")

@@ -16,6 +16,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# FULLGATE-only tier (round-15 verdict item 2: structural rotation
+# headroom). Entries named here stay fully registered — benched by
+# bench.py, oracle-verified every round by the in-repo full-registry
+# gate (tools/check_correctness.py → the committed FULLGATE_r{N}.json)
+# — but are EXCLUDED from the driver's 50-slot rotation window, so
+# they stop consuming due-staleness slots. Demotion policy: an entry
+# qualifies only when (a) its (source, oracle) hash has been stable
+# for ≥3 rounds, (b) a DRIVER-rotated sibling exercises the same
+# kernel (so the driver window still covers the code path), and (c)
+# its own full surface keeps a pytest + FULLGATE row. Promote back by
+# removing the name (it re-enters the rotation as never-verified →
+# most stale → next window).
+FULLGATE_ONLY: set[str] = {
+    # pHash-over-PNG: the pHash kernel + banded miner are driver-
+    # rotated via dedup_phash (BMP) and dedup_phash_jpeg; the PNG
+    # codec itself is driver-rotated via multimodal_decode_stats
+    # _formats' png leg. Source/oracle unchanged since r12.
+    "dedup_phash_png",
+    # byte-length/header projection over the same attach_binary_payload
+    # + mapInPandas path that multimodal_features (driver-rotated)
+    # exercises with a much stronger oracle. Unchanged since r12.
+    "multimodal_metadata",
+}
+
 
 def query(name: str, oracle: str | None = None):
     """Register a query; ``oracle=None`` means rows-only verification

@@ -110,11 +110,13 @@ def test_jpeg_entry_matches_oracle_at_smoke_scale(spark, sf_dir):
 
     import __spark_entry__ as e
 
+    # the jpeg leg rides in the merged multimodal_decode_stats_formats
+    # entry since round 16 (rotation headroom merge)
     got = {
         r.doc_id: (r.width, r.height, r.mean_r, r.thumb_sum)
-        for r in e.queries()["multimodal_decode_stats_jpeg"](
+        for r in e.queries()["multimodal_decode_stats_formats"](
             spark, sf_dir
-        ).collect()
+        ).filter("fmt = 'jpeg'").collect()
     }
     con = duckdb.connect()
     con.execute(
@@ -122,9 +124,11 @@ def test_jpeg_entry_matches_oracle_at_smoke_scale(spark, sf_dir):
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
     want = {
-        r[0]: (r[1], r[2], r[3], r[6])
+        r[1]: (r[2], r[3], r[4], r[7])
         for r in con.execute(
-            e.oracle_sql()["multimodal_decode_stats_jpeg"]
+            "SELECT * FROM ("
+            + e.oracle_sql()["multimodal_decode_stats_formats"]
+            + ") WHERE fmt = 'jpeg'"
         ).fetchall()
     }
     assert got == want

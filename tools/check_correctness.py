@@ -54,6 +54,10 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check_correctness.py [--json OUT.json] "
+                  "[sf_dir] [name_filter...]")
+            return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -74,8 +78,21 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # driver-rotated entries in driver order, then the FULLGATE-only
+    # tier (registry.FULLGATE_ONLY): demoted entries keep their oracle
+    # row in FULLGATE_r{N}.json even though they no longer occupy a
+    # driver window slot — this gate is their freshness signal.
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
+        registry,
+    )
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    for name in sorted(registry.FULLGATE_ONLY):
+        if name in registry.QUERIES:
+            qs[name] = registry.QUERIES[name]
+        if name in registry.ORACLES:
+            oracles[name] = registry.ORACLES[name]
     failures = []
     report: dict[str, dict] = {}
     for name, fn in qs.items():

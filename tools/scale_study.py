@@ -54,7 +54,7 @@ ENTRIES = [
     "curation_pack_sequences",
     "events_funnel",
     "etl_events_hourly",
-    "multimodal_decode_stats_jpeg_progressive",
+    "multimodal_decode_stats_formats",
     # round-10 additions / reworks: the single-shuffle overlap plan,
     # the predicted-video Arrow kernel, and BPE training (word-count
     # shuffle + vocab-sized rounds — expect e ≈ 0 until the vocabulary
