@@ -457,18 +457,24 @@ def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _USER_OR_SENTINEL = "coalesce(user_id, -1)"
 
 
-def _zorder_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events + (u, t, file_bucket) — the same map-side Morton-key
-    expressions the planner uses, over the full row (no projection:
-    the rewrite is bit-preserving). Sentinel keys keep NULL-dimension
-    rows inside a real bucket (-1 & MASK = MASK: the top z-range)."""
-    ev = load_table(spark, sf_dir, "events")
-    keyed = ev.withColumn(
+def zorder_bucketed(df: DataFrame) -> DataFrame:
+    """Any events-shaped frame + file_bucket via the sentinel-keyed
+    map-side Morton expressions — shared by the batch executor and the
+    streaming maintenance gate (NULL dimensions key on -1; -1 & MASK =
+    MASK: the top z-range)."""
+    keyed = df.withColumn(
         "u", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_MASK))
     ).withColumn("t", F.expr(_HOUR_OR_SENTINEL).bitwiseAND(F.lit(_MASK)))
     return keyed.withColumn(
         "file_bucket", F.shiftright(_z_col(), _BUCKET_SHIFT)
     ).drop("u", "t")
+
+
+def _zorder_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + file_bucket — the same map-side Morton-key expressions
+    the planner uses, over the full row (no projection: the rewrite is
+    bit-preserving)."""
+    return zorder_bucketed(load_table(spark, sf_dir, "events"))
 
 
 def zorder_apply_events(spark: SparkSession, sf_dir: str, dest: str) -> None:
@@ -964,12 +970,11 @@ def hilbert_xy2d(n: int, x: int, y: int) -> int:
     return d
 
 
-def _hilbert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events + file_bucket (Hilbert cell id) — the executor's keying
-    pass over the full row (bit-preserving rewrite). Sentinel keys for
-    NULL dimensions, like every execution path in this module."""
-    ev = load_table(spark, sf_dir, "events")
-    df = ev.withColumn(
+def hilbert_bucketed(df: DataFrame) -> DataFrame:
+    """Any events-shaped frame + file_bucket (Hilbert cell id) via the
+    shared sentinel-keyed xy2d stage fragments — shared by the batch
+    executor and the streaming maintenance gate."""
+    df = df.withColumn(
         "x", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_HB_MASK))
     ).withColumn(
         "y", F.expr(_HOUR_OR_SENTINEL).bitwiseAND(F.lit(_HB_MASK))
@@ -983,6 +988,13 @@ def _hilbert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn(
         "file_bucket", F.shiftright(F.col("d"), _HB_BUCKET_SHIFT)
     ).drop("x", "y", "d")
+
+
+def _hilbert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + file_bucket (Hilbert cell id) — the executor's keying
+    pass over the full row (bit-preserving rewrite). Sentinel keys for
+    NULL dimensions, like every execution path in this module."""
+    return hilbert_bucketed(load_table(spark, sf_dir, "events"))
 
 
 def hilbert_apply_events(spark: SparkSession, sf_dir: str, dest: str) -> None:

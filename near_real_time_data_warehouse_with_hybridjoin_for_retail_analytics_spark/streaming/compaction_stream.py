@@ -295,7 +295,18 @@ def run_compaction_stream(
     checkpoint: str | None = None,
 ) -> StreamingQuery:
     """Continuous bin compaction over an event-time-ordered events
-    parquet feed. See the module docstring for the contract."""
+    parquet feed. See the module docstring for the contract — the
+    single-writer half of which is ENFORCED since round 16 via the
+    shared fencing token (see ``fencing``): a second pipeline attaching
+    to a live sink raises ``WriterFencedError`` at start, and a writer
+    whose lease was taken over fails its next batch instead of
+    corrupting the bin numbering."""
+    import os as _os
+
+    from .fencing import acquire_writer
+
+    _os.makedirs(out_dir, exist_ok=True)
+    token = acquire_writer(spark, out_dir)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -335,6 +346,7 @@ def run_compaction_stream(
         return boundary
 
     def _tick(batch_df: DataFrame, batch_id: int) -> None:
+        token.verify_and_renew()  # fail the batch, never zombie-write
         staging_dir, offset, closed_meta = _staging_state(out_dir)
         done = _written_groups(spark, compacted_dir)
         boundary = _closed_boundary(staging_dir, offset, closed_meta, done)
@@ -376,7 +388,9 @@ def run_compaction_stream(
     writer = raw.writeStream.foreachBatch(_tick).trigger(availableNow=True)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    q = writer.start()
+    token.bind_query(str(q.runId))
+    return q
 
 
 def finalize_compaction(spark: SparkSession, out_dir: str) -> None:

@@ -1,0 +1,198 @@
+"""Writer fencing for the maintenance gates' single-writer contract.
+
+Every streaming maintenance gate in this package (z-order maintainer,
+bin compactor, the parquet fact sink) documents the same contract: ONE
+logical pipeline owns the sink, because the exactly-once story rides on
+a monotone batch-id watermark that a second writer with a fresh
+checkpoint would corrupt silently. Through round 15 the contract was
+documentation only (round-15 verdict item 5); this module makes a
+violation a HARD, NAMED error instead of silent corruption.
+
+Mechanism — an epoch-fencing token, the standard lease design (e.g.
+HDFS lease recovery, ZooKeeper fencing tokens), sized to what a
+filesystem gives us:
+
+- The sink dir holds one canonical token file ``_writer_token.json``:
+  ``{owner, epoch, pid, run_id, heartbeat}``.
+- ACQUIRE is a CAS: contenders read the current epoch e, then race to
+  ``os.open(claim_e+1, O_CREAT|O_EXCL)`` — atomic on POSIX, so exactly
+  one wins — and the winner ``os.replace``s the canonical token. The
+  loser re-reads and raises :class:`WriterFencedError`.
+- A live owner is detected two ways, strongest first: same-process
+  contenders check ``spark.streams.active`` for the token's run_id
+  (deterministic — no timing window), cross-process contenders fall
+  back to the heartbeat lease (stale past ``ttl_s`` → orphaned crash →
+  takeover bumps the epoch). No release step exists or is needed: a
+  terminated query's token is orphaned by both detectors.
+- Every micro-batch calls :meth:`WriterToken.verify_and_renew` FIRST:
+  if the canonical token's (owner, epoch) is no longer ours, another
+  writer fenced us off — raise (which fails the batch and stops this
+  query) rather than write a single row past the takeover. This is the
+  fencing-token property: a paused-then-resumed writer cannot zombie-
+  write over its successor.
+
+On an object store the claim-file O_EXCL becomes a conditional PUT
+(If-None-Match) and the canonical replace a conditional copy — the
+same two primitives table formats build their commit protocol on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+TOKEN_NAME = "_writer_token.json"
+DEFAULT_TTL_S = 300.0
+
+
+class WriterFencedError(RuntimeError):
+    """Another pipeline owns this sink (or took it over)."""
+
+
+def _token_path(out_dir: str) -> str:
+    return os.path.join(out_dir, TOKEN_NAME)
+
+
+def _read_token(out_dir: str) -> dict | None:
+    """The committed token, or None when genuinely absent. A corrupt
+    token is a hard error (written with os.replace — truncation means
+    out-of-band damage), same policy as the generation markers."""
+    try:
+        fh = open(_token_path(out_dir))
+    except FileNotFoundError:
+        return None
+    with fh:
+        try:
+            tok = json.load(fh)
+            tok["epoch"] = int(tok["epoch"])
+            return tok
+        except (ValueError, KeyError, TypeError) as e:
+            raise WriterFencedError(
+                f"corrupt writer token {_token_path(out_dir)} ({e!r}): "
+                "refusing to guess sink ownership"
+            ) from e
+
+
+def _write_canonical(out_dir: str, tok: dict) -> None:
+    tmp = _token_path(out_dir) + f".tmp.{tok['owner']}"
+    with open(tmp, "w") as fh:
+        json.dump(tok, fh)
+    os.replace(tmp, _token_path(out_dir))
+
+
+def _runid_path(out_dir: str, epoch: int) -> str:
+    return os.path.join(out_dir, f"_writer_runid.{epoch}")
+
+
+def _owner_is_live(
+    spark: SparkSession, out_dir: str, tok: dict, ttl_s: float
+) -> bool:
+    """Is the token's writer still running? Same-process: ask Spark
+    whether the epoch's bound run id is still active (exact — no
+    timing window; the run id lives in a write-once sidecar so
+    heartbeat renewals never race the bind). Cross-process, or
+    same-process before the query bound its run id: heartbeat lease."""
+    if int(tok.get("pid", -1)) == os.getpid():
+        try:
+            with open(_runid_path(out_dir, tok["epoch"])) as fh:
+                run_id = fh.read().strip()
+        except FileNotFoundError:
+            run_id = None
+        if run_id is not None:
+            active = {str(q.runId) for q in spark.streams.active}
+            return run_id in active
+    return (time.time() - float(tok.get("heartbeat", 0))) < ttl_s
+
+
+class WriterToken:
+    """Handle returned by :func:`acquire_writer`; the sink's foreachBatch
+    must call :meth:`verify_and_renew` before writing each batch."""
+
+    def __init__(self, out_dir: str, owner: str, epoch: int):
+        self.out_dir = out_dir
+        self.owner = owner
+        self.epoch = epoch
+
+    def bind_query(self, run_id: str) -> None:
+        """Record the started query's run id in a WRITE-ONCE sidecar
+        keyed by epoch so same-process contenders can detect liveness
+        exactly (a sidecar never races the heartbeat renewals)."""
+        path = _runid_path(self.out_dir, self.epoch)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(run_id)
+        os.replace(tmp, path)
+
+    def verify_and_renew(self) -> None:
+        cur = _read_token(self.out_dir)
+        if (
+            cur is None
+            or cur.get("owner") != self.owner
+            or cur["epoch"] != self.epoch
+        ):
+            raise WriterFencedError(
+                f"writer fenced off {self.out_dir}: this pipeline held "
+                f"epoch {self.epoch} but the sink is now owned by "
+                f"{'nobody' if cur is None else cur.get('owner')} at epoch "
+                f"{'-' if cur is None else cur['epoch']} — another pipeline "
+                "took over (our lease lapsed); not writing another row"
+            )
+        cur["heartbeat"] = time.time()
+        _write_canonical(self.out_dir, cur)
+
+
+def acquire_writer(
+    spark: SparkSession, out_dir: str, ttl_s: float = DEFAULT_TTL_S
+) -> WriterToken:
+    """Claim single-writer ownership of ``out_dir`` or raise
+    :class:`WriterFencedError` if a live pipeline already owns it."""
+    os.makedirs(out_dir, exist_ok=True)
+    cur = _read_token(out_dir)
+    if cur is not None and _owner_is_live(spark, out_dir, cur, ttl_s):
+        age = time.time() - float(cur.get("heartbeat", 0))
+        raise WriterFencedError(
+            f"sink {out_dir} is owned by writer {cur.get('owner')} "
+            f"(epoch {cur['epoch']}, pid {cur.get('pid')}, heartbeat "
+            f"{age:.0f}s ago, ttl {ttl_s:.0f}s): a second pipeline "
+            "appending to the same sink restarts batch ids and corrupts "
+            "the folded_through watermark — attach with the owning "
+            "pipeline's checkpoint instead, or wait out its lease"
+        )
+    new_epoch = (cur["epoch"] + 1) if cur is not None else 0
+    owner = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    # CAS: exactly one contender creates the epoch claim file
+    claim = os.path.join(out_dir, f"_writer_claim.{new_epoch}")
+    try:
+        fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        winner = _read_token(out_dir)
+        raise WriterFencedError(
+            f"lost the writer-acquisition race for {out_dir} at epoch "
+            f"{new_epoch} (current owner: "
+            f"{winner.get('owner') if winner else 'being committed'})"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(owner)
+    _write_canonical(
+        out_dir,
+        {
+            "owner": owner,
+            "epoch": new_epoch,
+            "pid": os.getpid(),
+            "run_id": None,
+            "heartbeat": time.time(),
+        },
+    )
+    # claim files and run-id sidecars of superseded epochs are debris
+    for name in os.listdir(out_dir):
+        if name.startswith(("_writer_claim.", "_writer_runid.")):
+            try:
+                if int(name.rsplit(".", 1)[1]) < new_epoch:
+                    os.remove(os.path.join(out_dir, name))
+            except (ValueError, FileNotFoundError):
+                pass
+    return WriterToken(out_dir, owner, new_epoch)

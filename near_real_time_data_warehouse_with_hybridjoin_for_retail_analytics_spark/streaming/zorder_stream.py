@@ -65,8 +65,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from ..operators.layout import _BUCKET_SHIFT, _MASK, _z_col
-from ..operators.layout import _HOUR_OR_SENTINEL, _USER_OR_SENTINEL
+from ..operators.layout import hilbert_bucketed, zorder_bucketed
 from .windows import EVENTS_SCHEMA
 
 # Staged-row backlog that triggers an incremental rewrite. Test-scale
@@ -81,15 +80,46 @@ REWRITE_STAGED_ROWS = 500
 _STAGING_SCHEMA = EVENTS_SCHEMA + ", file_bucket long, batch_id long"
 
 
-def _bucketed(df: DataFrame) -> DataFrame:
+# Clustering keys the gate can maintain. Both are the BATCH executor's
+# own sentinel-keyed map-side expressions (operators.layout), so the
+# stream/batch layout-equivalence property holds per key by
+# construction; everything downstream of the key (staging, folds,
+# hardlink carry, vacuum) is key-agnostic — it sees only file_bucket.
+_KEYS = {"morton": zorder_bucketed, "hilbert": hilbert_bucketed}
+
+
+def _bucketed(df: DataFrame, key: str = "morton") -> DataFrame:
     """Rows + file_bucket via the batch executor's sentinel-keyed
-    map-side Morton expressions."""
-    keyed = df.withColumn(
-        "u", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_MASK))
-    ).withColumn("t", F.expr(_HOUR_OR_SENTINEL).bitwiseAND(F.lit(_MASK)))
-    return keyed.withColumn(
-        "file_bucket", F.shiftright(_z_col(), _BUCKET_SHIFT)
-    ).drop("u", "t")
+    map-side expressions for the chosen clustering key."""
+    return _KEYS[key](df)
+
+
+def _key_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_layout_key")
+
+
+def _pin_key(out_dir: str, key: str) -> None:
+    """Pin the sink's clustering key on first use; a later attach with
+    a DIFFERENT key hard-errors — its buckets would interleave rows
+    from two incompatible bucket spaces and silently destroy the
+    layout invariant every reader prunes by."""
+    path = _key_path(out_dir)
+    try:
+        with open(path) as fh:
+            pinned = fh.read().strip()
+    except FileNotFoundError:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(key)
+        os.replace(tmp, path)
+        return
+    if pinned != key:
+        raise RuntimeError(
+            f"layout-key mismatch on {out_dir}: sink is clustered by "
+            f"'{pinned}' but this pipeline was started with '{key}' — "
+            "mixing bucket spaces would corrupt the layout; use the "
+            "pinned key or a fresh sink"
+        )
 
 
 def _marker_path(out_dir: str) -> str:
@@ -329,9 +359,25 @@ def run_zorder_stream(
     max_files_per_trigger: int = 1,
     checkpoint: str | None = None,
     rewrite_staged_rows: int = REWRITE_STAGED_ROWS,
+    key: str = "morton",
 ) -> StreamingQuery:
-    """Continuous z-order maintenance over an events parquet feed.
-    See the module docstring for the contract."""
+    """Continuous clustered-layout maintenance over an events parquet
+    feed, for either clustering ``key`` ('morton' or 'hilbert' — the
+    batch executors' own expressions). See the module docstring for
+    the contract. The single-writer contract is now ENFORCED, not just
+    documented (round-15 verdict item 5): a second pipeline attaching
+    to a live sink raises ``fencing.WriterFencedError`` at start, and
+    a writer whose lease was taken over fails its next batch instead
+    of zombie-writing past the takeover. The sink's key is pinned on
+    first use (``_layout_key``); attaching with a different key is a
+    hard error."""
+    from .fencing import acquire_writer
+
+    if key not in _KEYS:
+        raise ValueError(f"unknown clustering key {key!r}; one of {sorted(_KEYS)}")
+    os.makedirs(out_dir, exist_ok=True)
+    _pin_key(out_dir, key)
+    token = acquire_writer(spark, out_dir)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -340,10 +386,10 @@ def run_zorder_stream(
     staging = os.path.join(out_dir, "staging")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(out_dir, exist_ok=True)
+        token.verify_and_renew()  # fail the batch, never zombie-write
         _recover_sweep(out_dir)
         (
-            _bucketed(batch_df)
+            _bucketed(batch_df, key)
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
             .write.mode("append")
             .parquet(staging)
@@ -364,4 +410,6 @@ def run_zorder_stream(
         .outputMode("append")
         .trigger(availableNow=True)
     )
-    return writer.start()
+    q = writer.start()
+    token.bind_query(str(q.runId))
+    return q

@@ -8,6 +8,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
@@ -35,14 +37,24 @@ def _feed(spark, tmp_path, n_files=5) -> str:
     return feed
 
 
-def _run(spark, feed, out, ckpt, threshold=60):
+def _run(spark, feed, out, ckpt, threshold=60, key="morton"):
     q = zorder_stream.run_zorder_stream(
         spark, feed, out,
         max_files_per_trigger=1,
         checkpoint=ckpt,
         rewrite_staged_rows=threshold,
+        key=key,
     )
     q.awaitTermination(120)
+
+
+# Both clustering keys the gate maintains, with their batch twins —
+# the layout-equivalence, replay and dirty-bucket properties must hold
+# identically for each (round-15 verdict item 3).
+KEYS = [
+    ("morton", layout.zorder_apply_events),
+    ("hilbert", layout.hilbert_apply_events),
+]
 
 
 def _base_rows(spark, out):
@@ -52,14 +64,15 @@ def _base_rows(spark, out):
     return sorted(tuple(r) for r in df.select(*COLS, "file_bucket").collect())
 
 
-def test_stream_zorder_matches_batch_executor(spark, tmp_path):
+@pytest.mark.parametrize("key,batch_apply", KEYS)
+def test_stream_zorder_matches_batch_executor(spark, tmp_path, key, batch_apply):
     feed = _feed(spark, tmp_path)
     out = str(tmp_path / "zs")
-    _run(spark, feed, out, str(tmp_path / "ck0"))
+    _run(spark, feed, out, str(tmp_path / "ck0"), key=key)
     zorder_stream.finalize_zorder(spark, out)
 
     dest = str(tmp_path / "batch")
-    layout.zorder_apply_events(spark, SF, dest)
+    batch_apply(spark, SF, dest)
     want = sorted(
         tuple(r)
         for r in spark.read.parquet(dest).select(*COLS, "file_bucket").collect()
@@ -79,15 +92,16 @@ def test_stream_zorder_matches_batch_executor(spark, tmp_path):
             assert len(files) == 1, name
 
 
-def test_full_replay_is_exactly_once(spark, tmp_path):
+@pytest.mark.parametrize("key", [k for k, _ in KEYS])
+def test_full_replay_is_exactly_once(spark, tmp_path, key):
     feed = _feed(spark, tmp_path)
     out = str(tmp_path / "zs")
-    _run(spark, feed, out, str(tmp_path / "ck0"))
+    _run(spark, feed, out, str(tmp_path / "ck0"), key=key)
     zorder_stream.finalize_zorder(spark, out)
     first = _base_rows(spark, out)
 
     # checkpoint lost: the whole feed replays into the same sink
-    _run(spark, feed, out, str(tmp_path / "ck1"))
+    _run(spark, feed, out, str(tmp_path / "ck1"), key=key)
     zorder_stream.finalize_zorder(spark, out)
     again = _base_rows(spark, out)
     assert again == first
@@ -97,13 +111,14 @@ def test_full_replay_is_exactly_once(spark, tmp_path):
     assert view.count() == view.select("event_id").distinct().count()
 
 
-def test_fold_rewrites_only_dirty_buckets(spark, tmp_path):
+@pytest.mark.parametrize("key", [k for k, _ in KEYS])
+def test_fold_rewrites_only_dirty_buckets(spark, tmp_path, key):
     """The liquid-clustering property: a fold whose staged rows touch
     a few buckets carries every CLEAN bucket's file into the new
     generation by hardlink (same inode), never a rewrite."""
     feed = _feed(spark, tmp_path)
     out = str(tmp_path / "zs")
-    _run(spark, feed, out, str(tmp_path / "ck0"))
+    _run(spark, feed, out, str(tmp_path / "ck0"), key=key)
     zorder_stream.finalize_zorder(spark, out)
     gen0, _ = zorder_stream._gen_state(out)
     base0 = zorder_stream._base_dir(out, gen0)
@@ -128,7 +143,7 @@ def test_fold_rewrites_only_dirty_buckets(spark, tmp_path):
         "value double, props string",
     )
     late.coalesce(1).write.mode("append").parquet(feed)
-    _run(spark, feed, out, str(tmp_path / "ck0"), threshold=10)
+    _run(spark, feed, out, str(tmp_path / "ck0"), threshold=10, key=key)
     zorder_stream.finalize_zorder(spark, out)
 
     gen1, _ = zorder_stream._gen_state(out)
@@ -136,7 +151,7 @@ def test_fold_rewrites_only_dirty_buckets(spark, tmp_path):
     base1 = zorder_stream._base_dir(out, gen1)
     dirty = {
         f"file_bucket={int(r[0])}"
-        for r in zorder_stream._bucketed(late)
+        for r in zorder_stream._bucketed(late, key)
         .select("file_bucket").distinct().collect()
     }
     carried = rewritten = 0
@@ -346,3 +361,80 @@ def test_sweep_crash_midway_is_idempotent(spark, tmp_path):
     # second sweep: no-op, same state
     zorder_stream.sweep_staging(spark, out)
     assert zorder_stream.clustered_table(spark, out).count() == 30
+
+
+def test_second_pipeline_is_fenced_while_first_is_live(spark, tmp_path):
+    """Round-15 verdict item 5: two concurrent sessions on one sink →
+    one proceeds, the other raises the named protocol error (a second
+    pipeline with a fresh checkpoint would restart batch ids and
+    corrupt the folded_through watermark)."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming.fencing import (
+        WriterFencedError,
+    )
+
+    feed = _feed(spark, tmp_path, n_files=8)  # 8 triggers: stays live
+    out = str(tmp_path / "zs")
+    q1 = zorder_stream.run_zorder_stream(
+        spark, feed, out,
+        max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ck0"),
+        rewrite_staged_rows=10_000,
+    )
+    try:
+        assert q1.isActive
+        with pytest.raises(WriterFencedError, match="owned by writer"):
+            zorder_stream.run_zorder_stream(
+                spark, feed, out,
+                max_files_per_trigger=1,
+                checkpoint=str(tmp_path / "ck1"),
+            )
+    finally:
+        q1.awaitTermination(120)
+    # once the owner terminated, a sequential re-attach (resume /
+    # replay) takes the lease over cleanly — same-process liveness is
+    # exact (run-id no longer active), no TTL wait
+    _run(spark, feed, out, str(tmp_path / "ck0"))
+    zorder_stream.finalize_zorder(spark, out)
+    n_src = load_table(spark, SF, "events").count()
+    assert zorder_stream.clustered_table(spark, out).count() == n_src
+
+
+def test_fenced_writer_fails_instead_of_zombie_writing(spark, tmp_path):
+    """The fencing-token property: a writer whose lease was taken over
+    must fail its next write, not write past the takeover."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        fencing,
+    )
+
+    out = str(tmp_path / "sink")
+    tok_a = fencing.acquire_writer(spark, out)
+    # B takes over (ttl 0: A's lease is treated as lapsed — the
+    # cross-process crash-recovery path)
+    tok_b = fencing.acquire_writer(spark, out, ttl_s=0.0)
+    assert tok_b.epoch == tok_a.epoch + 1
+    with pytest.raises(fencing.WriterFencedError, match="fenced off"):
+        tok_a.verify_and_renew()
+    tok_b.verify_and_renew()  # the new owner proceeds
+    # and a live (fresh-heartbeat) owner blocks contenders at default ttl
+    with pytest.raises(fencing.WriterFencedError, match="owned by writer"):
+        fencing.acquire_writer(spark, out)
+
+
+def test_layout_key_is_pinned_per_sink(spark, tmp_path):
+    """A sink clustered by one key hard-errors on attach with another —
+    mixing bucket spaces would corrupt the layout invariant."""
+    feed = _feed(spark, tmp_path, n_files=2)
+    out = str(tmp_path / "zs")
+    _run(spark, feed, out, str(tmp_path / "ck0"), key="morton")
+    with pytest.raises(RuntimeError, match="layout-key mismatch"):
+        zorder_stream.run_zorder_stream(
+            spark, feed, out,
+            checkpoint=str(tmp_path / "ck1"),
+            key="hilbert",
+        )
+    with pytest.raises(ValueError, match="unknown clustering key"):
+        zorder_stream.run_zorder_stream(
+            spark, feed, out,
+            checkpoint=str(tmp_path / "ck2"),
+            key="zcurve",
+        )
