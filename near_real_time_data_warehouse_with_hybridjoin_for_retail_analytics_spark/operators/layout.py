@@ -709,13 +709,12 @@ _VALUE_FLOOR_OR_SENTINEL = (
 )
 
 
-def _zorder3_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events + (u, t, v, file_bucket) — the 3-key executor's map-side
-    Morton expressions over the full row (bit-preserving rewrite).
-    Sentinel keys for every dimension, like the 2-key executor."""
-    ev = load_table(spark, sf_dir, "events")
+def zorder3_bucketed(df: DataFrame) -> DataFrame:
+    """Any events-shaped frame + file_bucket via the sentinel-keyed
+    3-dimension Morton expressions — shared by the batch executor and
+    the streaming maintenance gate."""
     keyed = (
-        ev.withColumn("u", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_MASK3)))
+        df.withColumn("u", F.expr(_USER_OR_SENTINEL).bitwiseAND(F.lit(_MASK3)))
         .withColumn("t", F.expr(_HOUR_OR_SENTINEL).bitwiseAND(F.lit(_MASK3)))
         .withColumn(
             "v", F.expr(_VALUE_FLOOR_OR_SENTINEL).bitwiseAND(F.lit(_MASK3))
@@ -724,6 +723,13 @@ def _zorder3_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.withColumn(
         "file_bucket", F.shiftright(_z3_col(), _BUCKET3_SHIFT)
     ).drop("u", "t", "v")
+
+
+def _zorder3_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + file_bucket — the 3-key executor's map-side Morton
+    expressions over the full row (bit-preserving rewrite). Sentinel
+    keys for every dimension, like the 2-key executor."""
+    return zorder3_bucketed(load_table(spark, sf_dir, "events"))
 
 
 def zorder3_apply_events(spark: SparkSession, sf_dir: str, dest: str) -> None:

@@ -65,7 +65,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from ..operators.layout import hilbert_bucketed, zorder_bucketed
+from ..operators.layout import (
+    hilbert_bucketed,
+    zorder3_bucketed,
+    zorder_bucketed,
+)
 from .windows import EVENTS_SCHEMA
 
 # Staged-row backlog that triggers an incremental rewrite. Test-scale
@@ -85,7 +89,11 @@ _STAGING_SCHEMA = EVENTS_SCHEMA + ", file_bucket long, batch_id long"
 # stream/batch layout-equivalence property holds per key by
 # construction; everything downstream of the key (staging, folds,
 # hardlink carry, vacuum) is key-agnostic — it sees only file_bucket.
-_KEYS = {"morton": zorder_bucketed, "hilbert": hilbert_bucketed}
+_KEYS = {
+    "morton": zorder_bucketed,
+    "hilbert": hilbert_bucketed,
+    "morton3": zorder3_bucketed,
+}
 
 
 def _bucketed(df: DataFrame, key: str = "morton") -> DataFrame:

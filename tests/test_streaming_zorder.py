@@ -54,6 +54,7 @@ def _run(spark, feed, out, ckpt, threshold=60, key="morton"):
 KEYS = [
     ("morton", layout.zorder_apply_events),
     ("hilbert", layout.hilbert_apply_events),
+    ("morton3", layout.zorder3_apply_events),
 ]
 
 
