@@ -678,6 +678,16 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(REV).alias("revenue"))
     )
+    # LAG over the INTEGER key too, names attached last (r16, from the
+    # q15 pair decomposition in SCALE.md): partitioning by sk is
+    # partitioning by (nation, supplier) — 1:1 — so the growth values
+    # are identical, but the window's exchange + sort move 8-byte ints
+    # instead of two strings (measured −8% on the sf0.1 entry; the
+    # remaining pair residual is output cardinality, a named constant).
+    w = Window.partitionBy("sk").orderBy("sale_year", "monthnum")
+    prev = F.lag("revenue").over(w)
+    growth = (F.col("revenue") - prev) / F.nullif(prev, F.lit(0)) * 100
+    m = m.withColumn("growth_pct", growth)
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
     names = su.join(na, su["s_nationkey"] == na["n_nationkey"]).select(
@@ -685,11 +695,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.col("s_name").alias("supplier"),
     )
-    m = m.join(F.broadcast(names), "sk")
-    w = Window.partitionBy("nation", "supplier").orderBy("sale_year", "monthnum")
-    prev = F.lag("revenue").over(w)
-    growth = (F.col("revenue") - prev) / F.nullif(prev, F.lit(0)) * 100
-    return m.withColumn("growth_pct", growth).select(
+    return m.join(F.broadcast(names), "sk").select(
         "nation", "supplier", "sale_year", "monthnum", "revenue", "growth_pct"
     )
 
