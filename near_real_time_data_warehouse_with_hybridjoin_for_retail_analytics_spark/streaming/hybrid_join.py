@@ -312,7 +312,23 @@ def run_stream(
         state = {"offset": _existing_max_id(spark, output_dir)}
         marker_dir = output_dir
 
+    # Single-writer contract ENFORCED for the filesystem sink (round
+    # 16, like the z-order and compaction gates): a second pipeline
+    # attaching to a live sink would re-mint the id sequence from a
+    # stale MAX(sales_id) and interleave batch markers — fence it off
+    # at start with a named error, and fail a superseded writer's next
+    # batch instead of letting it zombie-write. The JDBC sink keeps
+    # the documented contract (its sink is a DB table, not a dir we
+    # can put a token in; the database's own locking is the fence).
+    token = None
+    if sink_format != "jdbc":
+        from .fencing import acquire_writer
+
+        token = acquire_writer(spark, output_dir)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if token is not None:
+            token.verify_and_renew()  # fail the batch, never zombie-write
         # Idempotent replay: a manifest marker per committed batch
         # (underscore prefix → invisible to parquet readers, like
         # _SUCCESS) makes a redelivered batch a no-op — its rows (and
@@ -381,7 +397,10 @@ def run_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    q = writer.start()
+    if token is not None:
+        token.bind_query(str(q.runId))
+    return q
 
 
 def _commit_manifest_marker(marker: str, staging: str) -> None:
