@@ -1088,3 +1088,231 @@ def hilbert_apply_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hour_idx").alias("max_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering-quality metric (staged for round 17)
+# ---------------------------------------------------------------------------
+# Completes the layout family's lifecycle: PLAN (envelope tables),
+# APPLY (measured one-file-per-bucket rewrites), and now MEASURE — the
+# number Delta's liquid clustering surfaces as "clustering depth" and
+# every OPTIMIZE decision is justified by. For each candidate layout
+# the metric is the exact per-bucket zone-map SPAN of each query
+# dimension: a point predicate on dimension d hits a bucket iff the
+# point falls inside that bucket's [min_d, max_d], so the sum of spans
+# (+1 per bucket) is |domain| × the expected number of buckets a
+# uniform point-lookup reads — smaller spans = more pruning. All spans
+# are exact integers on the executors' sentinel keys, so the DuckDB
+# oracle replays the table bit-for-bit.
+#
+# Four layouts, same 64-bucket budget:
+#   hour          — the ingest-order baseline (equal hour ranges):
+#                   hour spans are tiny but user spans cover ~the
+#                   whole domain, so a user predicate prunes nothing;
+#   morton        — the 2-key z-order executor's buckets, as
+#                   registered (raw bit-interleave);
+#   hilbert       — the Hilbert executor's buckets, as registered;
+#   morton_scaled — z-order over min-max-SCALED dimensions, the
+#                   production form (Delta/Iceberg normalize each
+#                   column onto the full grid before interleaving).
+#
+# Building this metric surfaced a real characterization: raw
+# bit-interleave DEGENERATES when a dimension's live domain is small
+# or offset — on the sf0.01 corpus the epoch-hour (~474071) masks to
+# a narrow 16-bit band and user ids never set the top bits, so ALL
+# rows land in ONE raw-morton/hilbert bucket (the committed apply
+# oracles are unaffected — they state envelopes of whatever buckets
+# exist — but pruning is nil). The scaled leg measures the fix; the
+# report makes the difference a number instead of folklore.
+#
+# 100 TB shape: each leg is the executor's map-side key + a groupBy
+# over ≤ Z_FILES bounded groups; the baseline leg adds one broadcast
+# scalar aggregate for the hour domain. Nothing scales past the three
+# linear key passes.
+
+
+def hour_bucketed(df: DataFrame) -> DataFrame:
+    """The naive ingest-order layout: 64 equal hour ranges (what a
+    time-partitioned table gives you with no clustering). Sentinel
+    hour for NULL ts, like the executors."""
+    keyed = df.withColumn("hour_key", F.expr(_HOUR_OR_SENTINEL))
+    dom = keyed.agg(
+        F.min("hour_key").alias("hmin"),
+        (F.max("hour_key") - F.min("hour_key") + 1).alias("hspan"),
+    )
+    return (
+        keyed.crossJoin(F.broadcast(dom))
+        .withColumn(
+            "file_bucket",
+            F.expr(f"((hour_key - hmin) * {Z_FILES}) DIV hspan"),
+        )
+        .drop("hmin", "hspan", "hour_key")
+    )
+
+
+def zorder_scaled_bucketed(df: DataFrame) -> DataFrame:
+    """PRODUCTION-form z-order: min-max scale each dimension onto the
+    full Z_BITS grid BEFORE interleaving — what Delta/Iceberg's
+    OPTIMIZE actually does (range/quantile normalization per column).
+    Raw bit-interleave (the registered executors) degenerates when a
+    dimension's live domain is small or offset (e.g. epoch-hour
+    ~474071: the top interleaved bits are constant, every row lands in
+    one bucket); scaling fixes the offset/width degeneracy while
+    keeping every step exact integer arithmetic (spans × 65535 stay
+    far inside int64), so the oracle replays it bit-for-bit."""
+    keyed = df.withColumn("uk", F.expr(_USER_OR_SENTINEL)).withColumn(
+        "tk", F.expr(_HOUR_OR_SENTINEL)
+    )
+    dom = keyed.agg(
+        F.min("uk").alias("umin"),
+        F.greatest(F.max("uk") - F.min("uk"), F.lit(1)).alias("uspan"),
+        F.min("tk").alias("tmin"),
+        F.greatest(F.max("tk") - F.min("tk"), F.lit(1)).alias("tspan"),
+    )
+    scaled = (
+        keyed.crossJoin(F.broadcast(dom))
+        .withColumn("u", F.expr(f"((uk - umin) * {_MASK}) DIV uspan"))
+        .withColumn("t", F.expr(f"((tk - tmin) * {_MASK}) DIV tspan"))
+    )
+    return scaled.withColumn(
+        "file_bucket", F.shiftright(_z_col(), _BUCKET_SHIFT)
+    ).drop("uk", "tk", "umin", "uspan", "tmin", "tspan", "u", "t")
+
+
+def _zorder_scaled_env_sql() -> str:
+    return f"""
+    WITH hk AS (
+      SELECT coalesce(user_id, -1) AS user_key,
+             coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) AS hour_key
+      FROM events
+    ),
+    dom AS (
+      SELECT MIN(user_key) AS umin,
+             greatest(MAX(user_key) - MIN(user_key), 1) AS uspan,
+             MIN(hour_key) AS tmin,
+             greatest(MAX(hour_key) - MIN(hour_key), 1) AS tspan
+      FROM hk
+    ),
+    keyed AS (
+      SELECT user_key, hour_key,
+             ((user_key - umin) * {_MASK}) // uspan AS u,
+             ((hour_key - tmin) * {_MASK}) // tspan AS t
+      FROM hk CROSS JOIN dom
+    ),
+    z AS (
+      SELECT user_key, hour_key,
+             ({_z_terms_sql()}) >> {_BUCKET_SHIFT} AS file_bucket
+      FROM keyed
+    )
+    SELECT file_bucket,
+           MIN(user_key) AS min_user, MAX(user_key) AS max_user,
+           MIN(hour_key) AS min_hour, MAX(hour_key) AS max_hour
+    FROM z GROUP BY 1
+    """
+
+
+def _envelopes(bucketed: DataFrame) -> DataFrame:
+    """Per-bucket zone maps on the executors' sentinel keys."""
+    return (
+        bucketed.select(
+            "file_bucket",
+            F.expr(_USER_OR_SENTINEL).alias("user_key"),
+            F.expr(_HOUR_OR_SENTINEL).alias("hour_key"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.min("user_key").alias("mu"),
+            F.max("user_key").alias("xu"),
+            F.min("hour_key").alias("mh"),
+            F.max("hour_key").alias("xh"),
+        )
+    )
+
+
+def _quality(env: DataFrame, layout: str) -> DataFrame:
+    return env.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("xu") - F.col("mu")).cast("long").alias("user_span_sum"),
+        F.sum(F.col("xh") - F.col("mh")).cast("long").alias("hour_span_sum"),
+        F.max(F.col("xu") - F.col("mu")).cast("long").alias("user_span_max"),
+        F.max(F.col("xh") - F.col("mh")).cast("long").alias("hour_span_max"),
+    ).withColumn("layout", F.lit(layout))
+
+
+_QUALITY_COLS = [
+    "layout", "n_buckets", "user_span_sum", "hour_span_sum",
+    "user_span_max", "hour_span_max",
+]
+
+
+def _quality_block_sql(env_subquery: str, layout: str) -> str:
+    """SELECT of the span aggregates over a per-bucket envelope
+    subquery exposing (min_user, max_user, min_hour, max_hour)."""
+    return f"""
+    SELECT '{layout}' AS layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(max_user - min_user) AS BIGINT) AS user_span_sum,
+           CAST(SUM(max_hour - min_hour) AS BIGINT) AS hour_span_sum,
+           CAST(MAX(max_user - min_user) AS BIGINT) AS user_span_max,
+           CAST(MAX(max_hour - min_hour) AS BIGINT) AS hour_span_max
+    FROM ({env_subquery})
+    """
+
+
+def _hour_env_sql() -> str:
+    return f"""
+    WITH hk AS (
+      SELECT coalesce(user_id, -1) AS user_key,
+             coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) AS hour_key
+      FROM events
+    ),
+    dom AS (
+      SELECT MIN(hour_key) AS hmin,
+             MAX(hour_key) - MIN(hour_key) + 1 AS hspan
+      FROM hk
+    ),
+    b AS (
+      SELECT user_key, hour_key,
+             ((hour_key - hmin) * {Z_FILES}) // hspan AS file_bucket
+      FROM hk CROSS JOIN dom
+    )
+    SELECT file_bucket,
+           MIN(user_key) AS min_user, MAX(user_key) AS max_user,
+           MIN(hour_key) AS min_hour, MAX(hour_key) AS max_hour
+    FROM b GROUP BY 1
+    """
+
+
+def _cluster_quality_sql() -> str:
+    """Staged oracle for the round-17 ``layout_cluster_quality`` entry:
+    the hour-baseline envelope CTE plus the committed APPLY oracles of
+    the morton and hilbert executors (their n_files column is simply
+    not referenced by the span aggregate)."""
+    blocks = [
+        _quality_block_sql(_hour_env_sql(), "hour"),
+        _quality_block_sql(_zorder_apply_sql(), "morton"),
+        _quality_block_sql(_hilbert_apply_sql(), "hilbert"),
+        _quality_block_sql(_zorder_scaled_env_sql(), "morton_scaled"),
+    ]
+    return "\nUNION ALL\n".join(blocks)
+
+
+def layout_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report: per candidate layout, the exact
+    per-dimension zone-map span sums and maxima over the 64-bucket
+    budget. The demonstrable property (pytest): under the naive hour
+    layout a user predicate prunes ~nothing (per-bucket user spans ≈
+    the whole domain) while morton/hilbert confine BOTH dimensions —
+    the measured justification for running OPTIMIZE at all. Staged for
+    round 17 (rotation window; see COVERAGE.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        _quality(_envelopes(hour_bucketed(ev)), "hour"),
+        _quality(_envelopes(zorder_bucketed(ev)), "morton"),
+        _quality(_envelopes(hilbert_bucketed(ev)), "hilbert"),
+        _quality(_envelopes(zorder_scaled_bucketed(ev)), "morton_scaled"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*_QUALITY_COLS)
