@@ -1179,7 +1179,9 @@ def zorder_scaled_bucketed(df: DataFrame) -> DataFrame:
     ).drop("uk", "tk", "umin", "uspan", "tmin", "tspan", "u", "t")
 
 
-def _zorder_scaled_env_sql() -> str:
+def _zorder_scaled_keyed_sql() -> str:
+    """Per-ROW (user_key, hour_key, file_bucket) under the scaled key
+    — the shared base of the envelope / planner / apply oracles."""
     return f"""
     WITH hk AS (
       SELECT coalesce(user_id, -1) AS user_key,
@@ -1198,16 +1200,19 @@ def _zorder_scaled_env_sql() -> str:
              ((user_key - umin) * {_MASK}) // uspan AS u,
              ((hour_key - tmin) * {_MASK}) // tspan AS t
       FROM hk CROSS JOIN dom
-    ),
-    z AS (
-      SELECT user_key, hour_key,
-             ({_z_terms_sql()}) >> {_BUCKET_SHIFT} AS file_bucket
-      FROM keyed
     )
+    SELECT user_key, hour_key,
+           ({_z_terms_sql()}) >> {_BUCKET_SHIFT} AS file_bucket
+    FROM keyed
+    """
+
+
+def _zorder_scaled_env_sql() -> str:
+    return f"""
     SELECT file_bucket,
            MIN(user_key) AS min_user, MAX(user_key) AS max_user,
            MIN(hour_key) AS min_hour, MAX(hour_key) AS max_hour
-    FROM z GROUP BY 1
+    FROM ({_zorder_scaled_keyed_sql()}) GROUP BY 1
     """
 
 
@@ -1316,3 +1321,115 @@ def layout_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*_QUALITY_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Scaled z-order planner + executor (staged for round 17)
+# ---------------------------------------------------------------------------
+# The fix the clustering-quality metric above motivates, as a graded
+# pair: OPTIMIZE ZORDER with min-max dimension normalization — the
+# form that keeps all Z_FILES buckets populated on ANY live domain
+# (offset epoch-hours, small id ranges), where the raw-interleave
+# executors degenerate. Same 100 TB shape as every layout executor:
+# one extra broadcast scalar aggregate for the domain, then a map-side
+# key, one clustering repartition, one file per bucket.
+
+
+def _zorder_scaled_sql() -> str:
+    """Staged oracle for ``layout_zorder_scaled_events``: the scaled
+    envelope table with row counts."""
+    return f"""
+    SELECT CAST(file_bucket AS BIGINT) AS file_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_key) AS BIGINT) AS min_user,
+           CAST(MAX(user_key) AS BIGINT) AS max_user,
+           CAST(MIN(hour_key) AS BIGINT) AS min_hour,
+           CAST(MAX(hour_key) AS BIGINT) AS max_hour
+    FROM ({_zorder_scaled_keyed_sql()}) GROUP BY 1
+    """
+
+
+def layout_zorder_scaled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map envelope table of the SCALED z-order layout (planner
+    half; staged for round 17). Unlike the raw planner, every bucket
+    is populated on the live domain and confines each dimension to an
+    aligned 1/8 slice of it — pinned by tests/test_round16_ops.py."""
+    ev = zorder_scaled_bucketed(load_table(spark, sf_dir, "events"))
+    return (
+        ev.select(
+            "file_bucket",
+            F.expr(_USER_OR_SENTINEL).alias("user_key"),
+            F.expr(_HOUR_OR_SENTINEL).alias("hour_key"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("user_key").alias("min_user"),
+            F.max("user_key").alias("max_user"),
+            F.min("hour_key").alias("min_hour"),
+            F.max("hour_key").alias("max_hour"),
+        )
+    )
+
+
+def zorder_scaled_apply_events(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> None:
+    """Execute the scaled z-order layout: one parquet file per scaled
+    z-range bucket under ``dest`` (idempotent overwrite)."""
+    (
+        zorder_scaled_bucketed(load_table(spark, sf_dir, "events"))
+        .repartition("file_bucket")
+        .write.mode("overwrite")
+        .partitionBy("file_bucket")
+        .parquet(dest)
+    )
+    from .artifacts import renew_lease
+
+    renew_lease(dest)
+
+
+def _zorder_scaled_apply_sql() -> str:
+    """Staged oracle for ``layout_zorder_scaled_apply``: the scaled
+    envelope table plus the one-file-per-bucket physical contract."""
+    return f"""
+    SELECT CAST(file_bucket AS BIGINT) AS file_bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_key) AS BIGINT) AS min_user,
+           CAST(MAX(user_key) AS BIGINT) AS max_user,
+           CAST(MIN(hour_key) AS BIGINT) AS min_hour,
+           CAST(MAX(hour_key) AS BIGINT) AS max_hour
+    FROM ({_zorder_scaled_keyed_sql()}) GROUP BY 1
+    """
+
+
+def zorder_scaled_apply_inventory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rewrite + POST-rewrite inventory measured from the files (the
+    apply proof pattern). Staged for round 17."""
+    from .artifacts import app_scoped_dest
+
+    dest = app_scoped_dest(
+        spark, sf_dir, "/tmp/sparkgraft_zorder_scaled", "events"
+    )
+    zorder_scaled_apply_events(spark, sf_dir, dest)
+    back = spark.read.parquet(dest)
+    return (
+        back.select(
+            F.col("file_bucket").cast("long").alias("file_bucket"),
+            F.input_file_name().alias("file"),
+            F.expr(_USER_OR_SENTINEL).alias("user_key"),
+            F.expr(_HOUR_OR_SENTINEL).alias("hour_key"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.countDistinct("file").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("user_key").alias("min_user"),
+            F.max("user_key").alias("max_user"),
+            F.min("hour_key").alias("min_hour"),
+            F.max("hour_key").alias("max_hour"),
+        )
+    )

@@ -112,3 +112,119 @@ def test_scaled_clustering_beats_naive_on_the_blind_dimension(quality):
 def test_bucket_budget_respected(quality):
     for lay, r in quality.items():
         assert 1 <= r["n_buckets"] <= layout.Z_FILES, lay
+
+
+# --- scaled z-order planner + executor (staged for round 17) ---------------
+
+
+def _duck(sf=SF):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_zorder_scaled_planner_matches_staged_oracle(spark):
+    got = _rows(
+        layout.layout_zorder_scaled_events(spark, SF).select(
+            "file_bucket", "n_events", "min_user", "max_user",
+            "min_hour", "max_hour",
+        )
+    )
+    want = sorted(
+        _duck().execute(
+            "SELECT file_bucket, n_events, min_user, max_user, "
+            "min_hour, max_hour FROM (" + layout._zorder_scaled_sql() + ")"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > layout.Z_FILES // 2  # the grid is genuinely used
+
+
+def test_zorder_scaled_apply_one_file_per_bucket(spark):
+    inv = layout.zorder_scaled_apply_inventory(spark, SF)
+    rows = _rows(inv.select(
+        "file_bucket", "n_files", "n_events", "min_user", "max_user",
+        "min_hour", "max_hour",
+    ))
+    want = sorted(
+        _duck().execute(
+            "SELECT file_bucket, n_files, n_events, min_user, max_user, "
+            "min_hour, max_hour FROM ("
+            + layout._zorder_scaled_apply_sql() + ")"
+        ).fetchall()
+    )
+    assert rows == want  # incl. the measured n_files = 1 contract
+
+
+def test_zorder_scaled_hostile_corpus_side_by_side(spark, tmp_path):
+    """NULL user/ts, pre-epoch timestamps, single-row domains: the
+    scaled key's sentinel + greatest(span,1) arithmetic must agree
+    between engines on the corpus the sentinels exist for."""
+    import datetime as dt
+
+    rows = [
+        (1, None, None, "a", 1.0, "{}"),                       # all NULL dims
+        (2, dt.datetime(1969, 12, 31, 23, 0, 0), 5, "b", 1.0, "{}"),  # pre-epoch
+        (3, dt.datetime(2024, 1, 1, 0, 0, 0), None, "c", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 1, 0, 0), 7, "d", 1.0, "{}"),
+        (5, dt.datetime(2030, 6, 1, 12, 0, 0), 123456, "e", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "hostile")
+    df.write.mode("overwrite").parquet(p)
+    got = _rows(
+        layout._envelopes(layout.zorder_scaled_bucketed(
+            spark.read.parquet(p)
+        )).selectExpr(
+            "file_bucket", "mu", "xu", "mh", "xh"
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    want = sorted(
+        con.execute(
+            "SELECT file_bucket, min_user, max_user, min_hour, max_hour "
+            "FROM (" + layout._zorder_scaled_env_sql() + ")"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_scaled_single_row_domain(spark, tmp_path):
+    """Degenerate domain (one distinct value per dimension): span
+    clamps to 1 in both engines, everything in one well-defined
+    bucket, no division error."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), 42, "x", 1.0, "{}") for i in range(5)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "flat")
+    df.write.mode("overwrite").parquet(p)
+    env = layout._envelopes(
+        layout.zorder_scaled_bucketed(spark.read.parquet(p))
+    ).collect()
+    assert len(env) == 1
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    want = con.execute(
+        "SELECT COUNT(*) FROM (" + layout._zorder_scaled_env_sql() + ")"
+    ).fetchone()[0]
+    assert want == 1
