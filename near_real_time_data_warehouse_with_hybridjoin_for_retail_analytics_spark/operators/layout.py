@@ -1433,3 +1433,52 @@ def zorder_scaled_apply_inventory(
             F.max("hour_key").alias("max_hour"),
         )
     )
+
+
+def zorder_scaled_bucketed_fixed(
+    df: DataFrame, umin: int, uspan: int, tmin: int, tspan: int
+) -> DataFrame:
+    """Scaled z-order bucketing under a FROZEN domain (explicit
+    constants instead of the dataset's own min/max): the form a
+    streaming maintainer needs — every micro-batch must key against
+    the SAME grid or folds would mix bucket spaces, exactly like a
+    table format pins its clustering spec in metadata. With
+    (umin, uspan, tmin, tspan) equal to the corpus domain this
+    produces bit-identical buckets to ``zorder_scaled_bucketed``."""
+    uspan = max(int(uspan), 1)
+    tspan = max(int(tspan), 1)
+    # values OUTSIDE the frozen domain (late data past the measured
+    # max, a new user id) clamp to the grid edge — they land in the
+    # nearest edge bucket instead of producing a negative/overflowed
+    # interleave; identical to the dynamic form whenever the domain
+    # covers the data
+    u = f"least(greatest(((uk - {int(umin)}) * {_MASK}) DIV {uspan}, 0), {_MASK})"
+    t = f"least(greatest(((tk - {int(tmin)}) * {_MASK}) DIV {tspan}, 0), {_MASK})"
+    keyed = (
+        df.withColumn("uk", F.expr(_USER_OR_SENTINEL))
+        .withColumn("tk", F.expr(_HOUR_OR_SENTINEL))
+        .withColumn("u", F.expr(u))
+        .withColumn("t", F.expr(t))
+    )
+    return keyed.withColumn(
+        "file_bucket", F.shiftright(_z_col(), _BUCKET_SHIFT)
+    ).drop("uk", "tk", "u", "t")
+
+
+def scaled_domain(df: DataFrame) -> dict:
+    """The frozen-domain constants for ``zorder_scaled_bucketed_fixed``
+    measured from a reference corpus (one bounded scalar aggregate)."""
+    r = (
+        df.withColumn("uk", F.expr(_USER_OR_SENTINEL))
+        .withColumn("tk", F.expr(_HOUR_OR_SENTINEL))
+        .agg(
+            F.min("uk"), F.max("uk"), F.min("tk"), F.max("tk")
+        )
+        .first()
+    )
+    return {
+        "umin": int(r[0]),
+        "uspan": max(int(r[1]) - int(r[0]), 1),
+        "tmin": int(r[2]),
+        "tspan": max(int(r[3]) - int(r[2]), 1),
+    }

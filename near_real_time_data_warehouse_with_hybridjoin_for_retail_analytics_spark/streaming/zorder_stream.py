@@ -69,6 +69,7 @@ from ..operators.layout import (
     hilbert_bucketed,
     zorder3_bucketed,
     zorder_bucketed,
+    zorder_scaled_bucketed_fixed,
 )
 from .windows import EVENTS_SCHEMA
 
@@ -94,11 +95,26 @@ _KEYS = {
     "hilbert": hilbert_bucketed,
     "morton3": zorder3_bucketed,
 }
+# The scaled key additionally needs a FROZEN domain (the clustering
+# spec a table format pins in metadata): every micro-batch must key
+# against the same grid or folds would mix bucket spaces. Passed as
+# scale_domain={umin, uspan, tmin, tspan} (layout.scaled_domain
+# measures it from a reference corpus) and pinned with the key.
+_SCALED_KEY = "morton_scaled"
 
 
-def _bucketed(df: DataFrame, key: str = "morton") -> DataFrame:
+def _bucketed(
+    df: DataFrame, key: str = "morton", params: dict | None = None
+) -> DataFrame:
     """Rows + file_bucket via the batch executor's sentinel-keyed
     map-side expressions for the chosen clustering key."""
+    if key == _SCALED_KEY:
+        if not params:
+            raise ValueError(
+                f"clustering key '{_SCALED_KEY}' needs scale_domain="
+                "{umin, uspan, tmin, tspan} (layout.scaled_domain)"
+            )
+        return zorder_scaled_bucketed_fixed(df, **params)
     return _KEYS[key](df)
 
 
@@ -106,25 +122,31 @@ def _key_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_layout_key")
 
 
-def _pin_key(out_dir: str, key: str) -> None:
-    """Pin the sink's clustering key on first use; a later attach with
-    a DIFFERENT key hard-errors — its buckets would interleave rows
-    from two incompatible bucket spaces and silently destroy the
-    layout invariant every reader prunes by."""
+def _pin_key(out_dir: str, key: str, params: dict | None = None) -> None:
+    """Pin the sink's clustering key (and, for the scaled key, its
+    frozen domain) on first use; a later attach with a DIFFERENT key
+    or domain hard-errors — its buckets would interleave rows from
+    two incompatible bucket spaces and silently destroy the layout
+    invariant every reader prunes by."""
+    want = {"key": key, "params": params or None}
     path = _key_path(out_dir)
     try:
         with open(path) as fh:
-            pinned = fh.read().strip()
+            raw = fh.read().strip()
     except FileNotFoundError:
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(key)
+            json.dump(want, fh)
         os.replace(tmp, path)
         return
-    if pinned != key:
+    try:
+        pinned = json.loads(raw)
+    except ValueError:
+        pinned = {"key": raw, "params": None}  # pre-r16 plain-text pin
+    if pinned != want:
         raise RuntimeError(
             f"layout-key mismatch on {out_dir}: sink is clustered by "
-            f"'{pinned}' but this pipeline was started with '{key}' — "
+            f"{pinned} but this pipeline was started with {want} — "
             "mixing bucket spaces would corrupt the layout; use the "
             "pinned key or a fresh sink"
         )
@@ -368,10 +390,12 @@ def run_zorder_stream(
     checkpoint: str | None = None,
     rewrite_staged_rows: int = REWRITE_STAGED_ROWS,
     key: str = "morton",
+    scale_domain: dict | None = None,
 ) -> StreamingQuery:
     """Continuous clustered-layout maintenance over an events parquet
-    feed, for either clustering ``key`` ('morton' or 'hilbert' — the
-    batch executors' own expressions). See the module docstring for
+    feed, for any clustering ``key`` ('morton', 'hilbert', 'morton3',
+    or 'morton_scaled' with a frozen ``scale_domain`` — the batch
+    executors' own expressions). See the module docstring for
     the contract. The single-writer contract is now ENFORCED, not just
     documented (round-15 verdict item 5): a second pipeline attaching
     to a live sink raises ``fencing.WriterFencedError`` at start, and
@@ -381,10 +405,23 @@ def run_zorder_stream(
     hard error."""
     from .fencing import acquire_writer
 
-    if key not in _KEYS:
-        raise ValueError(f"unknown clustering key {key!r}; one of {sorted(_KEYS)}")
+    if key != _SCALED_KEY and key not in _KEYS:
+        raise ValueError(
+            f"unknown clustering key {key!r}; one of "
+            f"{sorted([*_KEYS, _SCALED_KEY])}"
+        )
+    if key == _SCALED_KEY and not scale_domain:
+        raise ValueError(
+            f"clustering key '{_SCALED_KEY}' needs scale_domain="
+            "{umin, uspan, tmin, tspan} (layout.scaled_domain)"
+        )
+    params = (
+        {k: int(scale_domain[k]) for k in ("umin", "uspan", "tmin", "tspan")}
+        if key == _SCALED_KEY
+        else None
+    )
     os.makedirs(out_dir, exist_ok=True)
-    _pin_key(out_dir, key)
+    _pin_key(out_dir, key, params)
     token = acquire_writer(spark, out_dir)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -397,7 +434,7 @@ def run_zorder_stream(
         token.verify_and_renew()  # fail the batch, never zombie-write
         _recover_sweep(out_dir)
         (
-            _bucketed(batch_df, key)
+            _bucketed(batch_df, key, params)
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
             .write.mode("append")
             .parquet(staging)

@@ -439,3 +439,48 @@ def test_layout_key_is_pinned_per_sink(spark, tmp_path):
             checkpoint=str(tmp_path / "ck2"),
             key="zcurve",
         )
+
+
+def test_scaled_key_stream_matches_batch_executor(spark, tmp_path):
+    """The scaled key's streaming twin: with the frozen domain set to
+    the corpus domain (the clustering spec a table format pins), the
+    finalized stream layout equals the batch scaled executor's output
+    bucket-for-bucket, and attaching with a DIFFERENT frozen domain is
+    a hard error (it would be a different bucket space)."""
+    feed = _feed(spark, tmp_path)
+    out = str(tmp_path / "zs")
+    dom = layout.scaled_domain(load_table(spark, SF, "events"))
+    q = zorder_stream.run_zorder_stream(
+        spark, feed, out,
+        max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ck0"),
+        rewrite_staged_rows=60,
+        key="morton_scaled",
+        scale_domain=dom,
+    )
+    q.awaitTermination(120)
+    zorder_stream.finalize_zorder(spark, out)
+
+    dest = str(tmp_path / "batch")
+    layout.zorder_scaled_apply_events(spark, SF, dest)
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dest).select(*COLS, "file_bucket").collect()
+    )
+    assert _base_rows(spark, out) == want
+
+    # different frozen domain → different bucket space → named error
+    bad = dict(dom); bad["uspan"] = dom["uspan"] + 1
+    with pytest.raises(RuntimeError, match="layout-key mismatch"):
+        zorder_stream.run_zorder_stream(
+            spark, feed, out,
+            checkpoint=str(tmp_path / "ck1"),
+            key="morton_scaled", scale_domain=bad,
+        )
+    # and the scaled key without a domain is rejected up front
+    with pytest.raises(ValueError, match="scale_domain"):
+        zorder_stream.run_zorder_stream(
+            spark, feed, str(tmp_path / "zs2"),
+            checkpoint=str(tmp_path / "ck2"),
+            key="morton_scaled",
+        )
