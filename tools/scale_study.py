@@ -104,6 +104,12 @@ ENTRIES = [
     # bound, e ≈ 1).
     "layout_zorder_apply",
     "dedup_phash_jpeg",
+    # round-16 additions: the Hilbert executor (16 chained integer
+    # stages, still map-side → expect the zorder_apply shape: rewrite-
+    # bound with a stage-setup floor) and the 3-key executor (same
+    # shape, one more dimension in the inventory).
+    "layout_hilbert_apply",
+    "layout_zorder3_apply",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
