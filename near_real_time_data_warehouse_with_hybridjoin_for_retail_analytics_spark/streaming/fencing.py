@@ -13,14 +13,22 @@ HDFS lease recovery, ZooKeeper fencing tokens), sized to what a
 filesystem gives us:
 
 - The sink dir holds one canonical token file ``_writer_token.json``:
-  ``{owner, epoch, pid, run_id, heartbeat}``.
+  ``{owner, epoch, pid}`` — written ONLY by acquire (post-CAS), never
+  rewritten. Mutable per-epoch state lives in sidecars keyed by epoch:
+  ``_writer_heartbeat.{e}`` (renewed each batch) and
+  ``_writer_runid.{e}`` (write-once at query start) — so no code path
+  read-modify-writes the canonical token, which closes the classic
+  lease race where an owner's renewal interleaves with a takeover's
+  commit and resurrects the superseded epoch.
 - ACQUIRE is a CAS: contenders read the current epoch e, then race to
   ``os.open(claim_e+1, O_CREAT|O_EXCL)`` — atomic on POSIX, so exactly
   one wins — and the winner ``os.replace``s the canonical token. The
-  loser re-reads and raises :class:`WriterFencedError`.
+  loser re-reads and raises :class:`WriterFencedError`; an ORPHANED
+  claim (its creator died pre-commit) is reclaimed once it is older
+  than the lease while the canonical epoch never advanced.
 - A live owner is detected two ways, strongest first: same-process
-  contenders check ``spark.streams.active`` for the token's run_id
-  (deterministic — no timing window), cross-process contenders fall
+  contenders check ``spark.streams.active`` for the epoch's bound run
+  id (deterministic — no timing window), cross-process contenders fall
   back to the heartbeat lease (stale past ``ttl_s`` → orphaned crash →
   takeover bumps the epoch). No release step exists or is needed: a
   terminated query's token is orphaned by both detectors.
@@ -88,6 +96,36 @@ def _runid_path(out_dir: str, epoch: int) -> str:
     return os.path.join(out_dir, f"_writer_runid.{epoch}")
 
 
+def _heartbeat_path(out_dir: str, epoch: int) -> str:
+    return os.path.join(out_dir, f"_writer_heartbeat.{epoch}")
+
+
+def _touch_heartbeat(out_dir: str, epoch: int) -> None:
+    """Renew the epoch's lease. Heartbeats live in a PER-EPOCH sidecar
+    so renewals never read-modify-write the canonical token: the old
+    design's renew could interleave with a takeover's canonical
+    replace and resurrect the superseded epoch (both writers would
+    then believe they owned the sink)."""
+    path = _heartbeat_path(out_dir, epoch)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(repr(time.time()))
+    os.replace(tmp, path)
+
+
+def _heartbeat_age(out_dir: str, epoch: int) -> float:
+    """Seconds since the epoch's last renewal; +inf when the sidecar is
+    unreadable/absent (treat as lapsed — acquire writes it BEFORE the
+    canonical commit, so absence means out-of-band damage or a
+    pre-refactor token, and blocking takeover forever on either would
+    be worse than allowing it)."""
+    try:
+        with open(_heartbeat_path(out_dir, epoch)) as fh:
+            return time.time() - float(fh.read().strip())
+    except (OSError, ValueError):
+        return float("inf")
+
+
 def _owner_is_live(
     spark: SparkSession, out_dir: str, tok: dict, ttl_s: float
 ) -> bool:
@@ -105,7 +143,7 @@ def _owner_is_live(
         if run_id is not None:
             active = {str(q.runId) for q in spark.streams.active}
             return run_id in active
-    return (time.time() - float(tok.get("heartbeat", 0))) < ttl_s
+    return _heartbeat_age(out_dir, tok["epoch"]) < ttl_s
 
 
 class WriterToken:
@@ -128,6 +166,10 @@ class WriterToken:
         os.replace(tmp, path)
 
     def verify_and_renew(self) -> None:
+        """Ownership check + lease renewal. The canonical token is
+        NEVER rewritten here (only acquire writes it, post-CAS) — the
+        renewal touches this epoch's own heartbeat sidecar, so a
+        concurrent takeover cannot be erased by a renew."""
         cur = _read_token(self.out_dir)
         if (
             cur is None
@@ -141,8 +183,7 @@ class WriterToken:
                 f"{'-' if cur is None else cur['epoch']} — another pipeline "
                 "took over (our lease lapsed); not writing another row"
             )
-        cur["heartbeat"] = time.time()
-        _write_canonical(self.out_dir, cur)
+        _touch_heartbeat(self.out_dir, self.epoch)
 
 
 def acquire_writer(
@@ -153,7 +194,7 @@ def acquire_writer(
     os.makedirs(out_dir, exist_ok=True)
     cur = _read_token(out_dir)
     if cur is not None and _owner_is_live(spark, out_dir, cur, ttl_s):
-        age = time.time() - float(cur.get("heartbeat", 0))
+        age = _heartbeat_age(out_dir, cur["epoch"])
         raise WriterFencedError(
             f"sink {out_dir} is owned by writer {cur.get('owner')} "
             f"(epoch {cur['epoch']}, pid {cur.get('pid')}, heartbeat "
@@ -169,27 +210,50 @@ def acquire_writer(
     try:
         fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        winner = _read_token(out_dir)
-        raise WriterFencedError(
-            f"lost the writer-acquisition race for {out_dir} at epoch "
-            f"{new_epoch} (current owner: "
-            f"{winner.get('owner') if winner else 'being committed'})"
-        ) from None
+        # An ORPHANED claim (a contender died between creating the
+        # claim and committing the canonical token) must not block
+        # takeover forever: if the canonical epoch never advanced to
+        # the claimed one and the claim is older than the lease, the
+        # dead contender's claim is reclaimed and the CAS retried once.
+        now_tok = _read_token(out_dir)
+        now_epoch = now_tok["epoch"] if now_tok is not None else -1
+        try:
+            claim_age = time.time() - os.stat(claim).st_mtime
+        except FileNotFoundError:
+            claim_age = float("inf")  # winner already cleaned it up
+        if now_epoch < new_epoch and claim_age > ttl_s:
+            try:
+                os.remove(claim)
+            except FileNotFoundError:
+                pass
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise WriterFencedError(
+                    f"lost the writer-acquisition race for {out_dir} at "
+                    f"epoch {new_epoch} (claim re-contended after orphan "
+                    "reclaim)"
+                ) from None
+        else:
+            raise WriterFencedError(
+                f"lost the writer-acquisition race for {out_dir} at epoch "
+                f"{new_epoch} (current owner: "
+                f"{now_tok.get('owner') if now_tok else 'being committed'})"
+            ) from None
     with os.fdopen(fd, "w") as fh:
         fh.write(owner)
+    # heartbeat BEFORE the canonical commit: a token must never be
+    # visible without a live lease behind it
+    _touch_heartbeat(out_dir, new_epoch)
     _write_canonical(
         out_dir,
-        {
-            "owner": owner,
-            "epoch": new_epoch,
-            "pid": os.getpid(),
-            "run_id": None,
-            "heartbeat": time.time(),
-        },
+        {"owner": owner, "epoch": new_epoch, "pid": os.getpid()},
     )
-    # claim files and run-id sidecars of superseded epochs are debris
+    # claim/run-id/heartbeat sidecars of superseded epochs are debris
     for name in os.listdir(out_dir):
-        if name.startswith(("_writer_claim.", "_writer_runid.")):
+        if name.startswith(
+            ("_writer_claim.", "_writer_runid.", "_writer_heartbeat.")
+        ):
             try:
                 if int(name.rsplit(".", 1)[1]) < new_epoch:
                     os.remove(os.path.join(out_dir, name))

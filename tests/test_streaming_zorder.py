@@ -484,3 +484,58 @@ def test_scaled_key_stream_matches_batch_executor(spark, tmp_path):
             checkpoint=str(tmp_path / "ck2"),
             key="morton_scaled",
         )
+
+
+def test_renewal_never_rewrites_the_canonical_token(spark, tmp_path):
+    """The lease-race fix: heartbeat renewals touch only the epoch's
+    own sidecar, so a renewal interleaving with a takeover's canonical
+    commit can never resurrect the superseded epoch."""
+    import time
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        fencing,
+    )
+
+    out = str(tmp_path / "sink")
+    tok = fencing.acquire_writer(spark, out)
+    canon = fencing._token_path(out)
+    before = open(canon).read()
+    hb = fencing._heartbeat_path(out, tok.epoch)
+    t0 = float(open(hb).read())
+    time.sleep(0.01)
+    tok.verify_and_renew()
+    assert open(canon).read() == before  # canonical untouched
+    assert float(open(hb).read()) > t0   # lease renewed in the sidecar
+
+
+def test_orphaned_claim_does_not_block_takeover_forever(spark, tmp_path):
+    """A contender that died between creating its epoch claim and
+    committing the canonical token must not wedge the sink: once the
+    claim outlives the lease with the canonical epoch unadvanced, the
+    next acquire reclaims it."""
+    import os as _os
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        fencing,
+    )
+
+    out = str(tmp_path / "sink")
+    tok0 = fencing.acquire_writer(spark, out)
+    # dead contender: claim for epoch 1 exists, canonical never moved
+    orphan = _os.path.join(out, "_writer_claim.1")
+    open(orphan, "w").write("dead-contender")
+    _os.utime(orphan, (0, 0))  # ancient mtime → older than any lease
+    tok1 = fencing.acquire_writer(spark, out, ttl_s=0.0)
+    assert tok1.epoch == tok0.epoch + 1
+    tok1.verify_and_renew()
+    # whereas a FRESH claim (live contender mid-acquire) still loses:
+    # make the OWNER's lease stale (so the contender reaches the CAS)
+    # while the claim itself is brand new (inside the lease)
+    import time as _time
+
+    hb = fencing._heartbeat_path(out, tok1.epoch)
+    open(hb, "w").write(repr(_time.time() - 100.0))
+    fresh = _os.path.join(out, "_writer_claim.2")
+    open(fresh, "w").write("live-contender")
+    with pytest.raises(fencing.WriterFencedError, match="race"):
+        fencing.acquire_writer(spark, out, ttl_s=10.0)
