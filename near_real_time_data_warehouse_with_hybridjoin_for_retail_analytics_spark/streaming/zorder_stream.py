@@ -10,9 +10,10 @@ late data is normal, not a violation. So the gate's unit of work is
 the DIRTY BUCKET, not the closed bin:
 
 - Per micro-batch: arriving rows append to a staging dir tagged with
-  (batch_id, file_bucket) — the z-key is the same map-side Morton
-  expression the batch executor uses (``layout._zorder_keyed``), so
-  appends are one write, zero shuffle-beyond-the-append. Replayed
+  (batch_id, file_bucket) — the clustering key is the chosen batch
+  executor's own map-side expressions (morton / hilbert / morton3 /
+  frozen-domain morton_scaled; see ``_KEYS``), so appends are one
+  write, zero shuffle-beyond-the-append. Replayed
   batches re-append identical rows; every staging read dedups on
   (batch_id, event_id), the same exactly-once mechanism as the other
   gates.
@@ -35,15 +36,18 @@ the DIRTY BUCKET, not the closed bin:
   excludes the folded rows), and ``sweep_staging`` is deferrable
   vacuum, exactly like the compactor's.
 
-Contract (same as every gate in this package): ONE logical pipeline
-owns the sink — continued ingest keeps the same checkpoint, so batch
-ids are monotone and the folded_through watermark is sound; a lost
-checkpoint may replay, but replays re-deliver the same input in the
-same batch order, so re-appended rows are either watermark-excluded
-(already folded — identical content) or deduped on (batch_id,
-event_id). A DIFFERENT pipeline appending to the same sink (fresh
-checkpoint, new data, restarting batch ids) needs a table format's
-transaction log.
+Contract (same as every gate in this package, ENFORCED since round
+16 via ``fencing.acquire_writer``): ONE logical pipeline owns the
+sink — continued ingest keeps the same checkpoint, so batch ids are
+monotone and the folded_through watermark is sound; a lost checkpoint
+may replay, but replays re-deliver the same input in the same batch
+order, so re-appended rows are either watermark-excluded (already
+folded — identical content) or deduped on (batch_id, event_id). A
+DIFFERENT pipeline attaching to the same sink (fresh checkpoint, new
+data, restarting batch ids) now raises ``WriterFencedError`` at start
+instead of corrupting the watermark, and a superseded writer fails
+its next batch; the sink's clustering key (+ frozen scale domain) is
+pinned per sink (``_layout_key``).
 
 After ``finalize_zorder``, the clustered table equals the batch
 executor's output bucket-for-bucket (row set AND the one-file-per-
