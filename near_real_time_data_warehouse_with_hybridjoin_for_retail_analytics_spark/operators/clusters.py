@@ -685,3 +685,54 @@ def dedup_multimodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn(
         "is_canonical", F.col("component_id") == F.col("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: per-document sampling weights (staged for round 17)
+# ---------------------------------------------------------------------------
+# Hard dedup (keep the canonical, drop the rest) throws away signal
+# when near-duplicates differ in useful ways; the production
+# alternative ("soft dedup") keeps EVERY document but down-weights
+# duplicate clusters so each cluster contributes ~one document-mass of
+# sampling probability to the training mix. weight = 1/cluster_size,
+# emitted in exact integer parts-per-million (1e6 DIV size — Spark DIV
+# and DuckDB // truncate identically on positive ints, so the driver
+# hash never rides on a float). 100 TB shape: the cluster size is one
+# COUNT window over the component labels (a single shuffle on
+# component_id, state one long per doc); no join against a
+# doc-cardinality side.
+
+_SQL_SOFT_DEDUP = f"""
+    WITH comp AS ({_SQL_COMPONENTS})
+    SELECT doc_id,
+           CAST(component_id AS BIGINT) AS component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS cluster_size,
+           CAST(1000000 // COUNT(*) OVER (PARTITION BY component_id)
+                AS BIGINT) AS weight_ppm
+    FROM comp
+"""
+
+
+def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document with its duplicate-cluster size and the soft-dedup
+    sampling weight in exact ppm. Invariants (pytest): singletons weigh
+    exactly 1e6; a cluster's total weight is ≤ 1e6 and ≥ 1e6−size+1
+    (pure truncation loss); Σ weights / 1e6 ≈ the hard-dedup kept-doc
+    count (#components) — soft dedup preserves the same total
+    document-mass while keeping every document samplable. Staged for
+    round 17."""
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    w = Window.partitionBy("component_id")
+    size = F.count(F.lit(1)).over(w).cast("long")
+    return comp.select(
+        "doc_id",
+        F.col("component_id").cast("long").alias("component_id"),
+        size.alias("cluster_size"),
+        F.expr("1000000").cast("long").alias("_grid"),
+    ).select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        F.expr("_grid DIV cluster_size").alias("weight_ppm"),
+    )

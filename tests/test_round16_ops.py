@@ -228,3 +228,55 @@ def test_zorder_scaled_single_row_domain(spark, tmp_path):
         "SELECT COUNT(*) FROM (" + layout._zorder_scaled_env_sql() + ")"
     ).fetchone()[0]
     assert want == 1
+
+
+# --- soft-dedup sampling weights (staged for round 17) ----------------------
+
+
+def test_soft_dedup_weights_match_staged_oracle(spark):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        clusters,
+    )
+
+    got = _rows(clusters.curation_soft_dedup_weights(spark, SF))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = sorted(
+        con.execute(
+            "SELECT doc_id, component_id, cluster_size, weight_ppm "
+            "FROM (" + clusters._SQL_SOFT_DEDUP + ")"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_soft_dedup_mass_invariants(spark):
+    """Singletons weigh exactly 1e6; each cluster's total weight loses
+    at most size−1 ppm to truncation; and the corpus-total weight
+    equals the hard-dedup kept-document count (one mass per cluster)
+    up to that truncation loss."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        clusters,
+    )
+
+    rows = clusters.curation_soft_dedup_weights(spark, SF).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["component_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        size = members[0]["cluster_size"]
+        assert size == len(members), cid
+        total = sum(m["weight_ppm"] for m in members)
+        if size == 1:
+            assert total == 1_000_000
+        else:
+            assert 1_000_000 - size + 1 <= total <= 1_000_000, cid
+    n_clusters = len(by_cluster)
+    corpus_mass = sum(r["weight_ppm"] for r in rows) / 1_000_000
+    assert n_clusters - 1 < corpus_mass <= n_clusters
+    # and duplicates genuinely exist in this corpus, so the entry is
+    # not vacuously a constant column
+    assert any(r["cluster_size"] > 1 for r in rows)
