@@ -3080,3 +3080,80 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report (staged for round 17)
+# ---------------------------------------------------------------------------
+# Recall vs brute-force truth has been pytest-gated since round 4; this
+# entry makes it a DRIVER-GATED standing artifact: for every registered
+# approximate index family, the exact recall@k against the brute-force
+# top-k pair set, in integer ppm (1e6·hits DIV truth — Spark DIV and
+# DuckDB // truncate identically, so the driver hash is exact). The
+# composition reuses the families' OWN committed oracles verbatim
+# (registry.ORACLES lookups at definition time), so the truth side and
+# every family side are the same SQL the driver already verifies
+# hash-exact — the recall number inherits their engine parity by
+# construction. 100 TB shape: each side is the family's own plan (all
+# banded/bucketed); the intersection is one join on (vec_id,
+# neighbor_id) between two k·n-row frames, orders below the corpus.
+
+_RECALL_FAMILIES = ["ann_topk_lsh", "ann_topk_ivf", "ann_topk_pca", "ann_topk_ivfpq"]
+
+
+def _ann_recall_sql() -> str:
+    from ..plans.registry import ORACLES
+
+    truth = ORACLES["ann_topk_bruteforce"]
+    blocks = []
+    for fam in _RECALL_FAMILIES:
+        approx = ORACLES[fam]
+        blocks.append(f"""
+    SELECT '{fam.rsplit("_", 1)[-1]}' AS family,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(1000000 * COUNT(a.vec_id) // COUNT(*) AS BIGINT)
+             AS recall_ppm
+    FROM ({truth}) e
+    LEFT JOIN (SELECT DISTINCT vec_id, neighbor_id FROM ({approx})) a
+      USING (vec_id, neighbor_id)
+    """)
+    return "\nUNION ALL\n".join(blocks)
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of every approximate index family vs brute-force truth,
+    as exact integer ppm. Staged for round 17 (rotation window)."""
+    truth = ann_topk_bruteforce(spark, sf_dir).select("vec_id", "neighbor_id")
+    fams = {
+        "lsh": ann_topk_lsh,
+        "ivf": ann_topk_ivf,
+        "pca": ann_topk_pca,
+        "ivfpq": ann_topk_ivfpq,
+    }
+    parts = []
+    for name, fn in fams.items():
+        approx = (
+            fn(spark, sf_dir)
+            .select("vec_id", "neighbor_id")
+            .dropDuplicates(["vec_id", "neighbor_id"])
+            .withColumn("_hit", F.lit(1))
+        )
+        joined = truth.join(approx, ["vec_id", "neighbor_id"], "left")
+        parts.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_truth"),
+                F.count("_hit").cast("long").alias("n_hit"),
+            )
+            .withColumn("family", F.lit(name))
+            .selectExpr(
+                "family",
+                "n_truth",
+                "n_hit",
+                "CAST(1000000 * n_hit DIV n_truth AS BIGINT) AS recall_ppm",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -280,3 +280,30 @@ def test_soft_dedup_mass_invariants(spark):
     # and duplicates genuinely exist in this corpus, so the entry is
     # not vacuously a constant column
     assert any(r["cluster_size"] > 1 for r in rows)
+
+
+# --- ANN recall report (staged for round 17) --------------------------------
+
+
+def test_ann_recall_report_matches_staged_oracle(spark):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        similarity,
+    )
+
+    got = _rows(similarity.ann_recall_report(spark, SF))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = sorted(con.execute(similarity._ann_recall_sql()).fetchall())
+    assert got == want
+    by_fam = {r[0]: r for r in got}
+    assert set(by_fam) == {"lsh", "ivf", "pca", "ivfpq"}
+    for fam, (name, n_truth, n_hit, ppm) in by_fam.items():
+        assert n_truth > 0 and 0 <= n_hit <= n_truth, fam
+        assert ppm == 1_000_000 * n_hit // n_truth, fam
+        # the floors the pytest recall gates have asserted since r4/r10
+        floor = {"lsh": 500_000, "ivf": 500_000,
+                 "pca": 400_000, "ivfpq": 400_000}[fam]
+        assert ppm >= floor, (fam, ppm)
