@@ -539,3 +539,39 @@ def test_orphaned_claim_does_not_block_takeover_forever(spark, tmp_path):
     open(fresh, "w").write("live-contender")
     with pytest.raises(fencing.WriterFencedError, match="race"):
         fencing.acquire_writer(spark, out, ttl_s=10.0)
+
+
+def test_sweep_keeps_mixed_batch_files_until_fully_folded(spark, tmp_path):
+    """Whole-file deletion is safe only because a file is deleted iff
+    ALL its rows are folded: a file mixing folded and unfolded batches
+    (out-of-band writes can produce one) must survive, then reclaim
+    once the watermark passes its last batch."""
+    out = str(tmp_path / "zs")
+    staging = _staged_fixture(spark, out, n_batches=3, folded_through=1)
+    # one extra file holding batches 1 AND 2 together (batch 1 folded,
+    # batch 2 not)
+    import datetime as dt
+
+    mixed = spark.createDataFrame(
+        [
+            (90 + b, dt.datetime(2024, 1, 2), 1, "view", 1.0, "{}", b)
+            for b in (1, 2)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, batch_id long",
+    )
+    zorder_stream._bucketed(mixed).coalesce(1).write.mode("append").parquet(
+        staging
+    )
+    zorder_stream.sweep_staging(spark, out)  # folded_through = 1
+    left = zorder_stream._staged(spark, staging, -1)
+    batches = sorted(
+        r[0] for r in left.select("batch_id").distinct().collect()
+    )
+    assert batches == [1, 2]  # the mixed file survived whole
+    # advance the watermark past batch 2 → the mixed file reclaims
+    with open(zorder_stream._marker_path(out), "w") as fh:
+        json.dump({"gen": 0, "folded_through": 2}, fh)
+    zorder_stream.sweep_staging(spark, out)
+    files = zorder_stream._staging_files(staging)
+    assert files == []  # everything folded → fully reclaimed
