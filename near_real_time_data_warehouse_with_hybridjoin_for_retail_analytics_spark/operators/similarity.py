@@ -3087,18 +3087,35 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Recall vs brute-force truth has been pytest-gated since round 4; this
 # entry makes it a DRIVER-GATED standing artifact: for every registered
-# approximate index family, the exact recall@k against the brute-force
-# top-k pair set, in integer ppm (1e6·hits DIV truth — Spark DIV and
-# DuckDB // truncate identically, so the driver hash is exact). The
-# composition reuses the families' OWN committed oracles verbatim
-# (registry.ORACLES lookups at definition time), so the truth side and
-# every family side are the same SQL the driver already verifies
-# hash-exact — the recall number inherits their engine parity by
-# construction. 100 TB shape: each side is the family's own plan (all
-# banded/bucketed); the intersection is one join on (vec_id,
-# neighbor_id) between two k·n-row frames, orders below the corpus.
+# approximate index family, the exact recall@k against brute-force
+# truth, in integer ppm (1e6·hits DIV truth — Spark DIV and DuckDB //
+# truncate identically, so the driver hash is exact).
+#
+# 100 TB shape — the part naive recall QA gets wrong: exact truth for
+# EVERY vector is quadratic, so production measures recall on a
+# deterministic QUERY SAMPLE against the full index (FAISS/ANN-bench
+# practice). This entry does the same: queries are the vectors whose
+# first md5 hex byte ≤ RECALL_SAMPLE_HEX (the repo's engine-portable
+# hash-sampling convention, ~1/4 of vectors), the TRUTH side computes
+# brute force only for those queries (sample × corpus block matmul —
+# LINEAR in the corpus for a fixed sample), and each family side is
+# its own committed sub-quadratic plan filtered to the same queries.
+# The DuckDB oracle reuses the families' committed oracle SQL verbatim
+# (registry.ORACLES), so the recall number inherits their engine
+# parity by construction.
 
 _RECALL_FAMILIES = ["ann_topk_lsh", "ann_topk_ivf", "ann_topk_pca", "ann_topk_ivfpq"]
+RECALL_SAMPLE_HEX = "3f"  # first md5 hex byte ≤ '3f' → 64/256 of vectors
+_RECALL_SAMPLE_SQL = (
+    f"substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '{RECALL_SAMPLE_HEX}'"
+)
+
+
+def _recall_query_filter() -> F.Column:
+    return (
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+        <= RECALL_SAMPLE_HEX
+    )
 
 
 def _ann_recall_sql() -> str:
@@ -3114,17 +3131,55 @@ def _ann_recall_sql() -> str:
            CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
            CAST(1000000 * COUNT(a.vec_id) // COUNT(*) AS BIGINT)
              AS recall_ppm
-    FROM ({truth}) e
-    LEFT JOIN (SELECT DISTINCT vec_id, neighbor_id FROM ({approx})) a
+    FROM (SELECT vec_id, neighbor_id FROM ({truth})
+          WHERE {_RECALL_SAMPLE_SQL}) e
+    LEFT JOIN (SELECT DISTINCT vec_id, neighbor_id FROM ({approx})
+               WHERE {_RECALL_SAMPLE_SQL}) a
       USING (vec_id, neighbor_id)
     """)
     return "\nUNION ALL\n".join(blocks)
 
 
+def _sampled_bruteforce_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k for the SAMPLED queries only, against the full
+    corpus: the a-side of the block matmul is restricted to sampled
+    vectors before the block fan-out, so the kernel does |sample|×|corpus|
+    work — the linear-in-corpus truth pass production recall QA runs.
+    Identical results to filtering the full brute-force entry (each
+    query's top-k depends only on that query's row of the similarity
+    matrix), which is exactly what the oracle does."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = F.pmod(F.col("vec_id"), F.lit(ANN_BLOCKS)).cast("int")
+    grid = spark.range(ANN_BLOCKS).select(F.col("id").cast("int").alias("other"))
+    a_side = (
+        emb.filter(_recall_query_filter())
+        .withColumn("ga", blk)
+        .crossJoin(grid.withColumnRenamed("other", "gb"))
+        .withColumn("side", F.lit(0))
+    )
+    b_side = (
+        emb.withColumn("gb", blk)
+        .crossJoin(grid.withColumnRenamed("other", "ga"))
+        .withColumn("side", F.lit(1))
+    )
+    cands = (
+        a_side.unionByName(b_side)
+        .groupBy("ga", "gb")
+        .applyInPandas(_block_topk_kernel, _CAND_SCHEMA)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "neighbor_id")
+    )
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of every approximate index family vs brute-force truth,
-    as exact integer ppm. Staged for round 17 (rotation window)."""
-    truth = ann_topk_bruteforce(spark, sf_dir).select("vec_id", "neighbor_id")
+    """recall@k of every approximate index family on the deterministic
+    query sample vs exact truth, as integer ppm. Staged for round 17
+    (rotation window); see the block comment for the 100 TB shape."""
+    truth = _sampled_bruteforce_truth(spark, sf_dir)
     fams = {
         "lsh": ann_topk_lsh,
         "ivf": ann_topk_ivf,
@@ -3135,6 +3190,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, fn in fams.items():
         approx = (
             fn(spark, sf_dir)
+            .filter(_recall_query_filter())
             .select("vec_id", "neighbor_id")
             .dropDuplicates(["vec_id", "neighbor_id"])
             .withColumn("_hit", F.lit(1))
