@@ -3092,29 +3092,37 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truncate identically, so the driver hash is exact).
 #
 # 100 TB shape — the part naive recall QA gets wrong: exact truth for
-# EVERY vector is quadratic, so production measures recall on a
-# deterministic QUERY SAMPLE against the full index (FAISS/ANN-bench
-# practice). This entry does the same: queries are the vectors whose
-# first md5 hex byte ≤ RECALL_SAMPLE_HEX (the repo's engine-portable
-# hash-sampling convention, ~1/4 of vectors), the TRUTH side computes
-# brute force only for those queries (sample × corpus block matmul —
-# LINEAR in the corpus for a fixed sample), and each family side is
-# its own committed sub-quadratic plan filtered to the same queries.
-# The DuckDB oracle reuses the families' committed oracle SQL verbatim
+# EVERY vector is quadratic, and even a PROPORTIONAL sample leaves
+# sample×corpus quadratic in the limit (measured: the proportional
+# form's sf0.1→sf1 exponent was already 0.5). Production therefore
+# measures recall on a FIXED-COUNT query set against the full index
+# (FAISS/ANN-bench practice), and so does this entry: the queries are
+# the RECALL_QUERIES vectors with the smallest md5(vec_id) — a
+# deterministic, engine-portable order both engines compute
+# identically — so the truth side is a K×corpus block matmul, LINEAR
+# in the corpus at any scale, and each family side is its own
+# committed sub-quadratic plan filtered to the same K queries. The
+# DuckDB oracle reuses the families' committed oracle SQL verbatim
 # (registry.ORACLES), so the recall number inherits their engine
 # parity by construction.
 
 _RECALL_FAMILIES = ["ann_topk_lsh", "ann_topk_ivf", "ann_topk_pca", "ann_topk_ivfpq"]
-RECALL_SAMPLE_HEX = "3f"  # first md5 hex byte ≤ '3f' → 64/256 of vectors
-_RECALL_SAMPLE_SQL = (
-    f"substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '{RECALL_SAMPLE_HEX}'"
-)
+RECALL_QUERIES = 256  # fixed query-set size (production: a QA constant)
+_RECALL_SAMPLE_SQL = f"""vec_id IN (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {RECALL_QUERIES})"""
 
 
-def _recall_query_filter() -> F.Column:
+def _recall_query_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed query set: RECALL_QUERIES ids in smallest-md5 order
+    (one tiny global top-K — TakeOrderedAndProject over the id
+    column)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return (
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
-        <= RECALL_SAMPLE_HEX
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(RECALL_QUERIES)
+        .select("vec_id")
     )
 
 
@@ -3141,18 +3149,20 @@ def _ann_recall_sql() -> str:
 
 
 def _sampled_bruteforce_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k for the SAMPLED queries only, against the full
-    corpus: the a-side of the block matmul is restricted to sampled
-    vectors before the block fan-out, so the kernel does |sample|×|corpus|
-    work — the linear-in-corpus truth pass production recall QA runs.
+    """Exact top-k for the FIXED query set only, against the full
+    corpus: the a-side of the block matmul is semi-joined to the K
+    broadcast query ids before the block fan-out, so the kernel does
+    K×|corpus| work — the linear-in-corpus truth pass production
+    recall QA runs.
     Identical results to filtering the full brute-force entry (each
     query's top-k depends only on that query's row of the similarity
     matrix), which is exactly what the oracle does."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     blk = F.pmod(F.col("vec_id"), F.lit(ANN_BLOCKS)).cast("int")
     grid = spark.range(ANN_BLOCKS).select(F.col("id").cast("int").alias("other"))
+    queries = F.broadcast(_recall_query_ids(spark, sf_dir))
     a_side = (
-        emb.filter(_recall_query_filter())
+        emb.join(queries, "vec_id", "left_semi")
         .withColumn("ga", blk)
         .crossJoin(grid.withColumnRenamed("other", "gb"))
         .withColumn("side", F.lit(0))
@@ -3190,7 +3200,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, fn in fams.items():
         approx = (
             fn(spark, sf_dir)
-            .filter(_recall_query_filter())
+            .join(F.broadcast(_recall_query_ids(spark, sf_dir)),
+                  "vec_id", "left_semi")
             .select("vec_id", "neighbor_id")
             .dropDuplicates(["vec_id", "neighbor_id"])
             .withColumn("_hit", F.lit(1))
