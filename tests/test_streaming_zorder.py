@@ -575,3 +575,39 @@ def test_sweep_keeps_mixed_batch_files_until_fully_folded(spark, tmp_path):
     zorder_stream.sweep_staging(spark, out)
     files = zorder_stream._staging_files(staging)
     assert files == []  # everything folded → fully reclaimed
+
+
+def test_acquire_cas_under_real_thread_contention(spark, tmp_path):
+    """Eight threads race the FIRST acquisition of one sink: the
+    O_CREAT|O_EXCL claim guarantees exactly one winner; every loser
+    gets the named error, never a second token."""
+    import threading
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        fencing,
+    )
+
+    out = str(tmp_path / "sink")
+    results: list = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def contend(i):
+        barrier.wait()
+        try:
+            results[i] = fencing.acquire_writer(spark, out)
+        except fencing.WriterFencedError:
+            results[i] = "fenced"
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if isinstance(r, fencing.WriterToken)]
+    assert len(winners) == 1, results
+    assert results.count("fenced") == 7
+    # the winner's token is the committed one and stays verifiable
+    tok = winners[0]
+    winners[0].verify_and_renew()
+    cur = fencing._read_token(out)
+    assert cur["owner"] == tok.owner and cur["epoch"] == tok.epoch == 0
