@@ -233,6 +233,64 @@ def clustered_table(spark: SparkSession, out_dir: str) -> DataFrame:
     return out
 
 
+def snapshots(out_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY for the clustered table: every generation still
+    on disk with its folded_through watermark, oldest first. A
+    generation without a snapshot sidecar (pre-r16 fold, or the marker
+    names it but the sidecar was damaged) reports folded_through=None
+    rather than guessing. The CURRENT generation is always last."""
+    root = os.path.join(out_dir, "clustered")
+    out: list[dict] = []
+    if not os.path.isdir(root):
+        return out
+    cur_gen, cur_folded = _gen_state(out_dir)
+    for name in sorted(
+        (n for n in os.listdir(root) if n.startswith("base_g")),
+        key=lambda n: int(n[6:]),
+    ):
+        g = int(name[6:])
+        if g > cur_gen:
+            continue  # uncommitted debris from a crashed fold
+        meta = None
+        try:
+            with open(os.path.join(root, name, "_snapshot.json")) as fh:
+                meta = json.load(fh)
+        except FileNotFoundError:
+            pass
+        folded = meta.get("folded_through") if meta else None
+        if g == cur_gen and folded is None:
+            folded = cur_folded  # the marker attests the current gen
+        out.append(
+            {"gen": g, "folded_through": folded, "current": g == cur_gen}
+        )
+    return out
+
+
+def clustered_table_asof(
+    spark: SparkSession, out_dir: str, gen: int
+) -> DataFrame:
+    """Time travel on COMMIT boundaries (a table format's VERSION AS
+    OF): the clustered table exactly as generation ``gen`` committed
+    it — the rows of batches ≤ that generation's folded_through, in
+    that generation's one-file-per-bucket layout. Valid until
+    ``sweep_staging`` vacuums the generation (the same contract Delta
+    documents: VACUUM breaks time travel past the retention window);
+    a vacuumed or never-committed generation raises a NAMED error
+    listing what is still servable, never a bare path error."""
+    cur_gen, _ = _gen_state(out_dir)
+    base = _base_dir(out_dir, gen)
+    if gen < 0 or gen > cur_gen or not os.path.isdir(base):
+        have = [s["gen"] for s in snapshots(out_dir)]
+        raise RuntimeError(
+            f"generation {gen} of {out_dir} is not servable "
+            f"(committed generations still on disk: {have}) — it was "
+            "either never committed or reclaimed by sweep_staging; "
+            "time travel is valid only inside the vacuum retention "
+            "window, exactly like a table format's VERSION AS OF"
+        )
+    return spark.read.parquet(base)
+
+
 def _fold(spark: SparkSession, out_dir: str) -> None:
     """Incremental rewrite: fold every unfolded staged batch into a
     new base generation, rewriting ONLY the dirty buckets; clean
@@ -293,6 +351,15 @@ def _fold(spark: SparkSession, out_dir: str) -> None:
                 dst = os.path.join(dst_dir, f)
                 if not os.path.exists(dst):
                     os.link(os.path.join(src_dir, f), dst)
+    # per-generation snapshot metadata, INSIDE the generation dir
+    # (underscore name → invisible to parquet readers; travels/dies
+    # with the dir, so time travel needs no separate history log):
+    # written BEFORE the marker commit — an uncommitted generation's
+    # sidecar is debris removed with the dir on retry
+    snap_tmp = os.path.join(new_base, "_snapshot.json.tmp")
+    with open(snap_tmp, "w") as fh:
+        json.dump({"gen": new_gen, "folded_through": int(max_batch)}, fh)
+    os.replace(snap_tmp, os.path.join(new_base, "_snapshot.json"))
     tmp = _marker_path(out_dir) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"gen": new_gen, "folded_through": int(max_batch)}, fh)
@@ -354,18 +421,26 @@ def _sweep_listed(spark: SparkSession, files: list[str], folded: int) -> None:
                 pass  # already reclaimed — idempotent
 
 
-def sweep_staging(spark: SparkSession, out_dir: str) -> None:
+def sweep_staging(
+    spark: SparkSession, out_dir: str, keep_generations: int = 1
+) -> None:
     """Deferrable vacuum: drop staged files of already-folded batches
     (the fold filter excludes their rows regardless — this only
-    reclaims space) and superseded base generations. Safe against a
-    concurrently running stream (round-15 advice): the live staging
-    dir is never renamed or rewritten — the candidate file list is
-    snapshotted FIRST, each listed file is removed only if ALL its
-    rows are folded, and a micro-batch append landing mid-sweep writes
-    new files the snapshot never saw. Each sink append holds exactly
-    one batch_id, so whole-file deletion loses nothing; a mixed-batch
-    file (only producible by out-of-band writes) survives until its
-    last row folds."""
+    reclaims space) and superseded base generations past the retention
+    window. Safe against a concurrently running stream (round-15
+    advice): the live staging dir is never renamed or rewritten — the
+    candidate file list is snapshotted FIRST, each listed file is
+    removed only if ALL its rows are folded, and a micro-batch append
+    landing mid-sweep writes new files the snapshot never saw. Each
+    sink append holds exactly one batch_id, so whole-file deletion
+    loses nothing; a mixed-batch file (only producible by out-of-band
+    writes) survives until its last row folds.
+
+    ``keep_generations`` (≥1) is the time-travel retention window:
+    the newest N committed generations survive the vacuum and stay
+    servable through ``clustered_table_asof`` (hardlink carries mean a
+    retained old generation costs only its REWRITTEN buckets' bytes —
+    carried files share inodes with the current base)."""
     _recover_sweep(out_dir)
     gen, folded = _gen_state(out_dir)
     staging = os.path.join(out_dir, "staging")
@@ -374,8 +449,9 @@ def sweep_staging(spark: SparkSession, out_dir: str) -> None:
         spark.catalog.refreshByPath(staging)
     root = os.path.join(out_dir, "clustered")
     if os.path.isdir(root):
+        cutoff = gen - max(int(keep_generations), 1) + 1
         for name in os.listdir(root):
-            if name.startswith("base_g") and int(name[6:]) < gen:
+            if name.startswith("base_g") and int(name[6:]) < cutoff:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 

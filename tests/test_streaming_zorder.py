@@ -611,3 +611,70 @@ def test_acquire_cas_under_real_thread_contention(spark, tmp_path):
     winners[0].verify_and_renew()
     cur = fencing._read_token(out)
     assert cur["owner"] == tok.owner and cur["epoch"] == tok.epoch == 0
+
+
+def test_time_travel_on_commit_boundaries(spark, tmp_path):
+    """VERSION AS OF on the clustered table: each committed generation
+    stays servable exactly as it committed (row set AND layout) inside
+    the vacuum retention window; outside it, a NAMED error lists what
+    is still servable. Retained generations are cheap: carried clean
+    buckets share inodes with the current base."""
+    feed = _feed(spark, tmp_path)
+    out = str(tmp_path / "zs")
+    _run(spark, feed, out, str(tmp_path / "ck0"))
+    zorder_stream.finalize_zorder(spark, out)
+    g0, folded0 = zorder_stream._gen_state(out)
+    rows_g0 = _base_rows(spark, out)
+
+    # more ingest → second generation
+    import datetime as dt
+
+    late = spark.createDataFrame(
+        [(20_000 + i, dt.datetime(2024, 1, 1, 0, 0, i), 3, "view", 1.0, "{}")
+         for i in range(20)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    late.coalesce(1).write.mode("append").parquet(feed)
+    _run(spark, feed, out, str(tmp_path / "ck0"), threshold=10)
+    zorder_stream.finalize_zorder(spark, out)
+    g1, folded1 = zorder_stream._gen_state(out)
+    assert g1 == g0 + 1
+
+    # history lists every still-on-disk generation (several folds per
+    # run at this threshold), ordered, current flagged exactly once,
+    # watermarks preserved per generation
+    hist = zorder_stream.snapshots(out)
+    gens = [h["gen"] for h in hist]
+    assert gens == sorted(gens) and gens[-1] == g1 and g0 in gens
+    by_gen = {h["gen"]: h for h in hist}
+    assert by_gen[g0]["folded_through"] == folded0 < folded1
+    assert by_gen[g1]["folded_through"] == folded1
+    assert [h["current"] for h in hist].count(True) == 1
+    assert by_gen[g1]["current"] and not by_gen[g0]["current"]
+
+    # asof(g0) == exactly what g0 committed, bit-for-bit
+    asof = zorder_stream.clustered_table_asof(spark, out, g0)
+    got = sorted(
+        tuple(r) for r in asof.select(*COLS, "file_bucket").collect()
+    )
+    assert got == rows_g0
+    assert asof.count() + 20 == zorder_stream.clustered_table_asof(
+        spark, out, g1
+    ).count()
+
+    # vacuum with a 2-generation retention window keeps g0 servable...
+    zorder_stream.sweep_staging(spark, out, keep_generations=2)
+    assert zorder_stream.clustered_table_asof(spark, out, g0).count() > 0
+    # ...and the default window (current only) reclaims it with a
+    # NAMED error that lists the servable generations
+    zorder_stream.sweep_staging(spark, out)
+    with pytest.raises(RuntimeError, match="VERSION AS OF") as ei:
+        zorder_stream.clustered_table_asof(spark, out, g0)
+    assert f"[{g1}]" in str(ei.value)
+    # never-committed generations get the same named error
+    with pytest.raises(RuntimeError, match="not servable"):
+        zorder_stream.clustered_table_asof(spark, out, g1 + 5)
+    # the live view is untouched by all of this
+    n_src = load_table(spark, SF, "events").count()
+    assert zorder_stream.clustered_table(spark, out).count() == n_src + 20
