@@ -714,14 +714,15 @@ _SQL_SOFT_DEDUP = f"""
 """
 
 
+@query("curation_soft_dedup_weights", _SQL_SOFT_DEDUP)
 def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document with its duplicate-cluster size and the soft-dedup
     sampling weight in exact ppm. Invariants (pytest): singletons weigh
     exactly 1e6; a cluster's total weight is ≤ 1e6 and ≥ 1e6−size+1
     (pure truncation loss); Σ weights / 1e6 ≈ the hard-dedup kept-doc
     count (#components) — soft dedup preserves the same total
-    document-mass while keeping every document samplable. Staged for
-    round 17."""
+    document-mass while keeping every document samplable. Staged round
+    16, registered round 17."""
     comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
     w = Window.partitionBy("component_id")
     size = F.count(F.lit(1)).over(w).cast("long")

@@ -1302,14 +1302,15 @@ def _cluster_quality_sql() -> str:
     return "\nUNION ALL\n".join(blocks)
 
 
+@query("layout_cluster_quality", _cluster_quality_sql())
 def layout_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-quality report: per candidate layout, the exact
     per-dimension zone-map span sums and maxima over the 64-bucket
     budget. The demonstrable property (pytest): under the naive hour
     layout a user predicate prunes ~nothing (per-bucket user spans ≈
     the whole domain) while morton/hilbert confine BOTH dimensions —
-    the measured justification for running OPTIMIZE at all. Staged for
-    round 17 (rotation window; see COVERAGE.md)."""
+    the measured justification for running OPTIMIZE at all. Staged
+    round 16, registered round 17 (see COVERAGE.md)."""
     ev = load_table(spark, sf_dir, "events")
     parts = [
         _quality(_envelopes(hour_bucketed(ev)), "hour"),
@@ -1349,11 +1350,13 @@ def _zorder_scaled_sql() -> str:
     """
 
 
+@query("layout_zorder_scaled_events", _zorder_scaled_sql())
 def layout_zorder_scaled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map envelope table of the SCALED z-order layout (planner
-    half; staged for round 17). Unlike the raw planner, every bucket
-    is populated on the live domain and confines each dimension to an
-    aligned 1/8 slice of it — pinned by tests/test_round16_ops.py."""
+    half; staged round 16, registered round 17). Unlike the raw
+    planner, every bucket is populated on the live domain and confines
+    each dimension to an aligned 1/8 slice of it — pinned by
+    tests/test_round16_ops.py."""
     ev = zorder_scaled_bucketed(load_table(spark, sf_dir, "events"))
     return (
         ev.select(
@@ -1404,11 +1407,12 @@ def _zorder_scaled_apply_sql() -> str:
     """
 
 
+@query("layout_zorder_scaled_apply", _zorder_scaled_apply_sql())
 def zorder_scaled_apply_inventory(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Rewrite + POST-rewrite inventory measured from the files (the
-    apply proof pattern). Staged for round 17."""
+    apply proof pattern). Staged round 16, registered round 17."""
     from .artifacts import app_scoped_dest
 
     dest = app_scoped_dest(

@@ -3185,10 +3185,11 @@ def _sampled_bruteforce_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_recall_report", _ann_recall_sql())
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of every approximate index family on the deterministic
-    query sample vs exact truth, as integer ppm. Staged for round 17
-    (rotation window); see the block comment for the 100 TB shape."""
+    query sample vs exact truth, as integer ppm. Staged round 16,
+    registered round 17; see the block comment for the 100 TB shape."""
     truth = _sampled_bruteforce_truth(spark, sf_dir)
     fams = {
         "lsh": ann_topk_lsh,
