@@ -200,7 +200,11 @@ def _written_groups(spark: SparkSession, compacted_dir: str) -> set[int]:
 
 
 def _write_bins(
-    staged: DataFrame, plan: DataFrame, group_ids: list[int], compacted_dir: str
+    staged: DataFrame,
+    plan: DataFrame,
+    group_ids: list[int],
+    compacted_dir: str,
+    token=None,
 ) -> None:
     """Rewrite the given COMPLETE bins: one file per (group, sub) via
     the same broadcast-map + clustering-repartition + partitionBy write
@@ -253,6 +257,11 @@ def _write_bins(
         .partitionBy("group_id", "sub")
         .parquet(tmp_root)
     )
+    if token is not None:
+        # re-verify at the commit point (round-16 advice: batch-start
+        # verification alone left the whole write-and-publish as a
+        # zombie-write window); the rename loop below IS the commit
+        token.verify_and_renew()
     published: list[int] = []
     pre_existing: list[int] = []
     for gid in todo:
@@ -383,13 +392,14 @@ def run_compaction_stream(
         if len(gids) <= 1:
             return  # nothing complete yet — the only bin is still filling
         ready = [g for g in gids[:-1] if g not in done]
-        _write_bins(staged, plan, ready, compacted_dir)
+        _write_bins(staged, plan, ready, compacted_dir, token)
 
     writer = raw.writeStream.foreachBatch(_tick).trigger(availableNow=True)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     token.bind_query(str(q.runId))
+    q.writer_token = token  # owner releases after a clean finish
     return q
 
 

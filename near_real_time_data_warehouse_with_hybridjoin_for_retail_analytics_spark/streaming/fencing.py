@@ -32,12 +32,22 @@ filesystem gives us:
   back to the heartbeat lease (stale past ``ttl_s`` → orphaned crash →
   takeover bumps the epoch). No release step exists or is needed: a
   terminated query's token is orphaned by both detectors.
-- Every micro-batch calls :meth:`WriterToken.verify_and_renew` FIRST:
-  if the canonical token's (owner, epoch) is no longer ours, another
-  writer fenced us off — raise (which fails the batch and stops this
-  query) rather than write a single row past the takeover. This is the
-  fencing-token property: a paused-then-resumed writer cannot zombie-
-  write over its successor.
+- Every micro-batch calls :meth:`WriterToken.verify_and_renew` FIRST,
+  and the gates re-verify immediately before their commit points (the
+  z-order fold's marker replace, the compactor's bin renames): if the
+  canonical token's (owner, epoch) is no longer ours, another writer
+  fenced us off — raise (which fails the batch and stops this query)
+  rather than commit past the takeover. The guarantee is BATCH/COMMIT
+  granularity, not instruction granularity: a writer paused between
+  its last ownership check and the commit instruction itself can still
+  land that one commit after a takeover — the irreducible window of
+  any lease-based design without server-side conditional commits (an
+  object store's If-Match PUT closes it).
+- A cleanly finished owner calls :meth:`WriterToken.release` (the
+  gates expose the token as ``query.writer_token``): the epoch's
+  heartbeat is expired so a legitimate sequential restart — same
+  process or a NEW one — takes over immediately instead of waiting
+  out ``ttl_s``; the canonical token stays for epoch continuity.
 
 On an object store the claim-file O_EXCL becomes a conditional PUT
 (If-None-Match) and the canonical replace a conditional copy — the
@@ -50,11 +60,21 @@ import json
 import os
 import time
 import uuid
+import weakref
 
 from pyspark.sql import SparkSession
 
 TOKEN_NAME = "_writer_token.json"
 DEFAULT_TTL_S = 300.0
+
+# run id → weakref to the SparkSession that started it, recorded by
+# bind_query. Same-PROCESS liveness checks are exact only against the
+# session that owns the query (spark.streams is per-session), so a
+# contender holding a DIFFERENT session must look the run id up here
+# instead of judging a live owner dead because the id is absent from
+# its own active set (round-16 advice). Process-local by construction —
+# exactly the scope in which the pid check admits it as evidence.
+_RUNID_SESSIONS: dict[str, weakref.ref] = {}
 
 
 class WriterFencedError(RuntimeError):
@@ -132,8 +152,15 @@ def _owner_is_live(
     """Is the token's writer still running? Same-process: ask Spark
     whether the epoch's bound run id is still active (exact — no
     timing window; the run id lives in a write-once sidecar so
-    heartbeat renewals never race the bind). Cross-process, or
-    same-process before the query bound its run id: heartbeat lease."""
+    heartbeat renewals never race the bind). ``spark.streams`` is
+    PER-SESSION, so "absent from the caller's active set" proves
+    nothing about an owner started under a sibling session in the same
+    process (round-16 advice) — the run id is therefore resolved
+    against the session that bound it (``_RUNID_SESSIONS``); only that
+    session's answer is authoritative in BOTH directions (a run id is
+    never active again after termination). An unknown run id under our
+    pid (pid reuse, registry lost) falls back to the heartbeat lease,
+    the same evidence a cross-process contender uses."""
     if int(tok.get("pid", -1)) == os.getpid():
         try:
             with open(_runid_path(out_dir, tok["epoch"])) as fh:
@@ -141,29 +168,67 @@ def _owner_is_live(
         except FileNotFoundError:
             run_id = None
         if run_id is not None:
-            active = {str(q.runId) for q in spark.streams.active}
-            return run_id in active
+            if run_id in {str(q.runId) for q in spark.streams.active}:
+                return True
+            ref = _RUNID_SESSIONS.get(run_id)
+            owner_session = ref() if ref is not None else None
+            if owner_session is not None:
+                return run_id in {
+                    str(q.runId) for q in owner_session.streams.active
+                }
     return _heartbeat_age(out_dir, tok["epoch"]) < ttl_s
 
 
 class WriterToken:
     """Handle returned by :func:`acquire_writer`; the sink's foreachBatch
-    must call :meth:`verify_and_renew` before writing each batch."""
+    must call :meth:`verify_and_renew` before writing each batch, and
+    the owner should call :meth:`release` after the query terminates
+    cleanly (the gates expose the token as ``query.writer_token``)."""
 
-    def __init__(self, out_dir: str, owner: str, epoch: int):
+    def __init__(self, out_dir: str, owner: str, epoch: int, spark=None):
         self.out_dir = out_dir
         self.owner = owner
         self.epoch = epoch
+        self._spark = spark
 
     def bind_query(self, run_id: str) -> None:
         """Record the started query's run id in a WRITE-ONCE sidecar
         keyed by epoch so same-process contenders can detect liveness
-        exactly (a sidecar never races the heartbeat renewals)."""
+        exactly (a sidecar never races the heartbeat renewals), and map
+        the run id to the owning SparkSession for contenders holding a
+        sibling session (see ``_owner_is_live``)."""
+        if self._spark is not None:
+            if len(_RUNID_SESSIONS) > 256:
+                # bounded debris sweep: drop entries whose session died
+                for rid in [
+                    r for r, ref in _RUNID_SESSIONS.items() if ref() is None
+                ]:
+                    _RUNID_SESSIONS.pop(rid, None)
+            _RUNID_SESSIONS[run_id] = weakref.ref(self._spark)
         path = _runid_path(self.out_dir, self.epoch)
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(run_id)
         os.replace(tmp, path)
+
+    def release(self) -> None:
+        """Graceful hand-off after the owning query terminated: expire
+        THIS epoch's heartbeat so the next legitimate attach — same
+        process or a brand-new one — takes over immediately instead of
+        waiting out the lease (round-16 advice: a clean availableNow
+        finish left a live heartbeat that falsely fenced a sequential
+        restart from a new process for up to ``ttl_s``). Idempotent and
+        safe after a takeover: the heartbeat sidecar is keyed by OUR
+        epoch, so a superseded writer releasing late can never expire
+        its successor's lease; the canonical token is left untouched
+        for epoch continuity."""
+        cur = _read_token(self.out_dir)
+        if cur is None or cur.get("owner") != self.owner:
+            return  # fenced off or gone — nothing of ours to expire
+        try:
+            os.remove(_heartbeat_path(self.out_dir, self.epoch))
+        except FileNotFoundError:
+            pass
 
     def verify_and_renew(self) -> None:
         """Ownership check + lease renewal. The canonical token is
@@ -221,7 +286,7 @@ def acquire_writer(
             claim_age = time.time() - os.stat(claim).st_mtime
         except FileNotFoundError:
             claim_age = float("inf")  # winner already cleaned it up
-        if now_epoch < new_epoch and claim_age > ttl_s:
+        if now_epoch < new_epoch and claim_age > ttl_s:  # orphan reclaim
             try:
                 os.remove(claim)
             except FileNotFoundError:
@@ -245,6 +310,24 @@ def acquire_writer(
     # heartbeat BEFORE the canonical commit: a token must never be
     # visible without a live lease behind it
     _touch_heartbeat(out_dir, new_epoch)
+    # Re-read the canonical token immediately before committing ours
+    # (round-16 advice, the superseded-epoch resurrection): a contender
+    # paused longer than the lease between winning the claim CAS and
+    # this commit has had its claim orphan-reclaimed — the reclaimer
+    # already committed this very epoch, so committing ours on resume
+    # would make two writers believe they own the sink. The check
+    # narrows the vulnerable span from the whole claim-to-commit gap to
+    # the few instructions between this read and the os.replace (the
+    # irreducible window without a conditional PUT).
+    now_tok = _read_token(out_dir)
+    if now_tok is not None and now_tok["epoch"] >= new_epoch:
+        raise WriterFencedError(
+            f"writer acquisition of {out_dir} superseded before commit: "
+            f"this contender won the claim for epoch {new_epoch} but the "
+            f"canonical token already reads epoch {now_tok['epoch']} "
+            f"(owner {now_tok.get('owner')}) — our claim was orphan-"
+            "reclaimed while we were paused; not committing a stale epoch"
+        )
     _write_canonical(
         out_dir,
         {"owner": owner, "epoch": new_epoch, "pid": os.getpid()},
@@ -259,4 +342,4 @@ def acquire_writer(
                     os.remove(os.path.join(out_dir, name))
             except (ValueError, FileNotFoundError):
                 pass
-    return WriterToken(out_dir, owner, new_epoch)
+    return WriterToken(out_dir, owner, new_epoch, spark=spark)

@@ -387,6 +387,8 @@ def run_stream(
         writer.parquet(staging)
         cleanup()
         state["offset"] += n
+        if token is not None:
+            token.verify_and_renew()  # re-verify at the commit point
         _commit_manifest_marker(marker, staging)  # the commit point
         _reconcile_batch(marker, output_dir)
 
@@ -400,6 +402,7 @@ def run_stream(
     q = writer.start()
     if token is not None:
         token.bind_query(str(q.runId))
+        q.writer_token = token  # owner releases after a clean finish
     return q
 
 

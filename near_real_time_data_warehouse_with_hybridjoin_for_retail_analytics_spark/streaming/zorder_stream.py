@@ -255,9 +255,14 @@ def snapshots(out_dir: str) -> list[dict]:
         try:
             with open(os.path.join(root, name, "_snapshot.json")) as fh:
                 meta = json.load(fh)
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
+            # absent (pre-r16 fold) OR damaged/truncated sidecar — both
+            # degrade to folded_through=None as documented (round-16
+            # advice: a raw JSONDecodeError here also crashed
+            # clustered_table_asof's not-servable error path, which
+            # lists servable generations through this function)
             pass
-        folded = meta.get("folded_through") if meta else None
+        folded = meta.get("folded_through") if isinstance(meta, dict) else None
         if g == cur_gen and folded is None:
             folded = cur_folded  # the marker attests the current gen
         out.append(
@@ -291,10 +296,14 @@ def clustered_table_asof(
     return spark.read.parquet(base)
 
 
-def _fold(spark: SparkSession, out_dir: str) -> None:
+def _fold(spark: SparkSession, out_dir: str, token=None) -> None:
     """Incremental rewrite: fold every unfolded staged batch into a
     new base generation, rewriting ONLY the dirty buckets; clean
-    buckets hardlink across. Commit = one os.replace of the marker."""
+    buckets hardlink across. Commit = one os.replace of the marker;
+    when the caller holds the writer ``token`` it is re-verified
+    immediately before that replace (commit-granularity fencing —
+    round-16 advice: batch-start verification alone left the whole
+    fold as a zombie-write window)."""
     _recover_sweep(out_dir)
     staging = os.path.join(out_dir, "staging")
     if not os.path.isdir(staging):
@@ -363,6 +372,8 @@ def _fold(spark: SparkSession, out_dir: str) -> None:
     tmp = _marker_path(out_dir) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"gen": new_gen, "folded_through": int(max_batch)}, fh)
+    if token is not None:
+        token.verify_and_renew()  # re-verify at the commit point
     os.replace(tmp, _marker_path(out_dir))  # the commit point
     spark.catalog.refreshByPath(new_base)
 
@@ -524,7 +535,7 @@ def run_zorder_stream(
             _staged(spark, staging, folded).count()
         )  # metadata-light: one count over the bounded backlog
         if backlog >= rewrite_staged_rows:
-            _fold(spark, out_dir)
+            _fold(spark, out_dir, token)
 
     writer = (
         raw.writeStream.foreachBatch(sink)
@@ -537,4 +548,7 @@ def run_zorder_stream(
     )
     q = writer.start()
     token.bind_query(str(q.runId))
+    # the owner releases after a clean awaitTermination so a sequential
+    # restart (even from a NEW process) never waits out the lease
+    q.writer_token = token
     return q
