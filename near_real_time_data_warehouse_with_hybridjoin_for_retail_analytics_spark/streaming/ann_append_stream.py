@@ -43,8 +43,18 @@ def run_ann_append_stream(
     (vec_id, embedding, label) parquet feed. ``cents``: the trained
     coarse quantizer (e.g. from ``_train_coarse_quantizer`` over the
     indexed slice, or a ``load_ann_index`` table). Appends one
-    (vec_id, cluster, batch_id) row per arrival to ``out_dir``."""
+    (vec_id, cluster, batch_id) row per arrival to ``out_dir``.
 
+    Single-writer contract ENFORCED since round 17 (round-16 verdict
+    item 3): the (batch_id, vec_id) read-back dedup makes replays of
+    THIS pipeline idempotent, but a second pipeline with a fresh
+    checkpoint restarts batch ids and its appends collide with ours
+    under the same dedup key — the assignment sink is fenced like the
+    rest of the family (``fencing``); the token is exposed as
+    ``query.writer_token`` for graceful release."""
+    from .fencing import acquire_writer
+
+    token = acquire_writer(spark, out_dir)
     raw = (
         spark.readStream.schema(EMB_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -53,6 +63,7 @@ def run_ann_append_stream(
     home = F.element_at(_probe_udf(cents, 1)(F.col("q")), 1)
 
     def _assign(batch_df: DataFrame, batch_id: int) -> None:
+        token.verify_and_renew()  # fail the batch, never zombie-write
         quantize_embedding_col(batch_df).select(
             "vec_id",
             home.alias("cluster"),
@@ -62,7 +73,10 @@ def run_ann_append_stream(
     writer = raw.writeStream.foreachBatch(_assign).trigger(availableNow=True)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    q = writer.start()
+    token.bind_query(str(q.runId))
+    q.writer_token = token
+    return q
 
 
 def read_assignments(spark: SparkSession, out_dir: str) -> DataFrame:

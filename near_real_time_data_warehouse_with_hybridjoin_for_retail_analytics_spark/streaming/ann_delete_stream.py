@@ -86,7 +86,19 @@ def run_ann_delete_stream(
     is small by construction) join the index, matched
     (vec_id, cluster, batch_id) rows append to ``out_dir``/tombstones,
     and the refreshed per-list compaction worklist overwrites
-    ``out_dir``/worklist."""
+    ``out_dir``/worklist.
+
+    Single-writer contract ENFORCED since round 17 (round-16 verdict
+    item 3): delete is idempotent, but the pre-append anti-join reads
+    the tombstone dir it is about to append to — two concurrent
+    writers would race that read-then-append and erode the
+    ≤-one-row-per-indexed-id bound, and the worklist overwrite is
+    last-writer-wins — so the sink is fenced like the rest of the
+    family (``fencing``); the token is exposed as
+    ``query.writer_token`` for graceful release."""
+    from .fencing import acquire_writer
+
+    token = acquire_writer(spark, out_dir)
     raw = (
         spark.readStream.schema(TOMBSTONE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -96,6 +108,7 @@ def run_ann_delete_stream(
     worklist_dir = f"{out_dir}/worklist"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        token.verify_and_renew()  # fail the batch, never zombie-write
         index = spark.read.parquet(index_dir)
         arrivals = batch_df.select("vec_id").dropDuplicates()
         # Dedup BEFORE the append, not only on read-back: under
@@ -137,7 +150,10 @@ def run_ann_delete_stream(
     writer = raw.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    q = writer.start()
+    token.bind_query(str(q.runId))
+    q.writer_token = token
+    return q
 
 
 def read_tombstones(spark: SparkSession, tomb_dir: str) -> DataFrame:

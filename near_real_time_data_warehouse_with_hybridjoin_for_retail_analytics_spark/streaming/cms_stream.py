@@ -90,8 +90,17 @@ def run_cms_stream(
     (``state_compaction.accumulate`` — (batch_id, source, i, bucket)
     dedup for exactly-once over the non-idempotent + merge, watermark
     skip across the compaction boundary) and the SUM-merged cell table
-    overwrites ``out_dir``."""
+    overwrites ``out_dir``.
 
+    Single-writer contract ENFORCED since round 17 (round-16 verdict
+    item 3): + is not replay-idempotent, so a second FOLDER with a
+    fresh checkpoint corrupting the compaction watermark is the WORST
+    case of the family — the shared state dir is fenced like the
+    z-order/compaction/fact sinks (``fencing``); the token is exposed
+    as ``query.writer_token`` for graceful release."""
+    from .fencing import acquire_writer
+
+    token = acquire_writer(spark, state_dir)
     raw = (
         spark.readStream.schema(DOCS_CMS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -99,6 +108,7 @@ def run_cms_stream(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
+        token.verify_and_renew()  # fail the batch, never zombie-fold
         merged = state_compaction.accumulate(
             spark,
             state_dir,
@@ -112,4 +122,7 @@ def run_cms_stream(
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    q = writer.start()
+    token.bind_query(str(q.runId))
+    q.writer_token = token
+    return q

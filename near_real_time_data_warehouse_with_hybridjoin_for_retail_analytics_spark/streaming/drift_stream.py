@@ -157,8 +157,17 @@ def run_embedding_drift_stream(
     the accumulated state, and overwrites ``out_dir`` with the
     current drift report against the frozen ``ref`` relation — after
     every batch, ``out_dir`` holds exactly what the batch operator
-    would report over everything ingested so far."""
+    would report over everything ingested so far.
 
+    Single-writer contract ENFORCED since round 17 (round-16 verdict
+    item 3): the per-(label, dim) sums are not replay-idempotent, so a
+    second FOLDER with a fresh checkpoint would corrupt the compaction
+    watermark — the shared state dir is fenced like the rest of the
+    family (``fencing``); the token is exposed as
+    ``query.writer_token`` for graceful release."""
+    from .fencing import acquire_writer
+
+    token = acquire_writer(spark, state_dir)
     raw = (
         spark.readStream.schema(DRIFT_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -166,6 +175,7 @@ def run_embedding_drift_stream(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
+        token.verify_and_renew()  # fail the batch, never zombie-fold
         # Crash-retry replays re-append identical partial rows for the
         # same batch_id; the (batch_id, label, dim) dedup inside
         # ``accumulate`` restores exactly-once accumulation, and its
@@ -190,4 +200,7 @@ def run_embedding_drift_stream(
         # re-consumed, and an uncommitted batch's partial replay is
         # absorbed by the batch_id dedup above.
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    q = writer.start()
+    token.bind_query(str(q.runId))
+    q.writer_token = token
+    return q

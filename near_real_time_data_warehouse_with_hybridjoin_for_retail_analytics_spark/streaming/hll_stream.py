@@ -68,8 +68,16 @@ def run_hll_register_stream(
     which is replay-idempotent, so the compaction watermark skip is
     merely redundant here; compaction still bounds state at base +
     COMPACT_EVERY partials regardless of gate lifetime) and the merged
-    register table overwrites ``out_dir``."""
+    register table overwrites ``out_dir``.
 
+    Single-writer contract ENFORCED since round 17 (round-16 verdict
+    item 3): MAX-merge is replay-idempotent, but a second FOLDER with a
+    fresh checkpoint can still corrupt the compaction watermark — the
+    shared state dir is fenced like the rest of the family
+    (``fencing``); the token is exposed as ``query.writer_token``."""
+    from .fencing import acquire_writer
+
+    token = acquire_writer(spark, state_dir)
     raw = (
         spark.readStream.schema(DOCS_HLL_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -77,6 +85,7 @@ def run_hll_register_stream(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
+        token.verify_and_renew()  # fail the batch, never zombie-fold
         merged = state_compaction.accumulate(
             spark,
             state_dir,
@@ -90,4 +99,7 @@ def run_hll_register_stream(
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    q = writer.start()
+    token.bind_query(str(q.runId))
+    q.writer_token = token
+    return q

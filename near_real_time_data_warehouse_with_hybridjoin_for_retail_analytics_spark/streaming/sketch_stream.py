@@ -110,8 +110,19 @@ def run_token_sketch_stream(
     idempotent, so the compaction watermark skip is merely redundant
     here; compaction still bounds state regardless of gate lifetime)
     and the cardinality report derived from the merged sketch
-    overwrites ``out_dir``."""
+    overwrites ``out_dir``.
 
+    Single-writer contract ENFORCED since round 17 (round-16 verdict
+    item 3): replay dedup makes the partial appends idempotent, but a
+    second FOLDER with a fresh checkpoint would still corrupt the
+    compaction watermark — so the shared state dir is fenced exactly
+    like the z-order/compaction/fact sinks (``fencing``): a second
+    pipeline attaching to a live state raises ``WriterFencedError`` at
+    start, a superseded writer fails its next batch, and the token is
+    exposed as ``query.writer_token`` for graceful release."""
+    from .fencing import acquire_writer
+
+    token = acquire_writer(spark, state_dir)
     raw = (
         spark.readStream.schema(DOCS_SKETCH_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -119,6 +130,7 @@ def run_token_sketch_stream(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
+        token.verify_and_renew()  # fail the batch, never zombie-fold
         merged = state_compaction.accumulate(
             spark,
             state_dir,
@@ -132,4 +144,7 @@ def run_token_sketch_stream(
     writer = raw.writeStream.foreachBatch(_update).trigger(availableNow=True)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    q = writer.start()
+    token.bind_query(str(q.runId))
+    q.writer_token = token
+    return q
