@@ -70,6 +70,168 @@ def _staged(spark: SparkSession, staging_dir: str) -> DataFrame:
     )
 
 
+# Staging file layout, pinned for the time-travel readers: a retained
+# old generation can be fully swept (zero data files), where schema
+# inference errors and a declared schema returns the empty frame.
+_STAGING_SCHEMA = EVENTS_SCHEMA + ", batch_id long"
+
+
+def compacted_snapshots(out_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY for the compacted sink (round-16 verdict item
+    4, the z-order table's contract): every sweep-commit boundary whose
+    staging generation is still on disk, oldest first — {gen, groups
+    (compacted bins at the commit), batch_through (ingest watermark at
+    the commit), current}. Generation 0 (before any sweep) has no
+    snapshot; a damaged sidecar degrades to groups/batch_through=None
+    rather than crashing the listing (the same policy as the z-order
+    ``snapshots``). The CURRENT generation is always last when its
+    sidecar survives."""
+    import json
+    import os
+    import re
+
+    cur_dir, _off, _closed = _staging_state(out_dir)
+    cur_gen = int(cur_dir.rsplit("_g", 1)[-1])
+    out: list[dict] = []
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        return out
+    gens = sorted(
+        int(m.group(1))
+        for n in names
+        if (m := re.fullmatch(r"staging_g(\d+)", n))
+    )
+    for g in gens:
+        if g > cur_gen:
+            continue  # uncommitted debris from a crashed sweep
+        side = os.path.join(out_dir, f"staging_g{g}", "_snapshot.json")
+        meta = None
+        try:
+            with open(side) as fh:
+                meta = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            pass  # gen 0, or damaged sidecar — degrade, don't crash
+        if not isinstance(meta, dict):
+            if g == cur_gen or g == 0:
+                out.append(
+                    {
+                        "gen": g,
+                        "groups": None,
+                        "batch_through": None,
+                        "current": g == cur_gen,
+                    }
+                )
+            continue
+        out.append(
+            {
+                "gen": g,
+                "groups": meta.get("groups"),
+                "batch_through": meta.get("batch_through"),
+                "current": g == cur_gen,
+            }
+        )
+    return out
+
+
+def compacted_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The reader's CURRENT view of the compaction sink: every
+    compacted bin plus the staging rows whose bin is NOT yet compacted
+    (a compacted bin's rows stay in staging until the next sweep — the
+    deferred-delete window — so the staging side must exclude them or
+    they would be served twice). The full event set ingested so far,
+    minus the quarantine (which is by contract out-of-band)."""
+    import os
+
+    staging_dir, offset, _closed = _staging_state(out_dir)
+    compacted_dir = f"{out_dir}/compacted"
+    done = _written_groups(spark, compacted_dir)
+    parts = []
+    if done:
+        parts.append(
+            spark.read.parquet(compacted_dir).drop("group_id", "sub")
+        )
+    if os.path.isdir(staging_dir):
+        staged = (
+            spark.read.schema(_STAGING_SCHEMA)
+            .option("ignoreMissingFiles", "true")
+            .parquet(staging_dir)
+            .dropDuplicates(["batch_id", "event_id"])
+        )
+        live_hours = F.broadcast(
+            _bin_plan(staged, offset)
+            .filter(~F.col("group_id").isin([int(g) for g in done]))
+            .select("hour")
+        )
+        parts.append(
+            staged.withColumn("hour", F.expr(_HOUR_OR_SENTINEL))
+            .join(live_hours, "hour")
+            .drop("hour", "batch_id")
+        )
+    if not parts:
+        raise FileNotFoundError(f"no compacted data under {out_dir}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compacted_table_asof(
+    spark: SparkSession, out_dir: str, gen: int
+) -> DataFrame:
+    """Time travel on SWEEP-COMMIT boundaries (VERSION AS OF for the
+    compaction sink): the table exactly as the sweep that committed
+    generation ``gen`` saw it — the bins compacted at that commit plus
+    that generation's staging survivors at its batch watermark. Sound
+    because bins are append-only (never rewritten or vacuumed), batch
+    ids are monotone (rows appended to the generation dir after the
+    commit are exactly batch_id > the watermark), and a bin published
+    AFTER the commit is excluded whole while its not-yet-swept source
+    rows are still served from the retained staging generation — no
+    loss, no double count. Valid until the vacuum reclaims the
+    generation (``sweep_staging(keep_generations=N)``); a reclaimed or
+    never-committed generation raises a NAMED error listing what is
+    still servable, never a bare path error."""
+    import os
+
+    snaps = {s["gen"]: s for s in compacted_snapshots(out_dir)}
+    s = snaps.get(int(gen))
+    staging_dir = os.path.join(out_dir, f"staging_g{int(gen)}")
+    if s is None or s.get("batch_through") is None or not os.path.isdir(
+        staging_dir
+    ):
+        have = [
+            g
+            for g, x in sorted(snaps.items())
+            if x.get("batch_through") is not None
+        ]
+        raise RuntimeError(
+            f"generation {gen} of {out_dir} is not servable (sweep "
+            f"commits still on disk: {have}) — it was never committed "
+            "by a sweep, its sidecar is damaged, or the vacuum "
+            "reclaimed it; time travel is valid only inside the "
+            "keep_generations retention window, exactly like a table "
+            "format's VERSION AS OF"
+        )
+    groups = [int(g) for g in (s["groups"] or [])]
+    staged = (
+        spark.read.schema(_STAGING_SCHEMA)
+        .option("ignoreMissingFiles", "true")
+        .parquet(staging_dir)
+        .filter(F.col("batch_id") <= int(s["batch_through"]))
+        .dropDuplicates(["batch_id", "event_id"])
+        .drop("batch_id")
+    )
+    if not groups:
+        return staged
+    bins = (
+        spark.read.parquet(f"{out_dir}/compacted")
+        .filter(F.col("group_id").isin(groups))
+        .drop("group_id", "sub")
+    )
+    return bins.unionByName(staged)
+
+
 # Below any real hour (nulls map to the -1 sentinel): "no bin closed
 # yet", so nothing is quarantined before the first compaction.
 _NO_CLOSED_HOUR = -2
@@ -418,13 +580,30 @@ def finalize_compaction(spark: SparkSession, out_dir: str) -> None:
     _write_bins(staged, plan, [g for g in gids if g not in done], compacted_dir)
 
 
-def sweep_staging(spark: SparkSession, out_dir: str) -> None:
+def sweep_staging(
+    spark: SparkSession, out_dir: str, keep_generations: int = 1
+) -> None:
     """Vacuum: rewrite the SURVIVING rows (bins not yet compacted)
     into the next staging GENERATION, then commit (generation, offset)
     atomically (see _staging_state for the crash argument — the active
     staging dir is never mutated in place, so there is no window in
     which the marker and the directory disagree). Bounded retention —
-    the deferred-delete half real compactors run out-of-band."""
+    the deferred-delete half real compactors run out-of-band.
+
+    Each sweep commit is also a TIME-TRAVEL boundary (round-16 verdict
+    item 4, same contract as the z-order table): a ``_snapshot.json``
+    sidecar written INSIDE the new generation dir (underscore name →
+    invisible to parquet readers; travels/dies with the dir) records
+    the compacted bin set and the batch watermark at the commit, so
+    ``compacted_table_asof`` can serve the table exactly as this
+    commit saw it. ``keep_generations`` (≥1) is the retention window:
+    the newest N staging generations survive the vacuum (compacted
+    bins are append-only and never vacuumed, so a retained snapshot
+    stays servable as long as its staging generation does — the exact
+    VACUUM-breaks-time-travel contract a table format documents)."""
+    import json
+    import os
+    import re
     import shutil
 
     staging_dir, offset, closed_meta = _staging_state(out_dir)
@@ -442,6 +621,10 @@ def sweep_staging(spark: SparkSession, out_dir: str) -> None:
         .join(keep_hours, "hour")
         .drop("hour")
     )
+    # the snapshot's batch watermark: every row ingested by this commit
+    # has batch_id ≤ this max (monotone ids), so rows appended to the
+    # new generation dir AFTER the commit are exactly batch_id > it
+    batch_through = staged.agg(F.max("batch_id")).collect()[0][0]
     new_dir = f"{out_dir}/staging_g{gen + 1}"
     remaining.write.mode("overwrite").parquet(new_dir)
     n_swept = staged.count() - spark.read.parquet(new_dir).count()
@@ -456,7 +639,28 @@ def sweep_staging(spark: SparkSession, out_dir: str) -> None:
     new_closed = max(
         closed_meta, int(swept_max) if swept_max is not None else closed_meta
     )
+    # snapshot sidecar BEFORE the marker commit: an uncommitted new
+    # generation's sidecar is debris overwritten with the dir on retry
+    snap_tmp = os.path.join(new_dir, "_snapshot.json.tmp")
+    with open(snap_tmp, "w") as fh:
+        json.dump(
+            {
+                "gen": gen + 1,
+                "groups": sorted(int(g) for g in done),
+                "batch_through": (
+                    int(batch_through) if batch_through is not None else -1
+                ),
+                "closed_hour": new_closed,
+            },
+            fh,
+        )
+    os.replace(snap_tmp, os.path.join(new_dir, "_snapshot.json"))
     _commit_staging_state(
         out_dir, gen + 1, int(offset) + int(n_swept), new_closed
     )
-    shutil.rmtree(staging_dir, ignore_errors=True)  # post-commit cleanup
+    # retention: the newest keep_generations staging dirs survive
+    cutoff = gen + 1 - max(int(keep_generations), 1) + 1
+    for name in os.listdir(out_dir):
+        m = re.fullmatch(r"staging_g(\d+)", name)
+        if m and int(m.group(1)) < cutoff:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)

@@ -522,3 +522,90 @@ def test_publish_missing_staged_bin_raises_named_error(spark, tmp_path):
     assert os.path.isdir(os.path.join(out, "group_id=0"))
     # staged root kept for forensics
     assert os.path.isdir(os.path.join(out, "_staging_bins"))
+
+
+def test_time_travel_on_sweep_commit_boundaries(spark, tmp_path):
+    """VERSION AS OF on the compaction sink (round-16 verdict item 4,
+    the z-order table's contract): each sweep commit stays servable
+    exactly as it saw the table — bins compacted at the commit plus the
+    retained staging generation at its batch watermark — even while
+    later ingest publishes new bins (including a bin built from rows
+    the snapshot still serves from staging). Outside the
+    keep_generations retention window, a NAMED error lists what is
+    still servable."""
+    import datetime as dt
+
+    import pytest
+
+    feed = _ordered_feed(spark, tmp_path)
+    out = _run(spark, tmp_path, feed)
+    n_first = load_table(spark, SF, "events").count()
+
+    # first sweep commit → generation 1 snapshot
+    compaction_stream.sweep_staging(spark, out, keep_generations=3)
+    snaps = compaction_stream.compacted_snapshots(out)
+    g1 = [s for s in snaps if s["gen"] == 1][0]
+    assert g1["current"] and g1["groups"] and g1["batch_through"] >= 0
+    asof1 = compaction_stream.compacted_table_asof(spark, out, 1)
+    assert asof1.count() == n_first
+
+    # later ingest: 40 rows in hours PAST the closed boundary (ordered
+    # ingest, not late data), fed through the SAME checkpoint
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).first()[0]
+    new_rows = [
+        (10_000_000 + i, max_ts + dt.timedelta(hours=1 + i // 20, seconds=i),
+         i % 7, "view", 1.0, "{}")
+        for i in range(40)
+    ]
+    extra = spark.createDataFrame(
+        new_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    extra.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "x"))
+    src = next(
+        p for p in os.listdir(str(tmp_path / "x")) if p.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(str(tmp_path / "x"), src),
+        os.path.join(feed, "9999.parquet"),
+    )
+    q = compaction_stream.run_compaction_stream(
+        spark, feed, out, checkpoint=str(tmp_path / "ckpt_a")
+    )
+    q.awaitTermination(300)
+    q.writer_token.release()
+    compaction_stream.finalize_compaction(spark, out)
+
+    # the current view grew; the generation-1 snapshot did not — new
+    # bins (and the old trailing bin published after the commit) are
+    # excluded whole, their pre-commit rows still served from the
+    # retained staging generation
+    assert compaction_stream.compacted_table(spark, out).count() == (
+        n_first + 40
+    )
+    asof1 = compaction_stream.compacted_table_asof(spark, out, 1)
+    assert asof1.count() == n_first
+    want = load_table(spark, SF, "events").select(*asof1.columns)
+    assert asof1.exceptAll(want).count() == 0
+    assert want.exceptAll(asof1).count() == 0
+
+    # second sweep commit → generation 2 serves everything; gen 1 stays
+    # servable inside keep_generations=3
+    compaction_stream.sweep_staging(spark, out, keep_generations=3)
+    asof2 = compaction_stream.compacted_table_asof(spark, out, 2)
+    assert asof2.count() == n_first + 40
+    assert (
+        compaction_stream.compacted_table_asof(spark, out, 1).count()
+        == n_first
+    )
+
+    # vacuum past the window → gen 1/2 reclaimed, named error lists
+    # the still-servable commits
+    compaction_stream.sweep_staging(spark, out, keep_generations=1)
+    with pytest.raises(RuntimeError, match="not servable"):
+        compaction_stream.compacted_table_asof(spark, out, 1)
+    assert (
+        compaction_stream.compacted_table_asof(spark, out, 3).count()
+        == n_first + 40
+    )
