@@ -126,6 +126,21 @@ def _key_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_layout_key")
 
 
+def _marker_params(out_dir: str) -> dict | None:
+    """The clustering params the COMMITTED marker carries (present
+    only after a domain re-pin — ``repin_scaled_domain`` commits the
+    new frozen domain inside the generation marker so the re-key and
+    the spec change are ONE atomic os.replace). None on a pre-re-pin
+    marker or a fresh sink."""
+    try:
+        with open(_marker_path(out_dir)) as fh:
+            m = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return None
+    p = m.get("params")
+    return dict(p) if isinstance(p, dict) else None
+
+
 def _pin_key(out_dir: str, key: str, params: dict | None = None) -> None:
     """Pin the sink's clustering key (and, for the scaled key, its
     frozen domain) on first use; a later attach with a DIFFERENT key
@@ -147,6 +162,17 @@ def _pin_key(out_dir: str, key: str, params: dict | None = None) -> None:
         pinned = json.loads(raw)
     except ValueError:
         pinned = {"key": raw, "params": None}  # pre-r16 plain-text pin
+    # a domain re-pin commits its new params INSIDE the marker (the
+    # single atomic commit); the pin file is repaired lazily here, so
+    # a crash between the marker replace and the pin rewrite can never
+    # leave an attach keying against the superseded domain
+    mp = _marker_params(out_dir)
+    if mp is not None and pinned.get("params") != mp:
+        pinned = {"key": pinned.get("key"), "params": mp}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(pinned, fh)
+        os.replace(tmp, path)
     if pinned != want:
         raise RuntimeError(
             f"layout-key mismatch on {out_dir}: sink is clustered by "
@@ -471,6 +497,173 @@ def finalize_zorder(spark: SparkSession, out_dir: str) -> None:
     after this the clustered base equals the batch executor's output
     bucket-for-bucket."""
     _fold(spark, out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Domain evolution for the frozen scaled key (round-16 verdict item 5)
+# ---------------------------------------------------------------------------
+# The streaming scaled key clamps out-of-domain values to the grid
+# edge — correct row placement, but under REAL drift (user ids past
+# the measured max, time marching past the pinned span) the edge
+# buckets grow without bound and pruning degrades silently. The
+# production move is a measured re-pin: detect the clamp rate, and
+# past a threshold re-measure the domain and re-cluster the table
+# under the new pinned spec — an OPTIMIZE FULL, exactly how a table
+# format evolves its clustering spec (new snapshot, new metadata, one
+# atomic commit).
+
+
+def _pinned_scaled_params(out_dir: str) -> dict:
+    """The sink's CURRENT frozen domain: the committed marker's params
+    when a re-pin has happened, else the attach-time pin."""
+    mp = _marker_params(out_dir)
+    if mp is not None:
+        return mp
+    try:
+        with open(_key_path(out_dir)) as fh:
+            pinned = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        raise RuntimeError(
+            f"{out_dir} has no readable _layout_key pin — not a "
+            "scaled-key clustered sink"
+        ) from None
+    if pinned.get("key") != _SCALED_KEY or not pinned.get("params"):
+        raise RuntimeError(
+            f"{out_dir} is clustered by {pinned!r}, not the frozen "
+            f"scaled key — clamp detection/re-pin only applies to "
+            f"'{_SCALED_KEY}' sinks"
+        )
+    return pinned["params"]
+
+
+def scaled_clamp_report(spark: SparkSession, out_dir: str) -> dict:
+    """Drift detector: over the reader's current view, the fraction of
+    rows whose raw keys fall OUTSIDE the pinned domain (they clamp to
+    a grid-edge bucket). One map-side aggregate — the cheap standing
+    check a deployment alarms on. Returns integer ppm so thresholds
+    compare exactly."""
+    from ..operators.layout import _HOUR_OR_SENTINEL, _USER_OR_SENTINEL
+
+    p = _pinned_scaled_params(out_dir)
+    df = clustered_table(spark, out_dir)
+    clamped = F.expr(
+        f"({_USER_OR_SENTINEL}) < {p['umin']} OR "
+        f"({_USER_OR_SENTINEL}) - {p['umin']} > {p['uspan']} OR "
+        f"({_HOUR_OR_SENTINEL}) < {p['tmin']} OR "
+        f"({_HOUR_OR_SENTINEL}) - {p['tmin']} > {p['tspan']}"
+    )
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(clamped.cast("long")).alias("c"),
+    ).collect()[0]
+    n, c = int(r["n"]), int(r["c"] or 0)
+    return {
+        "n_rows": n,
+        "n_clamped": c,
+        "clamp_ppm": (1_000_000 * c) // n if n else 0,
+        "domain": p,
+    }
+
+
+def repin_scaled_domain(
+    spark: SparkSession,
+    out_dir: str,
+    threshold_ppm: int = 10_000,  # 1% clamped rows
+) -> dict:
+    """Measured domain evolution: when the clamp rate crosses
+    ``threshold_ppm``, re-measure the domain over the full table and
+    re-cluster under the new pinned spec (OPTIMIZE FULL — every bucket
+    rewritten, one clustering repartition). Ownership is taken through
+    the same fencing token as ingest (a live pipeline must be detached
+    first — this is a maintenance op, like a table format's OPTIMIZE),
+    the outstanding backlog is folded under the OLD spec first so no
+    staged row ever crosses bucket spaces, and the re-key + new domain
+    commit as ONE marker os.replace (params ride inside the marker;
+    the attach-time pin file is repaired lazily by ``_pin_key``).
+    Below the threshold: a no-op report, nothing rewritten.
+
+    Returns the before/after report including the post-re-pin
+    clustering quality (per-dimension max bucket span), so the caller
+    can assert the span bound recovered."""
+    from ..operators.layout import (
+        _envelopes,
+        _quality,
+        scaled_domain,
+    )
+    from .fencing import acquire_writer
+
+    before = scaled_clamp_report(spark, out_dir)
+    if before["clamp_ppm"] < threshold_ppm:
+        return {**before, "repinned": False}
+    token = acquire_writer(spark, out_dir)
+    try:
+        # fold the backlog under the OLD spec: after this, the table is
+        # entirely in the committed base, one consistent bucket space
+        _fold(spark, out_dir, token)
+        gen, folded = _gen_state(out_dir)
+        base = spark.read.parquet(_base_dir(out_dir, gen)).drop(
+            "file_bucket"
+        )
+        new_params = scaled_domain(base)
+        new_gen = gen + 1
+        new_base = _base_dir(out_dir, new_gen)
+        if os.path.isdir(new_base):
+            shutil.rmtree(new_base)  # uncommitted debris from a crash
+        rekeyed = zorder_scaled_bucketed_fixed(base, **new_params)
+        (
+            rekeyed.repartition("file_bucket")
+            .write.mode("overwrite")
+            .partitionBy("file_bucket")
+            .parquet(new_base)
+        )
+        snap_tmp = os.path.join(new_base, "_snapshot.json.tmp")
+        with open(snap_tmp, "w") as fh:
+            json.dump(
+                {
+                    "gen": new_gen,
+                    "folded_through": int(folded),
+                    "params": new_params,
+                },
+                fh,
+            )
+        os.replace(snap_tmp, os.path.join(new_base, "_snapshot.json"))
+        tmp = _marker_path(out_dir) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "gen": new_gen,
+                    "folded_through": int(folded),
+                    "params": new_params,
+                },
+                fh,
+            )
+        token.verify_and_renew()  # re-verify at the commit point
+        os.replace(tmp, _marker_path(out_dir))  # THE commit: key + spec
+        spark.catalog.refreshByPath(new_base)
+        # repair the attach-time pin eagerly (a crash before this line
+        # is healed lazily by _pin_key's marker-wins rule)
+        pin_tmp = _key_path(out_dir) + ".tmp"
+        with open(pin_tmp, "w") as fh:
+            json.dump({"key": _SCALED_KEY, "params": new_params}, fh)
+        os.replace(pin_tmp, _key_path(out_dir))
+        quality = (
+            _quality(
+                _envelopes(spark.read.parquet(new_base)), "morton_scaled"
+            )
+            .collect()[0]
+            .asDict()
+        )
+    finally:
+        token.release()
+    after = scaled_clamp_report(spark, out_dir)
+    return {
+        **before,
+        "repinned": True,
+        "new_domain": new_params,
+        "gen": new_gen,
+        "clamp_ppm_after": after["clamp_ppm"],
+        "quality": quality,
+    }
 
 
 def run_zorder_stream(

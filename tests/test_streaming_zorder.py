@@ -678,3 +678,128 @@ def test_time_travel_on_commit_boundaries(spark, tmp_path):
     # the live view is untouched by all of this
     n_src = load_table(spark, SF, "events").count()
     assert zorder_stream.clustered_table(spark, out).count() == n_src + 20
+
+
+def test_clamp_detection_and_domain_repin(spark, tmp_path):
+    """Round-16 verdict item 5, the frozen-domain evolution story:
+    drifted ingest (keys past the pinned domain) clamps to the grid
+    edge and is DETECTED by the clamp-rate report; past the threshold,
+    ``repin_scaled_domain`` re-measures the domain and re-clusters the
+    whole table under the new pinned spec in one marker commit — after
+    which the clamp rate is zero, the per-bucket span bound recovers,
+    the layout equals the batch executor's fixed keying under the new
+    domain bit-for-bit, attaches with the OLD domain are rejected, and
+    ingest continues under the new one."""
+    import datetime as dt
+
+    feed = _feed(spark, tmp_path)
+    out = str(tmp_path / "zs")
+    ev = load_table(spark, SF, "events")
+    dom = layout.scaled_domain(ev)
+    q = zorder_stream.run_zorder_stream(
+        spark, feed, out,
+        max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ck0"),
+        rewrite_staged_rows=60,
+        key="morton_scaled",
+        scale_domain=dom,
+    )
+    q.awaitTermination(120)
+    q.writer_token.release()
+    zorder_stream.finalize_zorder(spark, out)
+    assert zorder_stream.scaled_clamp_report(spark, out)["clamp_ppm"] == 0
+
+    # drift injection: 40 rows with user ids and hours FAR outside the
+    # pinned domain, delivered through the SAME checkpoint
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    drifted = spark.createDataFrame(
+        [
+            (
+                5_000_000 + i,
+                max_ts + dt.timedelta(hours=100 + i),
+                dom["umin"] + dom["uspan"] * 10 + i,
+                "view",
+                1.0,
+                "{}",
+            )
+            for i in range(40)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    drifted.coalesce(1).write.mode("append").parquet(feed)
+    q = zorder_stream.run_zorder_stream(
+        spark, feed, out,
+        max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ck0"),
+        rewrite_staged_rows=60,
+        key="morton_scaled",
+        scale_domain=dom,
+    )
+    q.awaitTermination(120)
+    q.writer_token.release()
+    zorder_stream.finalize_zorder(spark, out)
+
+    rep = zorder_stream.scaled_clamp_report(spark, out)
+    assert rep["n_rows"] == 1040 and rep["n_clamped"] == 40
+    assert rep["clamp_ppm"] == 1_000_000 * 40 // 1040
+
+    # below threshold → measured no-op
+    noop = zorder_stream.repin_scaled_domain(
+        spark, out, threshold_ppm=rep["clamp_ppm"] + 1
+    )
+    assert noop["repinned"] is False
+
+    # past threshold → OPTIMIZE FULL under the re-measured domain
+    result = zorder_stream.repin_scaled_domain(
+        spark, out, threshold_ppm=10_000
+    )
+    assert result["repinned"] is True
+    assert result["clamp_ppm_after"] == 0
+    new_dom = result["new_domain"]
+    assert new_dom["uspan"] >= dom["uspan"] * 10  # covers the drift
+    # span bound recovered: every bucket confines each dimension to a
+    # fraction of the NEW domain (the scaled-key guarantee the clamped
+    # edge buckets had lost)
+    assert result["quality"]["user_span_max"] <= new_dom["uspan"] // 4
+    assert result["quality"]["hour_span_max"] <= new_dom["tspan"] // 4
+
+    # the re-keyed table equals the batch executor's fixed keying under
+    # the new domain, row for row, bucket for bucket
+    all_rows = spark.read.parquet(feed)
+    want = sorted(
+        tuple(r)
+        for r in layout.zorder_scaled_bucketed_fixed(all_rows, **new_dom)
+        .select(*COLS, "file_bucket")
+        .collect()
+    )
+    assert _base_rows(spark, out) == want
+
+    # OLD domain no longer attaches; the NEW one does, and ingest
+    # continues in the re-pinned bucket space
+    with pytest.raises(RuntimeError, match="layout-key mismatch"):
+        zorder_stream.run_zorder_stream(
+            spark, feed, out,
+            checkpoint=str(tmp_path / "ck0"),
+            key="morton_scaled", scale_domain=dom,
+        )
+    more = spark.createDataFrame(
+        [
+            (6_000_000, max_ts + dt.timedelta(hours=1), 1, "view", 1.0, "{}")
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    more.coalesce(1).write.mode("append").parquet(feed)
+    q = zorder_stream.run_zorder_stream(
+        spark, feed, out,
+        max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ck0"),
+        rewrite_staged_rows=60,
+        key="morton_scaled",
+        scale_domain=new_dom,
+    )
+    q.awaitTermination(120)
+    q.writer_token.release()
+    zorder_stream.finalize_zorder(spark, out)
+    assert zorder_stream.clustered_table(spark, out).count() == 1041
