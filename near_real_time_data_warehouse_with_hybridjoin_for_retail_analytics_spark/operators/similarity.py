@@ -3207,7 +3207,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["vec_id", "neighbor_id"])
             .withColumn("_hit", F.lit(1))
         )
-        joined = truth.join(approx, ["vec_id", "neighbor_id"], "left")
+        # both sides are bounded by RECALL_QUERIES×TOP_K rows; broadcast
+        # the approx side so the recall join never shuffles (the audit
+        # showed Catalyst picking SortMergeJoin here without the hint)
+        joined = truth.join(
+            F.broadcast(approx), ["vec_id", "neighbor_id"], "left"
+        )
         parts.append(
             joined.agg(
                 F.count(F.lit(1)).cast("long").alias("n_truth"),
