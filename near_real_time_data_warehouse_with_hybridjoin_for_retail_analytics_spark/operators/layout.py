@@ -1282,6 +1282,7 @@ def _hour_env_sql() -> str:
       FROM hk CROSS JOIN dom
     )
     SELECT file_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(user_key) AS min_user, MAX(user_key) AS max_user,
            MIN(hour_key) AS min_hour, MAX(hour_key) AS max_hour
     FROM b GROUP BY 1
@@ -1437,6 +1438,129 @@ def zorder_scaled_apply_inventory(
             F.max("hour_key").alias("max_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pruning simulation (staged for round 18)
+# ---------------------------------------------------------------------------
+# The quality report above measures zone-map SPANS; this entry measures
+# what a query planner actually pays: for a deterministic workload of
+# point lookups on the user dimension, the number of buckets (and, the
+# number that exposes the one-bucket degeneracy spans alone can hide,
+# ROWS) a zone-map-pruned scan must read under each candidate layout.
+# A layout that puts everything in one bucket "hits" only 1 bucket per
+# probe — but that bucket holds the whole corpus, so rows_scanned stays
+# at 100%: rows_scanned is the honest denominator. Probes are the
+# PROBE_COUNT distinct user keys with the smallest md5 — the same
+# fixed-count deterministic-workload move as the ANN recall report, so
+# the cost is K×(≤Z_FILES envelopes), constant at any corpus scale.
+
+PROBE_COUNT = 64
+
+
+def _probe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed probe workload: PROBE_COUNT distinct user keys in
+    smallest-md5 order (one tiny global top-K)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.expr(_USER_OR_SENTINEL).alias("probe"))
+        .distinct()
+        .orderBy(F.md5(F.col("probe").cast("string")), "probe")
+        .limit(PROBE_COUNT)
+    )
+
+
+_PROBES_SQL = f"""
+    SELECT probe FROM (
+      SELECT DISTINCT coalesce(user_id, -1) AS probe FROM events
+    ) ORDER BY md5(CAST(probe AS VARCHAR)), probe LIMIT {PROBE_COUNT}
+"""
+
+
+def _envelopes_counted(bucketed: DataFrame) -> DataFrame:
+    """Per-bucket zone maps WITH row counts (the pruning simulator's
+    input — counts are what make rows_scanned honest)."""
+    return (
+        bucketed.select(
+            "file_bucket",
+            F.expr(_USER_OR_SENTINEL).alias("user_key"),
+            F.expr(_HOUR_OR_SENTINEL).alias("hour_key"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("user_key").alias("min_user"),
+            F.max("user_key").alias("max_user"),
+        )
+    )
+
+
+def _prune_block_sql(env_subquery: str, layout: str) -> str:
+    """Per-layout probe simulation over an envelope subquery exposing
+    (min_user, max_user, n_events)."""
+    return f"""
+    SELECT '{layout}' AS layout,
+           CAST(COUNT(DISTINCT p.probe) AS BIGINT) AS n_probes,
+           CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+           CAST(SUM(e.n_events) AS BIGINT) AS rows_scanned
+    FROM ({_PROBES_SQL}) p
+    JOIN ({env_subquery}) e
+      ON p.probe >= e.min_user AND p.probe <= e.max_user
+    """
+
+
+def _prune_probes_sql() -> str:
+    """Staged oracle for the round-18 ``layout_prune_probes`` entry:
+    the four committed envelope oracles joined against the fixed probe
+    workload (hour env extended with counts; morton/hilbert reuse the
+    apply oracles; scaled reuses its envelope oracle)."""
+    blocks = [
+        _prune_block_sql(_hour_env_sql(), "hour"),
+        _prune_block_sql(_zorder_apply_sql(), "morton"),
+        _prune_block_sql(_hilbert_apply_sql(), "hilbert"),
+        _prune_block_sql(_zorder_scaled_sql(), "morton_scaled"),
+    ]
+    return "\nUNION ALL\n".join(blocks)
+
+
+_PRUNE_COLS = ["layout", "n_probes", "buckets_hit", "rows_scanned"]
+
+
+def layout_prune_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured pruning factor per candidate layout: buckets and ROWS a
+    zone-map-pruned point lookup reads, summed over the deterministic
+    probe workload. The demonstrable properties (pytest): the hour
+    baseline scans ~the whole corpus per probe; the degenerate raw
+    interleave hits few BUCKETS but still scans ~the whole corpus (the
+    honesty property); the scaled layout scans a small fraction of
+    both. Staged for round 18 (rotation window; see COVERAGE.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = F.broadcast(_probe_ids(spark, sf_dir))
+    layouts = [
+        ("hour", hour_bucketed(ev)),
+        ("morton", zorder_bucketed(ev)),
+        ("hilbert", hilbert_bucketed(ev)),
+        ("morton_scaled", zorder_scaled_bucketed(ev)),
+    ]
+    parts = []
+    for name, bucketed in layouts:
+        env = _envelopes_counted(bucketed)
+        hit = env.join(
+            probes,
+            (F.col("probe") >= F.col("min_user"))
+            & (F.col("probe") <= F.col("max_user")),
+        )
+        parts.append(
+            hit.agg(
+                F.countDistinct("probe").cast("long").alias("n_probes"),
+                F.count(F.lit(1)).cast("long").alias("buckets_hit"),
+                F.sum("n_events").cast("long").alias("rows_scanned"),
+            ).withColumn("layout", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*_PRUNE_COLS)
 
 
 def zorder_scaled_bucketed_fixed(

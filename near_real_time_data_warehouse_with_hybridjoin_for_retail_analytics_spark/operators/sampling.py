@@ -359,3 +359,61 @@ def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return comp.join(docs, "doc_id").select("doc_id", "lang", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Soft-dedup-weighted sampling (staged for round 18)
+# ---------------------------------------------------------------------------
+# The consumption side of `curation_soft_dedup_weights`: a Bernoulli
+# downsample where each document's keep probability is
+# rate × weight (weight = 1/cluster_size), so every duplicate CLUSTER
+# contributes ~rate document-mass to the sample regardless of how many
+# copies it has — the SemDeDup/D4-style draw, where hard dedup's
+# keep-one-drop-rest is just the rate→cluster_size·rate limit. The
+# coin is the first 20 bits of md5(doc_id) (engine-portable, RNG-free,
+# doc-stable): keep iff h20/2^20 < (rate_ppm/1e6)·(weight_ppm/1e6),
+# cross-multiplied into one exact int64 comparison — max operand
+# h20·1e12 < 2^20·1e12 ≈ 1.05e18 and rate·weight·2^20 ≤ 5.25e17, both
+# inside int64, so the predicate (and the driver hash) never rides on
+# a float. 100 TB shape: the weights' one component-id shuffle, then a
+# pure map-side filter.
+
+SOFT_SAMPLE_RATE_PPM = 500_000  # target: ~half a doc-mass per cluster
+_H20 = 1 << 20
+
+
+def _soft_dedup_sample_sql() -> str:
+    from .clusters import _SQL_SOFT_DEDUP
+
+    return f"""
+    WITH sw AS ({_SQL_SOFT_DEDUP})
+    SELECT doc_id, component_id, cluster_size, weight_ppm
+    FROM sw
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS BIGINT)
+            * 1000000000000
+          < {SOFT_SAMPLE_RATE_PPM} * weight_ppm * {_H20}
+    """
+
+
+def sample_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-mass-preserving downsample: keep each doc with
+    probability rate/cluster_size, deterministically (md5 coin). The
+    demonstrable properties (pytest): the predicate is exactly the
+    cross-multiplied oracle comparison (engine parity at sf0.01);
+    singletons are kept at ~rate; a cluster's expected kept mass is
+    ~rate docs independent of its size — so the sample's effective
+    composition matches hard-dedup-then-uniform-sample WITHOUT ever
+    dropping a document from the samplable pool. Staged for round 18
+    (rotation window; see COVERAGE.md)."""
+    from .clusters import curation_soft_dedup_weights
+
+    w = curation_soft_dedup_weights(spark, sf_dir)
+    h20 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10
+    ).cast("long")
+    return w.filter(
+        h20 * F.lit(1_000_000_000_000).cast("long")
+        < F.lit(SOFT_SAMPLE_RATE_PPM).cast("long")
+        * F.col("weight_ppm")
+        * F.lit(_H20).cast("long")
+    ).select("doc_id", "component_id", "cluster_size", "weight_ppm")

@@ -1,0 +1,149 @@
+"""Round-17 staged operator gates (register in round 18):
+
+`layout_prune_probes` — the pruning SIMULATION leg of the layout
+family: buckets and rows a zone-map-pruned point lookup reads under
+each candidate layout, over a fixed deterministic probe workload.
+Gates: the staged DuckDB oracle replays the Spark report bit-for-bit
+at sf0.01, and the metric exposes what spans alone hide — the
+degenerate raw interleave hits ONE bucket per probe yet still scans
+the whole corpus, while the scaled layout cuts rows scanned by ~8×.
+
+`sample_soft_dedup` — the consumption side of the soft-dedup weights:
+a deterministic Bernoulli downsample with keep probability
+rate/cluster_size. Gates: oracle parity, an independent pure-Python
+replay of the exact int64 predicate, and the cluster-mass property.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+    load_table,
+)
+from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+    clusters,
+    layout,
+    sampling,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _duck(views: dict[str, str]):
+    con = duckdb.connect()
+    for name, path in views.items():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def test_prune_probes_matches_staged_oracle(spark):
+    got = {
+        r["layout"]: (r["n_probes"], r["buckets_hit"], r["rows_scanned"])
+        for r in layout.layout_prune_probes(spark, SF).collect()
+    }
+    con = _duck({"events": f"{SF}/events.parquet"})
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(layout._prune_probes_sql()).fetchall()
+    }
+    assert got == want
+    assert set(got) == {"hour", "morton", "hilbert", "morton_scaled"}
+
+
+def test_prune_probes_exposes_what_spans_hide(spark):
+    """The honesty property: the degenerate raw interleave hits one
+    bucket per probe (looks perfectly pruned by bucket count) but that
+    bucket holds the whole corpus — rows_scanned stays at 100%. The
+    hour baseline scans ~everything too. Only the scaled layout cuts
+    the rows a point lookup reads."""
+    rows = {
+        r["layout"]: r.asDict()
+        for r in layout.layout_prune_probes(spark, SF).collect()
+    }
+    n = load_table(spark, SF, "events").count()
+    k = rows["hour"]["n_probes"]
+    assert k == layout.PROBE_COUNT
+    # hour baseline: every bucket spans ~the whole user domain, so each
+    # probe hits ~every bucket and scans ~the whole corpus
+    assert rows["hour"]["rows_scanned"] >= 0.9 * k * n
+    # degenerate raw interleave: ONE bucket per probe...
+    assert rows["morton"]["buckets_hit"] == k
+    # ...but that bucket IS the corpus (the honesty denominator)
+    assert rows["morton"]["rows_scanned"] == k * n
+    # the production scaled layout scans a small fraction of both
+    assert rows["morton_scaled"]["rows_scanned"] <= rows["hour"]["rows_scanned"] // 4
+    assert rows["morton_scaled"]["rows_scanned"] <= rows["morton"]["rows_scanned"] // 4
+    assert rows["morton_scaled"]["buckets_hit"] < rows["hour"]["buckets_hit"]
+
+
+def test_soft_dedup_sample_matches_staged_oracle(spark):
+    got = sorted(
+        tuple(r) for r in sampling.sample_soft_dedup(spark, SF).collect()
+    )
+    con = _duck(
+        {
+            "documents": f"{SF}/documents.parquet",
+        }
+    )
+    want = sorted(
+        tuple(row)
+        for row in con.execute(sampling._soft_dedup_sample_sql()).fetchall()
+    )
+    assert got == want
+    assert got, "the sample must be non-empty at the 50% target rate"
+
+
+def test_soft_dedup_sample_predicate_replays_in_pure_python(spark):
+    """Independent implementation check: the exact int64 cross-multiply
+    replayed with hashlib over the weights table selects exactly the
+    same docs — no float, no engine arithmetic quirk."""
+    weights = {
+        int(r["doc_id"]): int(r["weight_ppm"])
+        for r in clusters.curation_soft_dedup_weights(spark, SF).collect()
+    }
+    expect = {
+        d
+        for d, w in weights.items()
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:5], 16)
+        * 1_000_000_000_000
+        < sampling.SOFT_SAMPLE_RATE_PPM * w * sampling._H20
+    }
+    got = {
+        int(r["doc_id"])
+        for r in sampling.sample_soft_dedup(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_soft_dedup_sample_preserves_cluster_mass(spark):
+    """The property the sampler exists for: a cluster's keep
+    probability per DOC is rate/size, so expected kept doc-mass per
+    cluster is ~rate — composition matches hard-dedup-then-sample
+    while keeping every doc samplable. Deterministic corpus, so the
+    singleton keep fraction is a fixed number; assert it sits inside a
+    generous band around the 50% target."""
+    kept = sampling.sample_soft_dedup(spark, SF)
+    singles_kept = kept.filter("cluster_size = 1").count()
+    n_singles = (
+        clusters.curation_soft_dedup_weights(spark, SF)
+        .filter("cluster_size = 1")
+        .count()
+    )
+    rate = sampling.SOFT_SAMPLE_RATE_PPM / 1e6
+    assert n_singles > 100
+    assert abs(singles_kept / n_singles - rate) < 0.10
+    # multi-doc clusters: kept docs exist but are down-weighted — the
+    # per-doc keep rate across them is well under the singleton rate
+    multi = kept.filter("cluster_size > 1").count()
+    n_multi_docs = (
+        clusters.curation_soft_dedup_weights(spark, SF)
+        .filter("cluster_size > 1")
+        .count()
+    )
+    if n_multi_docs:
+        assert multi / n_multi_docs < rate
