@@ -606,6 +606,109 @@ def _reconcile_pending_batches(output_dir: str) -> None:
             _reconcile_batch(os.path.join(output_dir, name), output_dir)
 
 
+def fact_snapshots(output_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY for the parquet fact sink (round-16 verdict
+    item 4 generalized to the third sink): one row per committed batch
+    marker, oldest first — {batch_id, n_files, state}. ``state`` is
+    'moved' (positively complete), 'committed' (manifest committed,
+    moves possibly pending — still a valid version: reconcile
+    completes it), or 'legacy' (pre-manifest v1 empty marker: the
+    batch's rows are in the sink but not enumerable, so time travel
+    through it is not servable)."""
+    import json
+
+    out: list[dict] = []
+    try:
+        names = os.listdir(output_dir)
+    except FileNotFoundError:
+        return out
+    for name in sorted(names):
+        if not (name.startswith("_batch_") and name.endswith("_committed")):
+            continue
+        try:
+            bid = int(name[len("_batch_"):-len("_committed")])
+        except ValueError:
+            continue
+        try:
+            with open(os.path.join(output_dir, name)) as fh:
+                manifest = json.load(fh)
+        except ValueError:
+            out.append({"batch_id": bid, "n_files": None, "state": "legacy"})
+            continue
+        out.append(
+            {
+                "batch_id": bid,
+                "n_files": len(manifest.get("files", [])),
+                "state": "moved" if manifest.get("moved") else "committed",
+            }
+        )
+    out.sort(key=lambda r: r["batch_id"])
+    return out
+
+
+def fact_table_asof(
+    spark: SparkSession, output_dir: str, batch_id: int
+) -> DataFrame:
+    """Time travel on BATCH-COMMIT boundaries for the parquet fact
+    sink (VERSION AS OF): the fact table exactly as of the commit of
+    ``batch_id`` — the union of every committed batch's manifest files
+    with id ≤ it. Sound because the sink is append-only (each batch's
+    files are never rewritten in place) and the manifest IS the commit
+    (one os.replace). Pending moves are reconciled first, so every
+    served file sits in the sink. Not servable — with a NAMED error
+    listing what is — when the requested id was never committed, a
+    covered marker is a pre-manifest legacy one, or OPTIMIZE
+    (``compact_parquet``) has since rewritten a manifest file: exactly
+    the history-breaks-past-the-retention-boundary contract of the
+    other two sinks."""
+    _reconcile_pending_batches(output_dir)
+    snaps = fact_snapshots(output_dir)
+    have = [s["batch_id"] for s in snaps if s["state"] != "legacy"]
+    cover = [s for s in snaps if s["batch_id"] <= int(batch_id)]
+    if not cover or int(batch_id) not in {s["batch_id"] for s in snaps}:
+        raise RuntimeError(
+            f"batch {batch_id} of {output_dir} is not servable "
+            f"(committed batches on disk: {have}) — it was never "
+            "committed; time travel serves only committed batch ids"
+        )
+    legacy = [s["batch_id"] for s in cover if s["state"] == "legacy"]
+    if legacy:
+        raise RuntimeError(
+            f"batch {batch_id} of {output_dir} is not servable: "
+            f"covered marker(s) {legacy} are pre-manifest legacy "
+            "commits whose files are not enumerable — time travel "
+            "starts at the first manifest-protocol commit"
+        )
+    import json
+
+    paths: list[str] = []
+    for s in cover:
+        marker = os.path.join(
+            output_dir, f"_batch_{s['batch_id']}_committed"
+        )
+        with open(marker) as fh:
+            manifest = json.load(fh)
+        for rel in manifest.get("files", []):
+            full = os.path.join(output_dir, rel)
+            if not os.path.exists(full):
+                raise RuntimeError(
+                    f"batch {batch_id} of {output_dir} is not servable:"
+                    f" manifest file {rel} of batch {s['batch_id']} is "
+                    "no longer in the sink (rewritten by OPTIMIZE or "
+                    "removed out-of-band) — time travel is valid only "
+                    "until compaction rewrites a covered batch, exactly"
+                    " like a table format's VACUUM"
+                )
+            paths.append(full)
+    if not paths:
+        raise RuntimeError(
+            f"batch {batch_id} of {output_dir} committed zero data "
+            "files — nothing to serve"
+        )
+    # basePath keeps hive partition columns (partition_by_year sinks)
+    return spark.read.option("basePath", output_dir).parquet(*paths)
+
+
 def _existing_max_id(spark: SparkSession, output_dir: str) -> int:
     """Sequence bootstrap from the parquet sink. A missing dir or one
     holding only job debris (_temporary/_SUCCESS, no committed

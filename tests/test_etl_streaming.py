@@ -553,3 +553,73 @@ def test_second_fact_pipeline_is_fenced(spark, dims, workdir):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_fact_time_travel_on_batch_boundaries(spark, dims, tmp_path):
+    """Round-17: VERSION AS OF on the parquet fact sink — each batch
+    marker's manifest is a commit boundary; asof(b) serves exactly the
+    rows of batches ≤ b (with partition columns intact on a
+    hive-partitioned sink), a never-committed id raises the named
+    error, and an OPTIMIZE-style rewrite of a covered file breaks time
+    travel loudly rather than silently serving a different layout."""
+    import pytest
+
+    cust, prod = dims
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "part1.csv").write_text(CSV_MAIN)
+    (input_dir / "part2.csv").write_text(CSV_ALT)
+    out = str(tmp_path / "sales")
+    q = hj.run_stream(
+        spark,
+        str(input_dir),
+        "orderID string, Customer_ID string, Product_ID string, "
+        "quantity string, date string",
+        cust,
+        prod,
+        output_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+        partition_by_year=True,
+    )
+    q.awaitTermination(120)
+    q.writer_token.release()
+
+    snaps = hj.fact_snapshots(out)
+    assert [s["batch_id"] for s in snaps] == [0, 1]
+    assert all(s["state"] in ("moved", "committed") for s in snaps)
+
+    full = spark.read.parquet(out)
+    asof1 = hj.fact_table_asof(spark, out, 1)
+    assert sorted(map(tuple, asof1.collect())) == sorted(
+        map(tuple, full.select(*asof1.columns).collect())
+    )
+    # the partition column survives the explicit-file read (basePath)
+    assert "sale_year" in asof1.columns
+    assert asof1.select("sale_year").distinct().count() >= 1
+
+    asof0 = hj.fact_table_asof(spark, out, 0)
+    n0, n1 = asof0.count(), asof1.count()
+    assert 0 < n0 < n1 == full.count()
+    # batch 0 is exactly the first file's enriched rows: its max
+    # sales_id is contiguous with batch 1's range (S10 sequence parity)
+    assert asof0.agg(F.max("sales_id")).first()[0] == n0
+    assert asof1.agg(F.max("sales_id")).first()[0] == n1
+
+    # a never-committed id raises the named error listing what exists
+    with pytest.raises(RuntimeError, match="never committed"):
+        hj.fact_table_asof(spark, out, 7)
+
+    # an OPTIMIZE-style rewrite of a covered file breaks history LOUDLY
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out, "_batch_0_committed")) as fh:
+        manifest = _json.load(fh)
+    victim = _os.path.join(out, manifest["files"][0])
+    _os.rename(victim, victim + ".compacted-away")
+    with pytest.raises(RuntimeError, match="no longer in the sink"):
+        hj.fact_table_asof(spark, out, 1)
+    _os.rename(victim + ".compacted-away", victim)  # restore
+    assert hj.fact_table_asof(spark, out, 1).count() == n1
