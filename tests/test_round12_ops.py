@@ -472,15 +472,22 @@ def test_dsir_sf01_divergence_is_negative_zero_only(spark):
 
 def test_recursive_union_oracle_audit_is_exhaustive():
     """Guard for the DuckDB RECURSIVE-UNION quirk audit: exactly these
-    six oracles use plain UNION inside WITH RECURSIVE. Five are
+    seven oracles use plain UNION inside WITH RECURSIVE. Six are
     connectivity-based (duplicate edges cannot change reachability,
-    and per-doc label aggregation collapses any row dups — all five
-    pass the sf0.1 full gate); only dedup_pagerank is edge-
+    and per-doc label aggregation collapses any row dups — all pass
+    the sf0.1 full gate); only dedup_pagerank is edge-
     multiplicity-sensitive (fixed in r13 via SELECT DISTINCT — it
     still appears in this hit set because the DISTINCT wraps a plain
     UNION that remains inside the RECURSIVE block). A NEW recursive
     oracle lands here first: add it only after classifying its
-    multiplicity sensitivity in SCALE.md."""
+    multiplicity sensitivity in SCALE.md.
+    r17: curation_soft_dedup_weights joined (registered) — its window
+    COUNT runs over the components CTE's GROUP BY node output (one row
+    per doc by construction), so row multiplicity inside the walk
+    cannot reach cluster_size: multiplicity-INSENSITIVE (classified in
+    SCALE.md round-17; sf0.1 sweep 136/136 includes it). The staged
+    sample_soft_dedup composes the same CTE and joins this set at its
+    r18 registration."""
     import re
 
     from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
@@ -495,6 +502,7 @@ def test_recursive_union_oracle_audit_is_exhaustive():
     }
     assert hits == {
         "corpus_select",
+        "curation_soft_dedup_weights",
         "dedup_component_stats",
         "dedup_components",
         "dedup_multimodal_components",
