@@ -110,6 +110,18 @@ ENTRIES = [
     # shape, one more dimension in the inventory).
     "layout_hilbert_apply",
     "layout_zorder3_apply",
+    # round-17 registrations: the scaled pair (apply = the established
+    # rewrite-bound executor shape; the planner an envelope aggregate
+    # with one broadcast scalar domain), the four-leg quality report
+    # (expect ~4 linear key passes), the soft-dedup weights (the
+    # components closure + ONE window shuffle), and the recall report
+    # (fixed-count query set → the truth leg is K×corpus, LINEAR in
+    # the corpus by design — the de-quadraticized form).
+    "layout_zorder_scaled_events",
+    "layout_zorder_scaled_apply",
+    "layout_cluster_quality",
+    "curation_soft_dedup_weights",
+    "ann_recall_report",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -127,12 +139,25 @@ def main() -> None:
         action="store_true",
         help="measure all q01..q20 (default: the three representatives)",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated entry names: measure just these and MERGE "
+        "the rows into the existing --out artifact (for in-round "
+        "additions without re-running the whole study)",
+    )
     args = ap.parse_args()
 
     entries = list(ENTRIES)
     if args.full_q_surface:
         qs = [n for n in registry.QUERIES if re.match(r"^q\d\d_", n)]
         entries = qs + [n for n in entries if not re.match(r"^q\d\d_", n)]
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in registry.QUERIES]
+        if unknown:
+            raise SystemExit(f"--only: unknown entries {unknown}")
+        entries = wanted
 
     spark = get_spark("scale-study")
     spark.sparkContext.setLogLevel("ERROR")
@@ -176,8 +201,17 @@ def main() -> None:
                 exps.append(round(math.log10(r[hi] / r[lo]), 2))
         report[name] = {"sec": r, "decade_exponents": exps}
 
+    if args.only and os.path.isfile(args.out):
+        # merge mode: refresh only the measured rows, keep the rest
+        with open(args.out) as fh:
+            prior = json.load(fh)
+        merged = dict(prior.get("entries", {}))
+        merged.update(report)
+        payload = {"runs": prior.get("runs", args.runs), "entries": merged}
+    else:
+        payload = {"runs": args.runs, "entries": report}
     with open(args.out, "w") as fh:
-        json.dump({"runs": args.runs, "entries": report}, fh, indent=1)
+        json.dump(payload, fh, indent=1)
 
     n_steps = len(tags) - 1
     hdr = ("| entry | " + " | ".join(tags) + " | "
