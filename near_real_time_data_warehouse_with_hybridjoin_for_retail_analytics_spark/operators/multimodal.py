@@ -123,6 +123,204 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+# --- real compressed-image codec: GIF (clean-room LZW, stdlib only) -------
+# Staged round 17 for the round-18 window: the palette-indexed branch
+# of the codec matrix (BMP = raw truecolor, PNG = filtered+deflate,
+# JPEG = transform-coded, GIF = dictionary-coded indices). Payload byte
+# i → palette index at (i // W, i % W), zero-padded; the palette is the
+# 256-gray identity, so index == gray value and every decoded statistic
+# is SQL-computable straight from the text bytes — a single wrong LZW
+# code-width bump anywhere breaks the driver value hash.
+GIF_WIDTH = 16  # synthetic-payload GIF width (pixels)
+_GIF_MCS = 8  # LZW minimum code size: 256-entry palette
+_GIF_CLEAR = 1 << _GIF_MCS  # 256
+_GIF_EOI = _GIF_CLEAR + 1  # 257
+_GIF_MAX_CODES = 4096  # 12-bit ceiling, per the spec
+
+
+def _lzw_encode_gif(indices: bytes) -> bytes:
+    """GIF-flavor LZW: variable code width 9→12 bits, LSB-first bit
+    packing, CLEAR emitted up front and again when the table fills
+    (the spec's reset point). Width rule: each code is written with
+    exactly enough bits for the largest code assigned so far
+    (bit_length(next_code − 1), clamped to [9, 12]) — the convention
+    every GIF decoder's table-size-triggered bump mirrors one step
+    later, verified by the matched decoder below and the boundary-
+    crossing round-trip tests."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def width_for(next_code: int) -> int:
+        return min(max((next_code - 1).bit_length(), _GIF_MCS + 1), 12)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(_GIF_CLEAR)}
+    next_code = _GIF_EOI + 1
+    emit(_GIF_CLEAR, width_for(next_code))
+    seq = b""
+    for b in indices:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width_for(next_code))
+        if next_code < _GIF_MAX_CODES:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            # table full: reset, exactly like real writers
+            emit(_GIF_CLEAR, width_for(next_code))
+            table = {bytes([i]): i for i in range(_GIF_CLEAR)}
+            next_code = _GIF_EOI + 1
+        seq = bytes([b])
+    if seq:
+        emit(table[seq], width_for(next_code))
+        next_code += 1  # the decoder adds an entry for this code too
+    emit(_GIF_EOI, width_for(next_code))
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int = _GIF_MCS) -> bytes:
+    """GIF-flavor LZW decoder: LSB-first variable-width codes, table
+    reset on CLEAR, stop at EOI, the KwKwK self-referential case, and
+    the spec's width bump. The bump counts one slot per code READ
+    (giflib's RunningCode), not per table append — the decoder's
+    appends lag the encoder's by exactly one code, and the per-read
+    counter is what re-synchronizes the two at every 2^width boundary.
+    Deferred-clear streams stay at 12 bits (no bump past 12)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    running = eoi + 1  # one slot per code read, giflib-style
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            running = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < _GIF_MAX_CODES:
+            table.append(prev + entry[:1])
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(raw: bytes, width: int = GIF_WIDTH) -> bytes:
+    """Real GIF87a writer: payload bytes become palette indices row-
+    major (zero-padded to width×height), global 256-gray identity
+    color table, one image block with genuine variable-width LZW in
+    ≤255-byte sub-blocks. Output opens in any viewer."""
+    h = max(1, -(-len(raw) // width))
+    indices = raw + b"\x00" * (width * h - len(raw))
+    lsd = struct.pack("<HHBBB", width, h, 0xF7, 0, 0)  # GCT, 256 entries
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, h, 0)
+    lzw = _lzw_encode_gif(indices)
+    blocks = bytearray([_GIF_MCS])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return b"GIF87a" + lsd + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real GIF parser: validates the magic, reads the logical screen
+    descriptor and global color table, skips extension blocks, walks
+    the image descriptor (local color table honored), reassembles the
+    LZW sub-blocks and runs the full variable-width decode, then maps
+    indices through the palette. Returns (width, height, h×w×3 RGB).
+    Interlaced images raise NotImplementedError loudly."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    w_screen, h_screen, flags = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, 3 * n, pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode_gif(bytes(lzw), mcs)[: w * h], np.uint8
+            )
+            if idx.size < w * h:
+                raise ValueError("GIF pixel data shorter than descriptor")
+            return w, h, np.ascontiguousarray(pal[idx.reshape(h, w)])
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image block")
+
+
 # --- real compressed-image codec: PNG (stdlib zlib + numpy) ---------------
 PNG_WIDTH = 12  # synthetic-payload PNG width (pixels)
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -270,6 +468,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         try:
             img = decode_jpeg(payload)
@@ -511,6 +711,7 @@ def _encode_jpeg_payload(raw: bytes) -> bytes:
 decode_stats = _decode_stats_worker(encode_bmp)
 decode_stats_png = _decode_stats_worker(encode_png)
 decode_stats_jpeg = _decode_stats_worker(_encode_jpeg_payload)
+decode_stats_gif = _decode_stats_worker(encode_gif)
 
 
 def _decode_stats_oracle(width: int = BMP_WIDTH) -> str:
@@ -613,6 +814,71 @@ def _decode_stats_jpeg_oracle() -> str:
            t.thumb_sum
     FROM means m JOIN thumb t USING (doc_id)
     """
+
+
+def _decode_stats_gif_oracle() -> str:
+    """Staged oracle for ``multimodal_decode_stats_gif``: the GIF round
+    trip maps payload byte i → palette index at (i // W, i % W)
+    (zero-padded), and the 256-gray identity palette makes index ==
+    channel value — so each channel mean is Σv/(W·h) (one DOUBLE
+    division, operand-identical to the worker's) and the thumbnail
+    checksum is 3× the byte sum at the nearest-neighbor indices. A
+    single wrong LZW code-width bump anywhere in the dictionary decode
+    breaks the value hash."""
+    w = GIF_WIDTH
+    return f"""
+    WITH bytes AS (
+      SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
+      FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i
+            FROM documents)
+    ),
+    dims AS (
+      SELECT doc_id,
+             greatest((length(text) + {w - 1}) // {w}, 1) AS h
+      FROM documents
+    ),
+    means AS (
+      SELECT dm.doc_id, dm.h,
+             CAST(coalesce(SUM(b.v), 0) AS DOUBLE) / ({w} * dm.h) AS mean
+      FROM dims dm LEFT JOIN bytes b USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    thumbidx AS (
+      SELECT dm.doc_id,
+             ((r.r * dm.h) // {_THUMB}) * {w}
+               + ((c.c * {w}) // {_THUMB}) AS i
+      FROM dims dm
+      CROSS JOIN range(0, {_THUMB}) r(r)
+      CROSS JOIN range(0, {_THUMB}) c(c)
+    ),
+    thumb AS (
+      SELECT t.doc_id, CAST(3 * SUM(coalesce(b.v, 0)) AS BIGINT) AS thumb_sum
+      FROM thumbidx t
+      LEFT JOIN bytes b ON b.doc_id = t.doc_id AND b.i = t.i
+      GROUP BY 1
+    )
+    SELECT m.doc_id, CAST({w} AS INT) AS width, CAST(m.h AS INT) AS height,
+           m.mean AS mean_r, m.mean AS mean_g, m.mean AS mean_b,
+           t.thumb_sum
+    FROM means m JOIN thumb t USING (doc_id)
+    """
+
+
+def multimodal_decode_stats_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DICTIONARY-CODED branch of the codec matrix, for real: each
+    document's payload becomes an actual GIF87a (256-gray identity
+    palette, genuine variable-width LZW with clear-code resets and
+    sub-block framing), then runs the full parse — header walk, color
+    table, sub-block reassembly, LZW decode with the giflib width-bump
+    convention — plus resize and pixel stats inside Arrow-batched
+    ``mapInPandas``. Completes the codec family: BMP (raw truecolor),
+    PNG (filter+deflate), JPEG (transform-coded), GIF (dictionary-
+    coded). Staged round 17 for the round-18 window (see COVERAGE.md);
+    candidate for a fourth leg of decode_stats_formats at
+    registration time if the rotation budget prefers one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(decode_stats_gif, DECODE_SCHEMA)
 
 
 @query("multimodal_decode_stats", _decode_stats_oracle())

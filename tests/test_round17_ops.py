@@ -147,3 +147,111 @@ def test_soft_dedup_sample_preserves_cluster_mass(spark):
     )
     if n_multi_docs:
         assert multi / n_multi_docs < rate
+
+
+# --- GIF codec leg (staged for round 18) -----------------------------------
+
+
+def test_gif_decode_stats_matches_staged_oracle(spark):
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in mm.multimodal_decode_stats_gif(spark, SF).collect()
+    )
+    con = _duck({"documents": f"{SF}/documents.parquet"})
+    want = sorted(
+        tuple(row)
+        for row in con.execute(mm._decode_stats_gif_oracle()).fetchall()
+    )
+    assert got == want and got
+
+
+def test_gif_lzw_round_trips_across_every_width_boundary():
+    """The codec content of the GIF leg: variable-width LZW with the
+    giflib bump convention must round-trip inputs that cross the
+    9→10→11→12 boundaries and force mid-stream clear-code resets."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = np.random.RandomState(7)
+    for raw in [
+        b"",
+        b"a",
+        bytes(range(256)) * 2,
+        rng.bytes(5_000),       # past the 512 and 1024 boundaries
+        rng.bytes(60_000),      # past 4096: clear-code reset path
+        b"ab" * 40_000,         # degenerate repetition, long chains
+        rng.bytes(200_000),     # several full table cycles
+    ]:
+        assert mm._lzw_decode_gif(mm._lzw_encode_gif(raw)) == raw
+
+
+def test_gif_container_round_trip_and_canonical_framing():
+    """encode_gif emits a real GIF87a: magic, logical screen
+    descriptor, 256-gray identity palette, sub-block framing, trailer;
+    decode_gif recovers every payload byte at the documented (i//W,
+    i%W) position with r=g=b. The simplest stream is also checked
+    against an INDEPENDENT hand-packed LZW byte string (clear, three
+    literals, EOI at 9 bits, LSB-first) so the framing convention is
+    pinned to the spec, not just to our own decoder."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    raw = b"the quick brown fox jumps over the lazy dog"
+    g = mm.encode_gif(raw)
+    assert g[:6] == b"GIF87a" and g[-1:] == b"\x3b"
+    w, h, img = mm.decode_gif(g)
+    assert (w, h) == (mm.GIF_WIDTH, -(-len(raw) // mm.GIF_WIDTH))
+    assert bytes(img[:, :, 0].reshape(-1)[: len(raw)]) == raw
+    assert (img[:, :, 0] == img[:, :, 1]).all()
+    assert (img[:, :, 0] == img[:, :, 2]).all()
+    # independent framing vector: codes [256, 40, 255, 40, 257] @9b,
+    # packed LSB-first by a test-local packer
+    codes = [256, 40, 255, 40, 257]
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    assert mm._lzw_encode_gif(bytes([40, 255, 40])) == bytes(packed)
+    assert mm._lzw_decode_gif(bytes(packed)) == bytes([40, 255, 40])
+
+
+def test_gif_decoder_rejects_and_skips_what_it_should():
+    """Interlaced images raise loudly; extension blocks (the GIF89a
+    graphics-control prelude real files carry) are skipped; truncation
+    below the descriptor's pixel count is a named error."""
+    import pytest
+
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    g = bytearray(mm.encode_gif(b"payload bytes here"))
+    # image descriptor starts after 6 (hdr) + 7 (LSD) + 768 (GCT)
+    desc = 6 + 7 + 768
+    assert g[desc] == 0x2C
+    g_inter = bytearray(g)
+    g_inter[desc + 9] |= 0x40  # interlace flag
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm.decode_gif(bytes(g_inter))
+    # splice a GIF89a graphics-control extension before the image
+    ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    g_ext = bytes(g[:desc]) + ext + bytes(g[desc:])
+    w, h, img = mm.decode_gif(g_ext)
+    assert bytes(img[0, :13, 0].reshape(-1)) == b"payload bytes"
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm.decode_gif(b"BM not a gif")
