@@ -212,7 +212,17 @@ def _lzw_decode_gif(data: bytes, mcs: int = _GIF_MCS) -> bytes:
     while True:
         while nbits < width:
             if pos >= len(data):
-                return bytes(out)  # truncated stream: emit what we have
+                # Data exhausted mid-code: a well-formed stream always
+                # terminates at EOI (returned below), so this is real
+                # truncation — raise loudly instead of returning
+                # partial pixels (round-17 advice: silent partial
+                # output was at odds with the file's loud-failure
+                # policy and let decode_gif's length check misreport
+                # the cause).
+                raise ValueError(
+                    "truncated GIF LZW code stream: data ended "
+                    f"mid-code at byte {pos} with no EOI"
+                )
             acc |= data[pos] << nbits
             pos += 1
             nbits += 8
@@ -240,7 +250,6 @@ def _lzw_decode_gif(data: bytes, mcs: int = _GIF_MCS) -> bytes:
         if prev is not None and len(table) < _GIF_MAX_CODES:
             table.append(prev + entry[:1])
         prev = entry
-    return bytes(out)
 
 
 def encode_gif(raw: bytes, width: int = GIF_WIDTH) -> bytes:
@@ -272,26 +281,45 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     Interlaced images raise NotImplementedError loudly."""
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload")
+
+    def _need(at: int, n: int, what: str) -> None:
+        # Bounds guard for every block walk (round-17 advice): a
+        # truncated payload must raise the file's NAMED loud-failure
+        # error, never a bare IndexError from payload[pos].
+        if at + n > len(payload):
+            raise ValueError(
+                f"truncated GIF: need {n} byte(s) for {what} at offset "
+                f"{at} but payload ends at {len(payload)}"
+            )
+
+    _need(6, 7, "logical screen descriptor")
     w_screen, h_screen, flags = struct.unpack_from("<HHB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        _need(pos, 3 * n, "global color table")
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while True:
+                _need(pos, 1, "extension sub-block size")
+                if payload[pos] == 0:
+                    break
+                _need(pos + 1, payload[pos], "extension sub-block")
                 pos += 1 + payload[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
+            _need(pos + 1, 9, "image descriptor")
             _, _, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             pal = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
+                _need(pos, 3 * n, "local color table")
                 pal = np.frombuffer(
                     payload, np.uint8, 3 * n, pos
                 ).reshape(n, 3)
@@ -300,11 +328,16 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise NotImplementedError("interlaced GIF not supported")
             if pal is None:
                 raise ValueError("GIF image with no color table")
+            _need(pos, 1, "LZW minimum code size")
             mcs = payload[pos]
             pos += 1
             lzw = bytearray()
-            while payload[pos] != 0:
+            while True:
+                _need(pos, 1, "image sub-block size")
+                if payload[pos] == 0:
+                    break
                 ln = payload[pos]
+                _need(pos + 1, ln, "image sub-block")
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1

@@ -140,16 +140,34 @@ def compacted_table(spark: SparkSession, out_dir: str) -> DataFrame:
     (a compacted bin's rows stay in staging until the next sweep — the
     deferred-delete window — so the staging side must exclude them or
     they would be served twice). The full event set ingested so far,
-    minus the quarantine (which is by contract out-of-band)."""
+    minus the quarantine (which is by contract out-of-band).
+
+    The compacted read and the staging exclusion derive from ONE
+    os-level listing of the ``group_id=`` dirs (round-17 advice): the
+    old shape snapshotted ``done`` first and let the parquet scan list
+    the dir again at action time, so a bin the live compactor published
+    BETWEEN the two appeared in the compacted read while its staged
+    source rows were not excluded — transiently double-serving that
+    bin. Now the compacted side reads exactly the listed dirs, so a
+    bin published after the listing is served once, from staging. (The
+    dir-presence test is the same commit-unit ``_write_bins`` publishes
+    by — each bin becomes visible in one os.rename.)"""
     import os
 
     staging_dir, offset, _closed = _staging_state(out_dir)
     compacted_dir = f"{out_dir}/compacted"
-    done = _written_groups(spark, compacted_dir)
+    done = _listed_groups(compacted_dir)
     parts = []
     if done:
         parts.append(
-            spark.read.parquet(compacted_dir).drop("group_id", "sub")
+            spark.read.option("basePath", compacted_dir)
+            .parquet(
+                *(
+                    os.path.join(compacted_dir, f"group_id={g}")
+                    for g in done
+                )
+            )
+            .drop("group_id", "sub")
         )
     if os.path.isdir(staging_dir):
         staged = (
@@ -338,6 +356,29 @@ def _bin_plan(staged: DataFrame, offset: int = 0) -> DataFrame:
         "hour",
         "n_rows",
         F.expr(f"cb DIV {COMPACT_TARGET_ROWS}").alias("group_id"),
+    )
+
+
+def _listed_groups(compacted_dir: str) -> list[int]:
+    """One os-level snapshot of the published bins: the ``group_id=K``
+    dirs present RIGHT NOW, sorted. Publication is one os.rename per
+    bin (``_write_bins``), so dir presence is exactly the commit unit —
+    the same doneness test the publisher itself uses. ``compacted_table``
+    feeds BOTH its compacted read and its staging exclusion from one
+    such listing so a concurrent publish can never split the two
+    (round-17 advice)."""
+    import os
+    import re
+
+    try:
+        names = os.listdir(compacted_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1))
+        for n in names
+        if (m := re.fullmatch(r"group_id=(\d+)", n))
+        and os.path.isdir(os.path.join(compacted_dir, n))
     )
 
 

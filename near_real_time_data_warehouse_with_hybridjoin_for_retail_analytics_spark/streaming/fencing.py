@@ -307,27 +307,50 @@ def acquire_writer(
             ) from None
     with os.fdopen(fd, "w") as fh:
         fh.write(owner)
-    # heartbeat BEFORE the canonical commit: a token must never be
-    # visible without a live lease behind it
-    _touch_heartbeat(out_dir, new_epoch)
-    # Re-read the canonical token immediately before committing ours
-    # (round-16 advice, the superseded-epoch resurrection): a contender
-    # paused longer than the lease between winning the claim CAS and
-    # this commit has had its claim orphan-reclaimed — the reclaimer
-    # already committed this very epoch, so committing ours on resume
-    # would make two writers believe they own the sink. The check
-    # narrows the vulnerable span from the whole claim-to-commit gap to
-    # the few instructions between this read and the os.replace (the
-    # irreducible window without a conditional PUT).
-    now_tok = _read_token(out_dir)
-    if now_tok is not None and now_tok["epoch"] >= new_epoch:
+
+    def _superseded_raise(cur_tok: dict) -> None:
+        # A losing contender must leave NO lease side effects (round-17
+        # advice): remove our claim file — the canonical epoch already
+        # advanced past it, so the file is pure debris that would never
+        # be contended again — and raise without having renewed (or
+        # worse, created) the winning epoch's heartbeat.
+        try:
+            os.remove(claim)
+        except FileNotFoundError:
+            pass
         raise WriterFencedError(
             f"writer acquisition of {out_dir} superseded before commit: "
             f"this contender won the claim for epoch {new_epoch} but the "
-            f"canonical token already reads epoch {now_tok['epoch']} "
-            f"(owner {now_tok.get('owner')}) — our claim was orphan-"
+            f"canonical token already reads epoch {cur_tok['epoch']} "
+            f"(owner {cur_tok.get('owner')}) — our claim was orphan-"
             "reclaimed while we were paused; not committing a stale epoch"
         )
+
+    # Supersession re-read BEFORE the heartbeat touch (round-17 advice):
+    # a contender paused longer than the lease between winning the claim
+    # CAS and this point has had its claim orphan-reclaimed — the
+    # reclaimer already committed this very epoch. The OLD order touched
+    # _writer_heartbeat.{new_epoch} first, so the losing contender's
+    # raise still renewed the RECLAIMER's lease — if that owner had
+    # since died, the spurious renewal delayed the next takeover by up
+    # to ttl_s. Checking first means the losing path writes nothing.
+    now_tok = _read_token(out_dir)
+    if now_tok is not None and now_tok["epoch"] >= new_epoch:
+        _superseded_raise(now_tok)
+    # heartbeat BEFORE the canonical commit: a token must never be
+    # visible without a live lease behind it
+    _touch_heartbeat(out_dir, new_epoch)
+    # Re-verify immediately before committing ours (round-16 advice,
+    # the superseded-epoch resurrection): narrows the vulnerable span
+    # from the whole claim-to-commit gap to the few instructions
+    # between this read and the os.replace (the irreducible window
+    # without a conditional PUT). Raising HERE does leave our one
+    # heartbeat touch behind — renewing a lease is the safe direction
+    # (expiring it could fence a LIVE owner at the same epoch), and the
+    # window is now instruction-scale rather than pause-scale.
+    now_tok = _read_token(out_dir)
+    if now_tok is not None and now_tok["epoch"] >= new_epoch:
+        _superseded_raise(now_tok)
     _write_canonical(
         out_dir,
         {"owner": owner, "epoch": new_epoch, "pid": os.getpid()},

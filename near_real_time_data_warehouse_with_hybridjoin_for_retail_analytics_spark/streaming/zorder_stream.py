@@ -126,18 +126,27 @@ def _key_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_layout_key")
 
 
-def _marker_params(out_dir: str) -> dict | None:
-    """The clustering params the COMMITTED marker carries (present
-    only after a domain re-pin — ``repin_scaled_domain`` commits the
-    new frozen domain inside the generation marker so the re-key and
-    the spec change are ONE atomic os.replace). None on a pre-re-pin
-    marker or a fresh sink."""
+def _read_marker(out_dir: str) -> dict | None:
+    """The committed generation marker as a dict, or None when absent
+    or unreadable (callers needing hard-error semantics go through
+    ``_gen_state``, which validates the required fields)."""
     try:
         with open(_marker_path(out_dir)) as fh:
             m = json.load(fh)
     except (FileNotFoundError, ValueError):
         return None
-    p = m.get("params")
+    return m if isinstance(m, dict) else None
+
+
+def _marker_params(out_dir: str) -> dict | None:
+    """The clustering params the COMMITTED marker carries (present
+    only after a domain re-pin — ``repin_scaled_domain`` commits the
+    new frozen domain inside the generation marker so the re-key and
+    the spec change are ONE atomic os.replace; ``_fold`` carries them
+    forward on every subsequent commit). None on a pre-re-pin marker
+    or a fresh sink."""
+    m = _read_marker(out_dir)
+    p = m.get("params") if m is not None else None
     return dict(p) if isinstance(p, dict) else None
 
 
@@ -291,8 +300,26 @@ def snapshots(out_dir: str) -> list[dict]:
         folded = meta.get("folded_through") if isinstance(meta, dict) else None
         if g == cur_gen and folded is None:
             folded = cur_folded  # the marker attests the current gen
+        # the drift trail (scaled sinks, r18+ commits): cumulative
+        # clamp ppm at this commit, plus this fold's own sample — None
+        # on non-scaled sinks and pre-trail generations
+        cum = meta.get("clamp") if isinstance(meta, dict) else None
+        cum_ppm = (
+            (1_000_000 * int(cum["n_clamped"])) // int(cum["n_rows"])
+            if isinstance(cum, dict) and int(cum.get("n_rows", 0) or 0)
+            else None
+        )
+        fold = meta.get("clamp_fold") if isinstance(meta, dict) else None
         out.append(
-            {"gen": g, "folded_through": folded, "current": g == cur_gen}
+            {
+                "gen": g,
+                "folded_through": folded,
+                "current": g == cur_gen,
+                "clamp_ppm": cum_ppm,
+                "clamp_fold_ppm": (
+                    fold.get("clamp_ppm") if isinstance(fold, dict) else None
+                ),
+            }
         )
     return out
 
@@ -335,10 +362,18 @@ def _fold(spark: SparkSession, out_dir: str, token=None) -> None:
     if not os.path.isdir(staging):
         return
     gen, folded = _gen_state(out_dir)
+    prior_marker = _read_marker(out_dir) or {}
     staged = _staged(spark, staging, folded)
-    agg = staged.agg(
-        F.count(F.lit(1)), F.max("batch_id")
-    ).collect()[0]
+    # Scaled sinks: clamp accounting rides the SAME aggregate that
+    # sizes the fold (one extra map-side sum, no second pass), so every
+    # commit records how much of the folded batch fell outside the
+    # frozen domain — the drift trail a deployment alarms on without
+    # ever calling the full-scan report (round-17 verdict item 2).
+    scaled_p = _scaled_params_or_none(out_dir)
+    aggs = [F.count(F.lit(1)), F.max("batch_id")]
+    if scaled_p is not None:
+        aggs.append(F.sum(_clamp_expr(scaled_p).cast("long")))
+    agg = staged.agg(*aggs).collect()[0]
     n_new, max_batch = int(agg[0] or 0), agg[1]
     if n_new == 0:
         return
@@ -386,18 +421,63 @@ def _fold(spark: SparkSession, out_dir: str, token=None) -> None:
                 dst = os.path.join(dst_dir, f)
                 if not os.path.exists(dst):
                     os.link(os.path.join(src_dir, f), dst)
+    # The new marker CARRIES FORWARD the committed clustering params
+    # (round-17 advice: the old {gen, folded_through}-only rewrite
+    # silently erased the spec a prior repin_scaled_domain committed —
+    # marker-params authority survived only because a post-repin fold
+    # happened to no-op on an empty backlog) and, for scaled sinks,
+    # the cumulative clamp counters. Every row enters the table
+    # through a fold, so the cumulative pair IS the exact table-level
+    # clamp count under the current spec — repin_scaled_domain reads
+    # it instead of re-scanning.
+    marker = {"gen": new_gen, "folded_through": int(max_batch)}
+    prior_params = prior_marker.get("params")
+    if isinstance(prior_params, dict):
+        marker["params"] = prior_params
+    fold_clamp = None
+    if scaled_p is not None:
+        c_new = int(agg[2] or 0)
+        prior_clamp = prior_marker.get("clamp")
+        if prior_clamp is None and gen >= 0:
+            # upgrade backfill, paid ONCE per sink: a pre-trail marker
+            # means the committed base's rows were folded without clamp
+            # accounting — seed the cumulative pair from one aggregate
+            # over the base so the trail stays table-exact from here on
+            b = spark.read.parquet(_base_dir(out_dir, gen)).agg(
+                F.count(F.lit(1)),
+                F.sum(_clamp_expr(scaled_p).cast("long")),
+            ).collect()[0]
+            prior_clamp = {
+                "n_rows": int(b[0] or 0),
+                "n_clamped": int(b[1] or 0),
+            }
+        prior_clamp = prior_clamp or {}
+        marker["clamp"] = {
+            "n_rows": int(prior_clamp.get("n_rows", 0)) + n_new,
+            "n_clamped": int(prior_clamp.get("n_clamped", 0)) + c_new,
+        }
+        fold_clamp = {
+            "n_rows": n_new,
+            "n_clamped": c_new,
+            "clamp_ppm": (1_000_000 * c_new) // n_new,
+        }
     # per-generation snapshot metadata, INSIDE the generation dir
     # (underscore name → invisible to parquet readers; travels/dies
     # with the dir, so time travel needs no separate history log):
     # written BEFORE the marker commit — an uncommitted generation's
-    # sidecar is debris removed with the dir on retry
+    # sidecar is debris removed with the dir on retry. ``clamp_fold``
+    # is THIS fold's drift sample; ``clamp`` the cumulative trail —
+    # together the per-commit drift history snapshots() surfaces.
+    side = dict(marker)
+    if fold_clamp is not None:
+        side["clamp_fold"] = fold_clamp
     snap_tmp = os.path.join(new_base, "_snapshot.json.tmp")
     with open(snap_tmp, "w") as fh:
-        json.dump({"gen": new_gen, "folded_through": int(max_batch)}, fh)
+        json.dump(side, fh)
     os.replace(snap_tmp, os.path.join(new_base, "_snapshot.json"))
     tmp = _marker_path(out_dir) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"gen": new_gen, "folded_through": int(max_batch)}, fh)
+        json.dump(marker, fh)
     if token is not None:
         token.verify_and_renew()  # re-verify at the commit point
     os.replace(tmp, _marker_path(out_dir))  # the commit point
@@ -536,22 +616,42 @@ def _pinned_scaled_params(out_dir: str) -> dict:
     return pinned["params"]
 
 
-def scaled_clamp_report(spark: SparkSession, out_dir: str) -> dict:
-    """Drift detector: over the reader's current view, the fraction of
-    rows whose raw keys fall OUTSIDE the pinned domain (they clamp to
-    a grid-edge bucket). One map-side aggregate — the cheap standing
-    check a deployment alarms on. Returns integer ppm so thresholds
-    compare exactly."""
+def _scaled_params_or_none(out_dir: str) -> dict | None:
+    """The sink's frozen scaled domain when it is a scaled-key sink,
+    else None — the soft probe ``_fold`` uses to decide whether clamp
+    accounting applies (non-scaled sinks have no domain to drift
+    from)."""
+    try:
+        return _pinned_scaled_params(out_dir)
+    except RuntimeError:
+        return None
+
+
+def _clamp_expr(p: dict):
+    """Row predicate: raw keys fall OUTSIDE the pinned domain ``p`` (the
+    row clamps to a grid-edge bucket). Shared by the full-scan report
+    and the fold-time trail so the two can never disagree on what
+    counts as clamped."""
     from ..operators.layout import _HOUR_OR_SENTINEL, _USER_OR_SENTINEL
 
-    p = _pinned_scaled_params(out_dir)
-    df = clustered_table(spark, out_dir)
-    clamped = F.expr(
+    return F.expr(
         f"({_USER_OR_SENTINEL}) < {p['umin']} OR "
         f"({_USER_OR_SENTINEL}) - {p['umin']} > {p['uspan']} OR "
         f"({_HOUR_OR_SENTINEL}) < {p['tmin']} OR "
         f"({_HOUR_OR_SENTINEL}) - {p['tmin']} > {p['tspan']}"
     )
+
+
+def scaled_clamp_report(spark: SparkSession, out_dir: str) -> dict:
+    """Drift detector: over the reader's current view, the fraction of
+    rows whose raw keys fall OUTSIDE the pinned domain (they clamp to
+    a grid-edge bucket). One map-side aggregate — the independent
+    full-scan oracle for the fold-time ``clamp`` trail the commit path
+    records (see ``_fold``). Returns integer ppm so thresholds compare
+    exactly."""
+    p = _pinned_scaled_params(out_dir)
+    df = clustered_table(spark, out_dir)
+    clamped = _clamp_expr(p)
     r = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(clamped.cast("long")).alias("c"),
@@ -592,7 +692,25 @@ def repin_scaled_domain(
     )
     from .fencing import acquire_writer
 
-    before = scaled_clamp_report(spark, out_dir)
+    # Detection reads the fold-commit clamp TRAIL when the marker
+    # carries it (round-17 verdict item 2): every row enters the table
+    # through a fold, so the cumulative pair is the exact table-level
+    # clamp count under the current spec — no re-scan. The trail lags
+    # the table by the unfolded staged backlog only (those rows are
+    # counted when their fold commits); a pre-trail sink (no r18 fold
+    # yet) falls back to the full-scan report.
+    trail = (_read_marker(out_dir) or {}).get("clamp")
+    if isinstance(trail, dict) and int(trail.get("n_rows", 0) or 0):
+        n, c = int(trail["n_rows"]), int(trail["n_clamped"])
+        before = {
+            "n_rows": n,
+            "n_clamped": c,
+            "clamp_ppm": (1_000_000 * c) // n,
+            "domain": _pinned_scaled_params(out_dir),
+            "source": "trail",
+        }
+    else:
+        before = {**scaled_clamp_report(spark, out_dir), "source": "scan"}
     if before["clamp_ppm"] < threshold_ppm:
         return {**before, "repinned": False}
     token = acquire_writer(spark, out_dir)
@@ -604,6 +722,20 @@ def repin_scaled_domain(
         base = spark.read.parquet(_base_dir(out_dir, gen)).drop(
             "file_bucket"
         )
+        # the re-pin RESETS the clamp trail: the new spec starts a
+        # fresh drift history whose row total is the whole re-keyed
+        # table (all in-domain by construction — scaled_domain measured
+        # it), so cumulative ppm stays table-exact across the re-pin.
+        # Post-fold, the trail's n_rows IS the table row count; a
+        # pre-trail sink pays one count.
+        folded_trail = (_read_marker(out_dir) or {}).get("clamp")
+        n_table = (
+            int(folded_trail["n_rows"])
+            if isinstance(folded_trail, dict)
+            and int(folded_trail.get("n_rows", 0) or 0)
+            else base.count()
+        )
+        reset_clamp = {"n_rows": n_table, "n_clamped": 0}
         new_params = scaled_domain(base)
         new_gen = gen + 1
         new_base = _base_dir(out_dir, new_gen)
@@ -616,27 +748,19 @@ def repin_scaled_domain(
             .partitionBy("file_bucket")
             .parquet(new_base)
         )
+        repin_marker = {
+            "gen": new_gen,
+            "folded_through": int(folded),
+            "params": new_params,
+            "clamp": reset_clamp,
+        }
         snap_tmp = os.path.join(new_base, "_snapshot.json.tmp")
         with open(snap_tmp, "w") as fh:
-            json.dump(
-                {
-                    "gen": new_gen,
-                    "folded_through": int(folded),
-                    "params": new_params,
-                },
-                fh,
-            )
+            json.dump(repin_marker, fh)
         os.replace(snap_tmp, os.path.join(new_base, "_snapshot.json"))
         tmp = _marker_path(out_dir) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "gen": new_gen,
-                    "folded_through": int(folded),
-                    "params": new_params,
-                },
-                fh,
-            )
+            json.dump(repin_marker, fh)
         token.verify_and_renew()  # re-verify at the commit point
         os.replace(tmp, _marker_path(out_dir))  # THE commit: key + spec
         spark.catalog.refreshByPath(new_base)

@@ -609,3 +609,30 @@ def test_time_travel_on_sweep_commit_boundaries(spark, tmp_path):
         compaction_stream.compacted_table_asof(spark, out, 3).count()
         == n_first + 40
     )
+
+
+def test_reader_never_double_serves_a_concurrently_published_bin(
+    spark, tmp_path
+):
+    """Round-17 advice: ``compacted_table`` used to snapshot the done
+    set, then let the compacted parquet scan list the dir again at
+    action time — a bin the live compactor published between the two
+    appeared in BOTH the compacted read and (not excluded) the staging
+    read. Now both sides derive from one os-level listing: a bin
+    published after the reader's construction is served exactly once,
+    from staging."""
+    feed = _ordered_feed(spark, tmp_path)
+    out = _run(spark, tmp_path, feed, tag="race")
+    total = spark.read.parquet(feed).count()
+    # reader constructed BEFORE the trailing bin publishes
+    df = compaction_stream.compacted_table(spark, out)
+    # the "live compactor" publishes the remaining bin(s) between the
+    # reader's listing and its action; refresh forces any cached file
+    # index to re-list so a dir-based scan would now see the new bin
+    compaction_stream.finalize_compaction(spark, out)
+    spark.catalog.refreshByPath(f"{out}/compacted")
+    assert df.count() == total
+    assert df.select("event_id").distinct().count() == total
+    # a reader constructed after the publish serves the bin from the
+    # compacted side instead — same table either way
+    assert compaction_stream.compacted_table(spark, out).count() == total

@@ -803,3 +803,123 @@ def test_clamp_detection_and_domain_repin(spark, tmp_path):
     q.writer_token.release()
     zorder_stream.finalize_zorder(spark, out)
     assert zorder_stream.clustered_table(spark, out).count() == 1041
+
+
+def test_fold_commits_write_the_clamp_trail(spark, tmp_path):
+    """Round-17 verdict item 2: drift detection must be part of the
+    COMMIT history, not an on-demand call a deployment can forget.
+    Every fold on a scaled sink records this fold's clamp sample and
+    the cumulative pair in its snapshot sidecar + the marker; injected
+    drift writes a RISING clamp_ppm trail; ``repin_scaled_domain``
+    reads the trail (source == 'trail', no table re-scan) and RESETS it
+    at the re-pin commit. The post-repin fold also pins the round-17
+    advice finding: a fold on a NON-empty backlog must carry the
+    re-pinned marker params forward instead of erasing them."""
+    import datetime as dt
+
+    feed = _feed(spark, tmp_path)
+    out = str(tmp_path / "zs")
+    ev = load_table(spark, SF, "events")
+    dom = layout.scaled_domain(ev)
+    q = zorder_stream.run_zorder_stream(
+        spark, feed, out,
+        max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ck0"),
+        rewrite_staged_rows=60,
+        key="morton_scaled",
+        scale_domain=dom,
+    )
+    q.awaitTermination(120)
+    q.writer_token.release()
+    zorder_stream.finalize_zorder(spark, out)
+    m = zorder_stream._read_marker(out)
+    assert m["clamp"] == {"n_rows": 1000, "n_clamped": 0}
+    pre_drift = [s for s in zorder_stream.snapshots(out) if s["current"]][0]
+    assert pre_drift["clamp_ppm"] == 0
+
+    # drift injection through the SAME checkpoint: 40 rows far outside
+    # the pinned domain — the fold that lands them must record them
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    drifted = spark.createDataFrame(
+        [
+            (
+                5_000_000 + i,
+                max_ts + dt.timedelta(hours=100 + i),
+                dom["umin"] + dom["uspan"] * 10 + i,
+                "view",
+                1.0,
+                "{}",
+            )
+            for i in range(40)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    drifted.coalesce(1).write.mode("append").parquet(feed)
+    q = zorder_stream.run_zorder_stream(
+        spark, feed, out,
+        max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ck0"),
+        rewrite_staged_rows=60,
+        key="morton_scaled",
+        scale_domain=dom,
+    )
+    q.awaitTermination(120)
+    q.writer_token.release()
+    zorder_stream.finalize_zorder(spark, out)
+
+    m = zorder_stream._read_marker(out)
+    assert m["clamp"] == {"n_rows": 1040, "n_clamped": 40}
+    cur = [s for s in zorder_stream.snapshots(out) if s["current"]][0]
+    # the trail ROSE: cumulative ppm matches the full-scan oracle
+    # exactly, and this fold's own sample is all-clamped
+    assert cur["clamp_ppm"] == 1_000_000 * 40 // 1040
+    assert cur["clamp_fold_ppm"] == 1_000_000
+    assert (
+        cur["clamp_ppm"]
+        == zorder_stream.scaled_clamp_report(spark, out)["clamp_ppm"]
+    )
+    assert cur["clamp_ppm"] > (pre_drift["clamp_ppm"] or 0)
+
+    # repin reads the TRAIL, not a re-scan, and resets it at commit
+    noop = zorder_stream.repin_scaled_domain(
+        spark, out, threshold_ppm=cur["clamp_ppm"] + 1
+    )
+    assert noop["repinned"] is False and noop["source"] == "trail"
+    result = zorder_stream.repin_scaled_domain(spark, out, threshold_ppm=10_000)
+    assert result["repinned"] is True and result["source"] == "trail"
+    m = zorder_stream._read_marker(out)
+    assert m["clamp"] == {"n_rows": 1040, "n_clamped": 0}
+    assert m["params"] == result["new_domain"]
+    assert [s for s in zorder_stream.snapshots(out) if s["current"]][0][
+        "clamp_ppm"
+    ] == 0
+
+    # round-17 advice (marker-params erasure): a fold over a NON-empty
+    # backlog after the re-pin must carry the committed params forward
+    new_dom = result["new_domain"]
+    more = spark.createDataFrame(
+        [(6_000_000, max_ts + dt.timedelta(hours=1), 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    more.coalesce(1).write.mode("append").parquet(feed)
+    q = zorder_stream.run_zorder_stream(
+        spark, feed, out,
+        max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ck0"),
+        rewrite_staged_rows=60,
+        key="morton_scaled",
+        scale_domain=new_dom,
+    )
+    q.awaitTermination(120)
+    q.writer_token.release()
+    zorder_stream.finalize_zorder(spark, out)
+    m = zorder_stream._read_marker(out)
+    assert m["params"] == new_dom, (
+        "a fold must never erase the re-pinned clustering spec"
+    )
+    assert m["clamp"] == {"n_rows": 1041, "n_clamped": 0}
+    # and the committed spec still governs attaches (the authority
+    # chain _pin_key repairs from the marker)
+    assert zorder_stream._pinned_scaled_params(out) == new_dom

@@ -199,10 +199,16 @@ def main() -> None:
         for lo, hi in zip(tags, tags[1:]):
             if r.get(lo) and r.get(hi):
                 exps.append(round(math.log10(r[hi] / r[lo]), 2))
-        report[name] = {"sec": r, "decade_exponents": exps}
+        # runs recorded PER ENTRY (round-17 advice): a merge run with a
+        # different --runs used to silently label freshly merged rows
+        # with the prior artifact's top-level count
+        report[name] = {"sec": r, "decade_exponents": exps, "runs": args.runs}
 
     if args.only and os.path.isfile(args.out):
-        # merge mode: refresh only the measured rows, keep the rest
+        # merge mode: refresh only the measured rows, keep the rest.
+        # The top-level "runs" keeps describing the PRIOR full-study
+        # rows (legacy rows without a per-entry count); merged rows
+        # carry their own.
         with open(args.out) as fh:
             prior = json.load(fh)
         merged = dict(prior.get("entries", {}))
