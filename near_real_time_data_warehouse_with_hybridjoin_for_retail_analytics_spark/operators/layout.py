@@ -1441,21 +1441,30 @@ def zorder_scaled_apply_inventory(
 
 
 # ---------------------------------------------------------------------------
-# Pruning simulation (staged for round 18)
+# Pruning simulation (staged round 17, registered round 18)
 # ---------------------------------------------------------------------------
 # The quality report above measures zone-map SPANS; this entry measures
-# what a query planner actually pays: for a deterministic workload of
-# point lookups on the user dimension, the number of buckets (and, the
-# number that exposes the one-bucket degeneracy spans alone can hide,
-# ROWS) a zone-map-pruned scan must read under each candidate layout.
-# A layout that puts everything in one bucket "hits" only 1 bucket per
-# probe — but that bucket holds the whole corpus, so rows_scanned stays
-# at 100%: rows_scanned is the honest denominator. Probes are the
-# PROBE_COUNT distinct user keys with the smallest md5 — the same
-# fixed-count deterministic-workload move as the ANN recall report, so
-# the cost is K×(≤Z_FILES envelopes), constant at any corpus scale.
+# what a query planner actually pays, for BOTH probe families the
+# reference's own query surface stresses: point lookups on the user
+# dimension (the selective-customer shape) and aligned hour-RANGE scans
+# (the trailing-months shape, /root/reference/queries.sql:61-68) — per
+# candidate layout, the number of buckets (and, the number that exposes
+# the one-bucket degeneracy spans alone can hide, ROWS) a zone-map-
+# pruned scan must read. A layout that puts everything in one bucket
+# "hits" only 1 bucket per probe — but that bucket holds the whole
+# corpus, so rows_scanned stays at 100%: rows_scanned is the honest
+# denominator. The two families complete the trade-off story: the hour
+# baseline WINS time slices outright and loses point lookups almost
+# totally; the scaled z-order stays within a small factor of the
+# specialist on BOTH (the crossover pinned in pytest). User probes are
+# the PROBE_COUNT distinct user keys with the smallest md5; hour probes
+# are HOUR_RANGE_COUNT aligned equal windows tiling the hour domain —
+# both fixed-count deterministic workloads (the ANN recall report's
+# move), so the cost is K×(≤Z_FILES envelopes), constant at any corpus
+# scale.
 
 PROBE_COUNT = 64
+HOUR_RANGE_COUNT = 16
 
 
 def _probe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,29 +1500,101 @@ def _envelopes_counted(bucketed: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.min("user_key").alias("min_user"),
             F.max("user_key").alias("max_user"),
+            F.min("hour_key").alias("min_hour"),
+            F.max("hour_key").alias("max_hour"),
         )
     )
 
 
+def _probe_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH fixed probe families as one tiny relation
+    (probe_kind, dim, pid, lo, hi): the PROBE_COUNT user point lookups
+    (lo = hi = the user key) and the HOUR_RANGE_COUNT aligned equal
+    hour windows tiling [hmin, hmax] (window i covers
+    [hmin + i·step, hmin + (i+1)·step − 1], step = ceil-free
+    (hspan DIV N, floored at 1) — deterministic, RNG-free, and
+    engine-portable like every other fixed workload in the repo)."""
+    ev = load_table(spark, sf_dir, "events")
+    points = _probe_ids(spark, sf_dir).select(
+        F.lit("user_point").alias("probe_kind"),
+        F.lit("user").alias("dim"),
+        F.col("probe").cast("long").alias("pid"),
+        F.col("probe").cast("long").alias("lo"),
+        F.col("probe").cast("long").alias("hi"),
+    )
+    dom = ev.agg(
+        F.min(F.expr(_HOUR_OR_SENTINEL)).alias("hmin"),
+        F.max(F.expr(_HOUR_OR_SENTINEL)).alias("hmax"),
+    ).select(
+        "hmin",
+        F.greatest(
+            F.expr(f"(hmax - hmin + 1) DIV {HOUR_RANGE_COUNT}").cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("step"),
+    )
+    ranges = (
+        spark.range(HOUR_RANGE_COUNT)
+        .crossJoin(F.broadcast(dom))  # 1-row domain, the planner's move
+        .select(
+            F.lit("hour_range").alias("probe_kind"),
+            F.lit("hour").alias("dim"),
+            F.col("id").cast("long").alias("pid"),
+            (F.col("hmin") + F.col("id") * F.col("step"))
+            .cast("long")
+            .alias("lo"),
+            (F.col("hmin") + (F.col("id") + 1) * F.col("step") - 1)
+            .cast("long")
+            .alias("hi"),
+        )
+    )
+    return points.unionByName(ranges)
+
+
+_PROBE_WORKLOAD_SQL = f"""
+    WITH hk AS (
+      SELECT coalesce(epoch_us(ts) // {_US_PER_HOUR}, -1) AS hour_key
+      FROM events
+    ),
+    hdom AS (
+      SELECT MIN(hour_key) AS hmin,
+             greatest((MAX(hour_key) - MIN(hour_key) + 1)
+                        // {HOUR_RANGE_COUNT}, 1) AS step
+      FROM hk
+    )
+    SELECT 'user_point' AS probe_kind, 'user' AS dim,
+           CAST(probe AS BIGINT) AS pid,
+           CAST(probe AS BIGINT) AS lo, CAST(probe AS BIGINT) AS hi
+    FROM ({_PROBES_SQL})
+    UNION ALL
+    SELECT 'hour_range', 'hour', CAST(r.i AS BIGINT),
+           CAST(hmin + r.i * step AS BIGINT),
+           CAST(hmin + (r.i + 1) * step - 1 AS BIGINT)
+    FROM range(0, {HOUR_RANGE_COUNT}) r(i) CROSS JOIN hdom
+"""
+
+
 def _prune_block_sql(env_subquery: str, layout: str) -> str:
     """Per-layout probe simulation over an envelope subquery exposing
-    (min_user, max_user, n_events)."""
+    (min_user, max_user, min_hour, max_hour, n_events), for both probe
+    families in one pass."""
     return f"""
-    SELECT '{layout}' AS layout,
-           CAST(COUNT(DISTINCT p.probe) AS BIGINT) AS n_probes,
+    SELECT '{layout}' AS layout, p.probe_kind,
+           CAST(COUNT(DISTINCT p.pid) AS BIGINT) AS n_probes,
            CAST(COUNT(*) AS BIGINT) AS buckets_hit,
            CAST(SUM(e.n_events) AS BIGINT) AS rows_scanned
-    FROM ({_PROBES_SQL}) p
+    FROM ({_PROBE_WORKLOAD_SQL}) p
     JOIN ({env_subquery}) e
-      ON p.probe >= e.min_user AND p.probe <= e.max_user
+      ON (p.dim = 'user' AND e.min_user <= p.hi AND e.max_user >= p.lo)
+      OR (p.dim = 'hour' AND e.min_hour <= p.hi AND e.max_hour >= p.lo)
+    GROUP BY 1, 2
     """
 
 
 def _prune_probes_sql() -> str:
-    """Staged oracle for the round-18 ``layout_prune_probes`` entry:
-    the four committed envelope oracles joined against the fixed probe
-    workload (hour env extended with counts; morton/hilbert reuse the
-    apply oracles; scaled reuses its envelope oracle)."""
+    """Oracle for the ``layout_prune_probes`` entry: the four committed
+    envelope oracles joined against both fixed probe workloads (hour
+    env extended with counts; morton/hilbert reuse the apply oracles;
+    scaled reuses its envelope oracle)."""
     blocks = [
         _prune_block_sql(_hour_env_sql(), "hour"),
         _prune_block_sql(_zorder_apply_sql(), "morton"),
@@ -1523,19 +1604,31 @@ def _prune_probes_sql() -> str:
     return "\nUNION ALL\n".join(blocks)
 
 
-_PRUNE_COLS = ["layout", "n_probes", "buckets_hit", "rows_scanned"]
+_PRUNE_COLS = [
+    "layout", "probe_kind", "n_probes", "buckets_hit", "rows_scanned",
+]
 
 
+@query("layout_prune_probes", _prune_probes_sql())
 def layout_prune_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured pruning factor per candidate layout: buckets and ROWS a
-    zone-map-pruned point lookup reads, summed over the deterministic
-    probe workload. The demonstrable properties (pytest): the hour
-    baseline scans ~the whole corpus per probe; the degenerate raw
-    interleave hits few BUCKETS but still scans ~the whole corpus (the
-    honesty property); the scaled layout scans a small fraction of
-    both. Staged for round 18 (rotation window; see COVERAGE.md)."""
+    """Measured pruning factor per candidate layout × probe family:
+    buckets and ROWS a zone-map-pruned scan reads, summed over the two
+    deterministic workloads (user point lookups, aligned hour-range
+    windows — the two shapes the reference's own query surface
+    stresses). The demonstrable properties (pytest): on point lookups
+    the hour baseline scans ~the whole corpus and the degenerate raw
+    interleave hits few BUCKETS but still scans ~everything (the
+    honesty property), while the scaled layout scans a small fraction;
+    on hour ranges the hour specialist WINS outright and the scaled
+    layout stays within a small factor of it — the two-dimensional
+    trade-off the cluster-quality spans suggest, now measured in rows.
+    100 TB shape: one envelope aggregate per layout (4 linear passes
+    over bounded ≤Z_FILES groups) + a broadcast of the ~80-row probe
+    relation into a bounded nested-loop join — K×(≤Z_FILES envelopes)
+    constant work at any corpus scale. Staged round 17 with scale row
+    0.26 (SCALE.md); registered round 18."""
     ev = load_table(spark, sf_dir, "events")
-    probes = F.broadcast(_probe_ids(spark, sf_dir))
+    probes = F.broadcast(_probe_workload(spark, sf_dir))
     layouts = [
         ("hour", hour_bucketed(ev)),
         ("morton", zorder_bucketed(ev)),
@@ -1547,15 +1640,25 @@ def layout_prune_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         env = _envelopes_counted(bucketed)
         hit = env.join(
             probes,
-            (F.col("probe") >= F.col("min_user"))
-            & (F.col("probe") <= F.col("max_user")),
+            (
+                (F.col("dim") == "user")
+                & (F.col("min_user") <= F.col("hi"))
+                & (F.col("max_user") >= F.col("lo"))
+            )
+            | (
+                (F.col("dim") == "hour")
+                & (F.col("min_hour") <= F.col("hi"))
+                & (F.col("max_hour") >= F.col("lo"))
+            ),
         )
         parts.append(
-            hit.agg(
-                F.countDistinct("probe").cast("long").alias("n_probes"),
+            hit.groupBy("probe_kind")
+            .agg(
+                F.countDistinct("pid").cast("long").alias("n_probes"),
                 F.count(F.lit(1)).cast("long").alias("buckets_hit"),
                 F.sum("n_events").cast("long").alias("rows_scanned"),
-            ).withColumn("layout", F.lit(name))
+            )
+            .withColumn("layout", F.lit(name))
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1610,3 +1713,106 @@ def scaled_domain(df: DataFrame) -> dict:
         "tmin": int(r[2]),
         "tspan": max(int(r[3]) - int(r[2]), 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# Time travel, driver-gradable (round-17 verdict item 6)
+# ---------------------------------------------------------------------------
+# The three sinks' VERSION AS OF surfaces were pytest-only through
+# round 17 — the driver never exercised a version read. This entry
+# builds a real fenced z-order sink in an app-scoped scratch dir (the
+# apply-entry pattern), commits TWO batches through the gate's own
+# staged-append + fold commit path (deterministic halves of the events
+# table: even event_ids, then odd), and reports the asof-vs-latest
+# aggregate triple. The DuckDB oracle recomputes all three views
+# straight from the events table and the split rule — so a green
+# driver row is a standing proof that VERSION AS OF generation 0
+# serves EXACTLY the pre-second-batch table (if asof leaked any later
+# row, or lost any committed one, the 'asof_g0' aggregates break the
+# value hash), and that latest − asof is exactly batch 1.
+
+_TIME_TRAVEL_SQL = """
+    SELECT 'asof_g0' AS view,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(coalesce(user_id, -1)) AS BIGINT) AS sum_user
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'latest',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT),
+           CAST(SUM(coalesce(user_id, -1)) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'delta',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT),
+           CAST(SUM(coalesce(user_id, -1)) AS BIGINT)
+    FROM events WHERE event_id % 2 != 0
+"""
+
+
+@query("layout_time_travel", _TIME_TRAVEL_SQL)
+def layout_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF, proven end-to-end through the real commit path:
+    build a fenced z-order sink, fold batch 0 (even event_ids) into
+    generation 0 and batch 1 (odd) into generation 1, then read
+    ``clustered_table_asof(gen 0)``, the latest table, and their
+    row-level difference (exceptAll — not an aggregate shortcut), and
+    reduce each to exact integer aggregates the oracle recomputes from
+    the raw events. Idempotent per session (replayed batches are
+    watermark-excluded; appends are skipped once folded_through covers
+    them) and per concurrent driver (app-scoped dest). 100 TB shape:
+    two map-side keyed appends + two folds (each one clustering
+    repartition over its own batch), one exceptAll shuffle, three
+    scan-bound aggregates — linear, no driver-side data."""
+    import os
+
+    from ..streaming import zorder_stream as zs
+    from ..streaming.fencing import acquire_writer
+    from .artifacts import app_scoped_dest
+
+    dest = app_scoped_dest(
+        spark, sf_dir, "/tmp/sparkgraft_timetravel", "events"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    os.makedirs(dest, exist_ok=True)
+    zs._pin_key(dest, "morton")
+    token = acquire_writer(spark, dest)
+    try:
+        staging = os.path.join(dest, "staging")
+        for batch_id, pred in (
+            (0, "event_id % 2 = 0"),
+            (1, "event_id % 2 != 0"),
+        ):
+            _, folded = zs._gen_state(dest)
+            if folded >= batch_id:
+                continue  # committed by an earlier call this session
+            (
+                zorder_bucketed(ev.filter(pred))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("append")
+                .parquet(staging)
+            )
+            zs._fold(spark, dest, token)
+    finally:
+        token.release()
+    asof = zs.clustered_table_asof(spark, dest, 0).drop("file_bucket")
+    latest = zs.clustered_table(spark, dest).drop("file_bucket")
+    delta = latest.exceptAll(asof)
+
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum(F.expr("coalesce(user_id, -1)"))
+            .cast("long")
+            .alias("sum_user"),
+        ).withColumn("view", F.lit(tag))
+
+    out = (
+        _agg(asof, "asof_g0")
+        .unionByName(_agg(latest, "latest"))
+        .unionByName(_agg(delta, "delta"))
+    )
+    return out.select("view", "n_rows", "sum_event_id", "sum_user")

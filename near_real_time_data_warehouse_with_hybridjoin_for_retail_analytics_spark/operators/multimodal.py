@@ -906,9 +906,10 @@ def multimodal_decode_stats_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention — plus resize and pixel stats inside Arrow-batched
     ``mapInPandas``. Completes the codec family: BMP (raw truecolor),
     PNG (filter+deflate), JPEG (transform-coded), GIF (dictionary-
-    coded). Staged round 17 for the round-18 window (see COVERAGE.md);
-    candidate for a fourth leg of decode_stats_formats at
-    registration time if the rotation budget prefers one row."""
+    coded). Staged round 17; registered round 18 as the fourth leg of
+    ``multimodal_decode_stats_formats`` (the rotation-budget-preferred
+    one-row form — the per-codec function, worker, oracle builder and
+    pytest stay their own, like the other legs)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs)
     return payloads.mapInPandas(decode_stats_gif, DECODE_SCHEMA)
@@ -1002,10 +1003,15 @@ def multimodal_decode_stats_jpeg_progressive(
 # parameterized entry (round-15 verdict item 2: rotation headroom via
 # variant merge). Each codec keeps its own function, worker, oracle
 # builder, and pytest; the registry row is the union tagged by fmt.
+# Round 18 adds the GIF leg here rather than as its own row (the
+# round-17 verdict's preferred trade at N=136), completing the codec
+# matrix in one graded entry: PNG (filter+deflate), JPEG (transform-
+# coded), progressive JPEG (multi-scan), GIF (dictionary-coded LZW).
 _DECODE_FORMATS: list[tuple[str, QueryFn]] = [
     ("png", multimodal_decode_stats_png),
     ("jpeg", multimodal_decode_stats_jpeg),
     ("jpeg_progressive", multimodal_decode_stats_jpeg_progressive),
+    ("gif", multimodal_decode_stats_gif),
 ]
 
 
@@ -1014,6 +1020,7 @@ def _decode_stats_formats_sql() -> str:
         "png": _decode_stats_oracle(PNG_WIDTH),
         "jpeg": _decode_stats_jpeg_oracle(),
         "jpeg_progressive": _decode_stats_jpeg_oracle(),
+        "gif": _decode_stats_gif_oracle(),
     }
     return "\nUNION ALL\n".join(
         f"SELECT '{fmt}' AS fmt, * FROM ({legs[fmt]})"
@@ -1026,8 +1033,9 @@ def multimodal_decode_stats_formats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Every compressed-codec decode path in one graded row: the PNG
-    (inflate + per-row defilter), baseline-JPEG (Huffman + IDCT) and
-    progressive-JPEG (T.81 Annex G multi-scan) round trips, each
+    (inflate + per-row defilter), baseline-JPEG (Huffman + IDCT),
+    progressive-JPEG (T.81 Annex G multi-scan) and — since round 18 —
+    GIF (variable-width LZW dictionary decode) round trips, each
     through its real decoder inside Arrow-batched ``mapInPandas``,
     unioned with a ``fmt`` tag. The per-codec docstrings above state
     what each leg proves; the combined oracle is the union of the

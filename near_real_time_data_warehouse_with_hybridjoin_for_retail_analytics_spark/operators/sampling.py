@@ -395,6 +395,7 @@ def _soft_dedup_sample_sql() -> str:
     """
 
 
+@query("sample_soft_dedup", _soft_dedup_sample_sql())
 def sample_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-mass-preserving downsample: keep each doc with
     probability rate/cluster_size, deterministically (md5 coin). The
@@ -403,8 +404,9 @@ def sample_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons are kept at ~rate; a cluster's expected kept mass is
     ~rate docs independent of its size — so the sample's effective
     composition matches hard-dedup-then-uniform-sample WITHOUT ever
-    dropping a document from the samplable pool. Staged for round 18
-    (rotation window; see COVERAGE.md)."""
+    dropping a document from the samplable pool. Staged round 17 with
+    scale row 0.80 (components-closure-bound; the kernel itself adds
+    only a map-side md5 filter); registered round 18."""
     from .clusters import curation_soft_dedup_weights
 
     w = curation_soft_dedup_weights(spark, sf_dir)

@@ -38,6 +38,31 @@ FULLGATE_ONLY: set[str] = {
     # + mapInPandas path that multimodal_features (driver-rotated)
     # exercises with a much stronger oracle. Unchanged since r12.
     "multimodal_metadata",
+    # --- round-18 demotions (rotation headroom for the three new
+    # registrations — the round-17 verdict's preferred trade over net
+    # window growth). Each satisfies the policy above: hash stable
+    # since r14, a driver-rotated sibling on the same kernel, own
+    # pytest + FULLGATE row kept. ---
+    # pHash-over-JPEG: same banded miner as dedup_phash (driver-
+    # rotated, BMP path); the JPEG codec itself is driver-rotated via
+    # multimodal_decode_stats_formats' jpeg leg. The exact precedent
+    # that demoted dedup_phash_png in r15.
+    "dedup_phash_jpeg",
+    # BPE ENCODE applies the cached merge table text_bpe_train
+    # (driver-rotated) produces — the trained-merges kernel and the
+    # token shuffle are train's; encode adds chained zero-shuffle
+    # folds pinned by its own pytest + FULLGATE row.
+    "text_bpe_encode",
+    # component STATS is a bounded groupBy over dedup_components'
+    # closure output; the closure kernel is driver-rotated via
+    # dedup_components, curation_soft_dedup_weights (r17) and the
+    # r18-registered sample_soft_dedup.
+    "dedup_component_stats",
+    # the covariance/Gram-partials kernel is driver-rotated via
+    # embedding_pca_project and embedding_pca_topk, whose
+    # _covariance_summary consumes embedding_covariance's output
+    # directly — a hash break in the kernel breaks their driver rows.
+    "embedding_covariance",
 }
 
 

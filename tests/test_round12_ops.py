@@ -485,9 +485,14 @@ def test_recursive_union_oracle_audit_is_exhaustive():
     COUNT runs over the components CTE's GROUP BY node output (one row
     per doc by construction), so row multiplicity inside the walk
     cannot reach cluster_size: multiplicity-INSENSITIVE (classified in
-    SCALE.md round-17; sf0.1 sweep 136/136 includes it). The staged
-    sample_soft_dedup composes the same CTE and joins this set at its
-    r18 registration."""
+    SCALE.md round-17; sf0.1 sweep 136/136 includes it).
+    r18: sample_soft_dedup joined (registered) — it composes the
+    soft-dedup-weights CTE verbatim and adds only a per-doc md5
+    filter over that one-row-per-doc output, so it inherits the same
+    multiplicity-INSENSITIVE classification (SCALE.md round-18; the
+    pure-Python predicate replay in tests/test_round17_ops.py is an
+    engine-independent check of exactly the value multiplicity could
+    have corrupted)."""
     import re
 
     from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.plans import (
@@ -507,5 +512,6 @@ def test_recursive_union_oracle_audit_is_exhaustive():
         "dedup_components",
         "dedup_multimodal_components",
         "dedup_pagerank",
+        "sample_soft_dedup",
         "sample_split_by_cluster",
     }

@@ -74,3 +74,66 @@ def test_truncated_extension_walk_raises_named_error():
     # cut inside the extension's declared sub-block
     with pytest.raises(ValueError, match="truncated GIF.*sub-block"):
         mm.decode_gif(g_ext[: desc + 4])
+
+
+# --- time travel, driver-gradable (round-17 verdict item 6) ---------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_layout_time_travel_serves_the_pre_second_batch_table(spark):
+    """Row-level check behind the registered aggregates: after the
+    entry's two fold commits, VERSION AS OF generation 0 is EXACTLY
+    the even-event_id half of the corpus — every committed row, no
+    later row — and latest is the whole table."""
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.catalog import (
+        load_table,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators import (
+        layout,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.operators.artifacts import (
+        app_scoped_dest,
+    )
+    from near_real_time_data_warehouse_with_hybridjoin_for_retail_analytics_spark.streaming import (
+        zorder_stream as zs,
+    )
+
+    rows = {
+        r["view"]: r.asDict()
+        for r in layout.layout_time_travel(spark, SF).collect()
+    }
+    assert set(rows) == {"asof_g0", "latest", "delta"}
+    ev = load_table(spark, SF, "events")
+    n_even = ev.filter("event_id % 2 = 0").count()
+    n = ev.count()
+    assert rows["asof_g0"]["n_rows"] == n_even
+    assert rows["latest"]["n_rows"] == n
+    assert rows["delta"]["n_rows"] == n - n_even
+    # row-level: asof gen 0 == the even half, exactly
+    dest = app_scoped_dest(
+        spark, SF, "/tmp/sparkgraft_timetravel", "events"
+    )
+    got = sorted(
+        r["event_id"]
+        for r in zs.clustered_table_asof(spark, dest, 0)
+        .select("event_id")
+        .collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in ev.filter("event_id % 2 = 0").select("event_id").collect()
+    )
+    assert got == want
+    # a second call in the same session is a pure read (idempotent):
+    # same aggregates, no duplicate folds
+    again = {
+        r["view"]: r.asDict()
+        for r in layout.layout_time_travel(spark, SF).collect()
+    }
+    assert again == rows
+    # and a never-committed generation still raises the NAMED error
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not servable"):
+        zs.clustered_table_asof(spark, dest, 7)
