@@ -1234,6 +1234,109 @@ def _envelopes(bucketed: DataFrame) -> DataFrame:
     )
 
 
+_LAYOUT_NAMES = ["hour", "morton", "hilbert", "morton_scaled"]
+
+
+def _multi_layout_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket zone maps WITH row counts for all four candidate
+    layouts — (layout, file_bucket, n_events, min_user, max_user,
+    min_hour, max_hour) — from ONE events scan.
+
+    r18 optimization (guide §2.4, remove shuffles outright): the
+    cluster-quality and prune-probe entries previously ran one leg per
+    layout — four events scans, four envelope aggregations, and two
+    separate 1-row domain aggregates (hour + scaled legs). All four
+    bucket keys are map-side integer expressions over the same
+    (user_key, hour_key) pair, so one projection can key every layout,
+    one combined scalar aggregate serves both domain-normalized keys,
+    and a posexplode stacks the four keys into (layout, bucket) rows
+    for ONE grouped aggregation: 4 scans + 8 exchanges → 1 scan + 2
+    exchanges (domain + envelope). Key expressions are copied verbatim
+    from ``hour_bucketed`` / ``zorder_bucketed`` / ``hilbert_bucketed``
+    / ``zorder_scaled_bucketed``, so every (layout, bucket) assignment
+    — and hence each layout's envelope table — is bit-identical to the
+    per-leg form (pinned by tests/test_round18_opt.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_USER_OR_SENTINEL).alias("user_key"),
+        F.expr(_HOUR_OR_SENTINEL).alias("hour_key"),
+    )
+    # One scalar domain row covering both normalized keys: the hour
+    # baseline needs (hmin, hspan); the scaled z-order needs
+    # (umin, uspan, tmin, tspan). hspan/tspan share max−min arithmetic.
+    dom = ev.agg(
+        F.min("user_key").alias("umin"),
+        F.max("user_key").alias("umax"),
+        F.min("hour_key").alias("hmin"),
+        F.max("hour_key").alias("hmax"),
+    )
+    df = ev.crossJoin(F.broadcast(dom))
+    # hour baseline: 64 equal hour ranges (hour_bucketed's expression).
+    df = df.withColumn(
+        "b_hour",
+        F.expr(f"((hour_key - hmin) * {Z_FILES}) DIV (hmax - hmin + 1)"),
+    )
+    # raw morton: interleave the masked keys (zorder_bucketed).
+    df = (
+        df.withColumn("u", F.col("user_key").bitwiseAND(F.lit(_MASK)))
+        .withColumn("t", F.col("hour_key").bitwiseAND(F.lit(_MASK)))
+        .withColumn("b_morton", F.shiftright(_z_col(), _BUCKET_SHIFT))
+    )
+    # scaled morton: min-max scale each dimension first
+    # (zorder_scaled_bucketed) — reuses the u/t column slots.
+    df = (
+        df.withColumn(
+            "u",
+            F.expr(
+                f"((user_key - umin) * {_MASK})"
+                f" DIV greatest(umax - umin, 1)"
+            ),
+        )
+        .withColumn(
+            "t",
+            F.expr(
+                f"((hour_key - hmin) * {_MASK})"
+                f" DIV greatest(hmax - hmin, 1)"
+            ),
+        )
+        .withColumn("b_scaled", F.shiftright(_z_col(), _BUCKET_SHIFT))
+    )
+    # hilbert: the shared xy2d stage chain (hilbert_bucketed).
+    df = df.withColumn(
+        "x", F.col("user_key").bitwiseAND(F.lit(_HB_MASK))
+    ).withColumn(
+        "y", F.col("hour_key").bitwiseAND(F.lit(_HB_MASK))
+    ).withColumn("d", F.lit(0).cast("long"))
+    for s in _hilbert_steps():
+        rx, ry, dn, xn, yn = _hilbert_stage_sql(s)
+        cols = [c for c in df.columns if c not in ("x", "y", "d")]
+        df = df.selectExpr(
+            *cols, "x", "y", "d", f"{rx} AS rx", f"{ry} AS ry"
+        ).selectExpr(*cols, f"{xn} AS x", f"{yn} AS y", f"{dn} AS d")
+    df = df.withColumn(
+        "b_hilbert", F.shiftright(F.col("d"), _HB_BUCKET_SHIFT)
+    )
+    names = F.array(*[F.lit(n) for n in _LAYOUT_NAMES])
+    stacked = df.select(
+        "user_key",
+        "hour_key",
+        F.posexplode(
+            F.array("b_hour", "b_morton", "b_hilbert", "b_scaled")
+        ).alias("lidx", "file_bucket"),
+    ).select(
+        F.element_at(names, F.col("lidx") + 1).alias("layout"),
+        "file_bucket",
+        "user_key",
+        "hour_key",
+    )
+    return stacked.groupBy("layout", "file_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("user_key").alias("min_user"),
+        F.max("user_key").alias("max_user"),
+        F.min("hour_key").alias("min_hour"),
+        F.max("hour_key").alias("max_hour"),
+    )
+
+
 def _quality(env: DataFrame, layout: str) -> DataFrame:
     return env.agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
@@ -1312,17 +1415,26 @@ def layout_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole domain) while morton/hilbert confine BOTH dimensions —
     the measured justification for running OPTIMIZE at all. Staged
     round 16, registered round 17 (see COVERAGE.md)."""
-    ev = load_table(spark, sf_dir, "events")
-    parts = [
-        _quality(_envelopes(hour_bucketed(ev)), "hour"),
-        _quality(_envelopes(zorder_bucketed(ev)), "morton"),
-        _quality(_envelopes(hilbert_bucketed(ev)), "hilbert"),
-        _quality(_envelopes(zorder_scaled_bucketed(ev)), "morton_scaled"),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(*_QUALITY_COLS)
+    env = _multi_layout_envelopes(spark, sf_dir)
+    return (
+        env.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.col("max_user") - F.col("min_user"))
+            .cast("long")
+            .alias("user_span_sum"),
+            F.sum(F.col("max_hour") - F.col("min_hour"))
+            .cast("long")
+            .alias("hour_span_sum"),
+            F.max(F.col("max_user") - F.col("min_user"))
+            .cast("long")
+            .alias("user_span_max"),
+            F.max(F.col("max_hour") - F.col("min_hour"))
+            .cast("long")
+            .alias("hour_span_max"),
+        )
+        .select(*_QUALITY_COLS)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1627,43 +1739,40 @@ def layout_prune_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation into a bounded nested-loop join — K×(≤Z_FILES envelopes)
     constant work at any corpus scale. Staged round 17 with scale row
     0.26 (SCALE.md); registered round 18."""
-    ev = load_table(spark, sf_dir, "events")
-    probes = F.broadcast(_probe_workload(spark, sf_dir))
-    layouts = [
-        ("hour", hour_bucketed(ev)),
-        ("morton", zorder_bucketed(ev)),
-        ("hilbert", hilbert_bucketed(ev)),
-        ("morton_scaled", zorder_scaled_bucketed(ev)),
-    ]
-    parts = []
-    for name, bucketed in layouts:
-        env = _envelopes_counted(bucketed)
-        hit = env.join(
-            probes,
-            (
-                (F.col("dim") == "user")
-                & (F.col("min_user") <= F.col("hi"))
-                & (F.col("max_user") >= F.col("lo"))
-            )
-            | (
-                (F.col("dim") == "hour")
-                & (F.col("min_hour") <= F.col("hi"))
-                & (F.col("max_hour") >= F.col("lo"))
-            ),
+    # r18 optimization: the four per-layout envelope legs collapse into
+    # the shared single-scan multi-layout aggregation (see
+    # _multi_layout_envelopes), and the ~80-row probe workload — which
+    # each leg previously re-derived (4 more events scans for the
+    # distinct-user top-K and the hour domain) — is computed once and
+    # pinned with an eager localCheckpoint before the broadcast. Same
+    # join condition, same grouped aggregates, now keyed by the layout
+    # column instead of one union leg per layout.
+    env = _multi_layout_envelopes(spark, sf_dir)
+    probes = F.broadcast(
+        _probe_workload(spark, sf_dir).localCheckpoint(eager=True)
+    )
+    hit = env.join(
+        probes,
+        (
+            (F.col("dim") == "user")
+            & (F.col("min_user") <= F.col("hi"))
+            & (F.col("max_user") >= F.col("lo"))
         )
-        parts.append(
-            hit.groupBy("probe_kind")
-            .agg(
-                F.countDistinct("pid").cast("long").alias("n_probes"),
-                F.count(F.lit(1)).cast("long").alias("buckets_hit"),
-                F.sum("n_events").cast("long").alias("rows_scanned"),
-            )
-            .withColumn("layout", F.lit(name))
+        | (
+            (F.col("dim") == "hour")
+            & (F.col("min_hour") <= F.col("hi"))
+            & (F.col("max_hour") >= F.col("lo"))
+        ),
+    )
+    return (
+        hit.groupBy("layout", "probe_kind")
+        .agg(
+            F.countDistinct("pid").cast("long").alias("n_probes"),
+            F.count(F.lit(1)).cast("long").alias("buckets_hit"),
+            F.sum("n_events").cast("long").alias("rows_scanned"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(*_PRUNE_COLS)
+        .select(*_PRUNE_COLS)
+    )
 
 
 def zorder_scaled_bucketed_fixed(

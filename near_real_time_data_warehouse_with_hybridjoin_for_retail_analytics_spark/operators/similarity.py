@@ -3148,7 +3148,9 @@ def _ann_recall_sql() -> str:
     return "\nUNION ALL\n".join(blocks)
 
 
-def _sampled_bruteforce_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sampled_bruteforce_truth(
+    spark: SparkSession, sf_dir: str, query_ids: DataFrame | None = None
+) -> DataFrame:
     """Exact top-k for the FIXED query set only, against the full
     corpus: the a-side of the block matmul is semi-joined to the K
     broadcast query ids before the block fan-out, so the kernel does
@@ -3156,20 +3158,31 @@ def _sampled_bruteforce_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall QA runs.
     Identical results to filtering the full brute-force entry (each
     query's top-k depends only on that query's row of the similarity
-    matrix), which is exactly what the oracle does."""
+    matrix), which is exactly what the oracle does.
+
+    r18 optimization (guide §2.3, shuffle fewer bytes): queries all
+    ride ONE a-block (ga = 0) fanned out across the gb grid — K tiny
+    rows replicated ANN_BLOCKS ways — while the corpus side keeps its
+    natural gb block and is shuffled ONCE (the previous shape
+    replicated every corpus embedding ANN_BLOCKS times through the
+    exchange to cover a query grid that only has K rows). Per-query
+    candidates are the same union over gb of within-block top-k from
+    the unchanged kernel, so the result is identical."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     blk = F.pmod(F.col("vec_id"), F.lit(ANN_BLOCKS)).cast("int")
     grid = spark.range(ANN_BLOCKS).select(F.col("id").cast("int").alias("other"))
-    queries = F.broadcast(_recall_query_ids(spark, sf_dir))
+    if query_ids is None:
+        query_ids = _recall_query_ids(spark, sf_dir)
+    queries = F.broadcast(query_ids)
     a_side = (
         emb.join(queries, "vec_id", "left_semi")
-        .withColumn("ga", blk)
+        .withColumn("ga", F.lit(0).cast("int"))
         .crossJoin(grid.withColumnRenamed("other", "gb"))
         .withColumn("side", F.lit(0))
     )
     b_side = (
         emb.withColumn("gb", blk)
-        .crossJoin(grid.withColumnRenamed("other", "ga"))
+        .withColumn("ga", F.lit(0).cast("int"))
         .withColumn("side", F.lit(1))
     )
     cands = (
@@ -3190,7 +3203,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of every approximate index family on the deterministic
     query sample vs exact truth, as integer ppm. Staged round 16,
     registered round 17; see the block comment for the 100 TB shape."""
-    truth = _sampled_bruteforce_truth(spark, sf_dir)
+    # r18 optimization (guide §2.4, remove repeated work): the query-id
+    # top-K and the truth table are each consumed by every family leg —
+    # un-pinned, Catalyst re-executes the K×corpus truth matmul subtree
+    # once per leg (4×) and the query-id scan 5×. Both results are
+    # bounded (RECALL_QUERIES and RECALL_QUERIES×TOP_K rows), so one
+    # eager localCheckpoint each turns the recomputation into a read of
+    # a few hundred cached rows. Executed inside the entry per the
+    # no-cross-run-caching rule.
+    qids = _recall_query_ids(spark, sf_dir).localCheckpoint(eager=True)
+    truth = _sampled_bruteforce_truth(
+        spark, sf_dir, query_ids=qids
+    ).localCheckpoint(eager=True)
     fams = {
         "lsh": ann_topk_lsh,
         "ivf": ann_topk_ivf,
@@ -3201,8 +3225,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, fn in fams.items():
         approx = (
             fn(spark, sf_dir)
-            .join(F.broadcast(_recall_query_ids(spark, sf_dir)),
-                  "vec_id", "left_semi")
+            .join(F.broadcast(qids), "vec_id", "left_semi")
             .select("vec_id", "neighbor_id")
             .dropDuplicates(["vec_id", "neighbor_id"])
             .withColumn("_hit", F.lit(1))

@@ -59,10 +59,28 @@ FULLGATE_ONLY: set[str] = {
     # r18-registered sample_soft_dedup.
     "dedup_component_stats",
     # the covariance/Gram-partials kernel is driver-rotated via
-    # embedding_pca_project and embedding_pca_topk, whose
-    # _covariance_summary consumes embedding_covariance's output
-    # directly — a hash break in the kernel breaks their driver rows.
+    # embedding_pca_topk (and ann_topk_pca), whose _covariance_summary
+    # consumes embedding_covariance's output directly — a hash break in
+    # the kernel breaks their driver rows.
     "embedding_covariance",
+    # --- round-18 optimization-phase demotions (two window slots for
+    # the two rotated entries whose callables this round's plan
+    # restructurings edited — ann_recall_report and
+    # layout_cluster_quality are hash-forced into the next window for
+    # re-verification, and the budget must stay ≤ 50). Each satisfies
+    # the policy: hash stable since r14, a driver-rotated sibling on
+    # the same kernel, own pytest + FULLGATE row kept. ---
+    # morton PLANNER: layout_zorder_apply (driver-rotated) executes the
+    # SAME morton keying and measures the SAME envelope table from the
+    # rewritten files — its oracle embeds the planner's envelope
+    # contract plus the physical one-file-per-bucket clause. The exact
+    # planner/apply precedent of the compaction pair.
+    "layout_zorder_events",
+    # raw PCA projection table: embedding_pca_topk (driver-rotated) and
+    # ann_topk_pca consume the same session-cached PCA basis and their
+    # oracles embed the full projection chain — a basis or projection
+    # break fails their rows first.
+    "embedding_pca_project",
 }
 
 
