@@ -3114,6 +3114,17 @@ _RECALL_SAMPLE_SQL = f"""vec_id IN (
       LIMIT {RECALL_QUERIES})"""
 
 
+# b-side block count for the sampled truth pass: with the query side
+# collapsed to one a-block, groups = b-blocks, so this (not ANN_BLOCKS)
+# sets the truth stage's task parallelism. Fixed constant — the result
+# is blocking-invariant (per-block top-k union is a superset of the
+# global top-k), but a fixed grid keeps the plan deterministic across
+# core counts. 64 saturates local[32] with 2 waves; at cluster scale
+# each block is corpus/64 — still far beyond one task's appetite, and
+# the per-group kernel stays a K×(n/64) matmul.
+_TRUTH_B_BLOCKS = 64
+
+
 def _recall_query_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixed query set: RECALL_QUERIES ids in smallest-md5 order
     (one tiny global top-K — TakeOrderedAndProject over the id
@@ -3162,15 +3173,23 @@ def _sampled_bruteforce_truth(
 
     r18 optimization (guide §2.3, shuffle fewer bytes): queries all
     ride ONE a-block (ga = 0) fanned out across the gb grid — K tiny
-    rows replicated ANN_BLOCKS ways — while the corpus side keeps its
+    rows replicated per block — while the corpus side keeps its
     natural gb block and is shuffled ONCE (the previous shape
     replicated every corpus embedding ANN_BLOCKS times through the
-    exchange to cover a query grid that only has K rows). Per-query
-    candidates are the same union over gb of within-block top-k from
-    the unchanged kernel, so the result is identical."""
+    exchange to cover a query grid that only has K rows). With the
+    a-grid gone, task parallelism comes entirely from the b-blocks, so
+    the truth pass uses _TRUTH_B_BLOCKS (> ANN_BLOCKS) of them —
+    smaller blocks, same total matmul work, enough concurrent groups
+    to saturate the cores (the first cut kept ANN_BLOCKS groups and
+    ran the checkpointed truth stage at 8-way parallelism). Per-query
+    candidates are the union over gb of within-block top-k from the
+    unchanged kernel — a superset of the global top-k under ANY corpus
+    blocking — so the result is identical."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    blk = F.pmod(F.col("vec_id"), F.lit(ANN_BLOCKS)).cast("int")
-    grid = spark.range(ANN_BLOCKS).select(F.col("id").cast("int").alias("other"))
+    blk = F.pmod(F.col("vec_id"), F.lit(_TRUTH_B_BLOCKS)).cast("int")
+    grid = spark.range(_TRUTH_B_BLOCKS).select(
+        F.col("id").cast("int").alias("other")
+    )
     if query_ids is None:
         query_ids = _recall_query_ids(spark, sf_dir)
     queries = F.broadcast(query_ids)
