@@ -1141,9 +1141,17 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                             pred += _extend(br.receive(s), s)
                         coef[n, 0] = pred << al
                 else:
-                    for n in range(coef.shape[0]):
-                        if br.bit():
-                            coef[n, 0] |= 1 << al
+                    # DC refinement reads exactly one bit per block, in
+                    # block order — read them all in one vectorized
+                    # slice of the bit window instead of nb Python
+                    # round-trips through br.bit() (r18; identical
+                    # bits, v16 is zero-padded past the scan end).
+                    nb_blocks = coef.shape[0]
+                    bits = (
+                        br.v16[br.p : br.p + nb_blocks] >> 15
+                    ).astype(np.int64)
+                    coef[:, 0] |= bits << al
+                    br.p += nb_blocks
             else:
                 ac_sym, ac_ln = _build_lut(*huff[(1, tids & 0x0F)])
                 if ah == 0:
@@ -1181,9 +1189,15 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
 def _dec_ac_first(br, coef, ss, se, al, ac_sym, ac_ln, eobrun) -> int:
     """AC first scan (Ah=0): run/size coefficients shifted by Al, with
     EOBn run decoding (G.2.2)."""
-    for n in range(coef.shape[0]):
+    nb = coef.shape[0]
+    n = 0
+    while n < nb:
         if eobrun > 0:
-            eobrun -= 1
+            # a first scan consumes no bits inside an EOB run — jump
+            # over the whole covered block range at once (r18)
+            skip = min(eobrun, nb - n)
+            eobrun -= skip
+            n += skip
             continue
         k = ss
         while k <= se:
@@ -1200,6 +1214,7 @@ def _dec_ac_first(br, coef, ss, se, al, ac_sym, ac_ln, eobrun) -> int:
                 raise ValueError("AC run past end of band")
             coef[n, k] = _extend(br.receive(s), s) << al
             k += 1
+        n += 1
     return eobrun
 
 
@@ -1216,6 +1231,16 @@ def _dec_ac_refine(br, coef, ss, se, al, ac_sym, ac_ln, eobrun) -> int:
             else:
                 coef[n, k] += m1
 
+    # Per-block nonzero-HISTORY flags, vectorized once per scan: a
+    # block is only mutated during its own visit, so at visit time its
+    # row still holds the pre-scan state this mask captured. A block
+    # consumed by an EOB run from the top of its band (k == ss — it
+    # never entered the Huffman path, so it has no this-scan
+    # placements) emits one correction bit per nonzero-history
+    # coefficient and nothing else; with NO nonzero history it consumes
+    # zero bits, so the per-position walk is a no-op — skip it (r18).
+    # Blocks that leave the Huffman path mid-band keep the exact walk.
+    hist_nz = (coef[:, ss : se + 1] != 0).any(axis=1)
     for n in range(coef.shape[0]):
         k = ss
         if eobrun == 0:
@@ -1254,6 +1279,9 @@ def _dec_ac_refine(br, coef, ss, se, al, ac_sym, ac_ln, eobrun) -> int:
                 coef[n, k] = val
                 k += 1
         if eobrun > 0:
+            if k == ss and not hist_nz[n]:
+                eobrun -= 1  # pure-EOB block, no history: zero bits
+                continue
             while k <= se:
                 if coef[n, k] != 0:
                     correct(n, k)

@@ -1748,9 +1748,9 @@ def layout_prune_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join condition, same grouped aggregates, now keyed by the layout
     # column instead of one union leg per layout.
     env = _multi_layout_envelopes(spark, sf_dir)
-    probes = F.broadcast(
-        _probe_workload(spark, sf_dir).localCheckpoint(eager=True)
-    )
+    # (single consumer now — no checkpoint: pinning a once-used subtree
+    # only adds a sequential job barrier)
+    probes = F.broadcast(_probe_workload(spark, sf_dir))
     hit = env.join(
         probes,
         (

@@ -3222,18 +3222,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of every approximate index family on the deterministic
     query sample vs exact truth, as integer ppm. Staged round 16,
     registered round 17; see the block comment for the 100 TB shape."""
-    # r18 optimization (guide §2.4, remove repeated work): the query-id
-    # top-K and the truth table are each consumed by every family leg —
-    # un-pinned, Catalyst re-executes the K×corpus truth matmul subtree
-    # once per leg (4×) and the query-id scan 5×. Both results are
-    # bounded (RECALL_QUERIES and RECALL_QUERIES×TOP_K rows), so one
-    # eager localCheckpoint each turns the recomputation into a read of
-    # a few hundred cached rows. Executed inside the entry per the
-    # no-cross-run-caching rule.
-    qids = _recall_query_ids(spark, sf_dir).localCheckpoint(eager=True)
-    truth = _sampled_bruteforce_truth(
-        spark, sf_dir, query_ids=qids
-    ).localCheckpoint(eager=True)
+    # r18 optimization (guide §2.4, remove repeated work): the truth
+    # table is consumed by every family leg — un-pinned, Catalyst
+    # re-executed the K×corpus truth matmul subtree once per leg (4×).
+    # Its result is bounded (RECALL_QUERIES×TOP_K rows), so one eager
+    # localCheckpoint turns the recomputation into a read of a few
+    # hundred cached rows, executed inside the entry per the
+    # no-cross-run-caching rule. The query-id top-K is deliberately NOT
+    # checkpointed: it is a trivial subtree (one TakeOrderedAndProject)
+    # whose re-derivations overlap inside the main job, while pinning
+    # it would add one more sequential job barrier.
+    truth = _sampled_bruteforce_truth(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    qids = _recall_query_ids(spark, sf_dir)
     fams = {
         "lsh": ann_topk_lsh,
         "ivf": ann_topk_ivf,
