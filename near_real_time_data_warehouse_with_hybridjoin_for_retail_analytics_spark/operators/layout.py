@@ -1237,7 +1237,30 @@ def _envelopes(bucketed: DataFrame) -> DataFrame:
 _LAYOUT_NAMES = ["hour", "morton", "hilbert", "morton_scaled"]
 
 
-def _multi_layout_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events projected to the sentinel (user_key, hour_key) pair."""
+    return load_table(spark, sf_dir, "events").select(
+        F.expr(_USER_OR_SENTINEL).alias("user_key"),
+        F.expr(_HOUR_OR_SENTINEL).alias("hour_key"),
+    )
+
+
+def _events_domain(ev: DataFrame) -> DataFrame:
+    """The 1-row min/max domain of both sentinel keys — shared by the
+    hour/scaled bucket normalizations and the hour-range probe
+    workload (one aggregate, broadcast-reused by every consumer built
+    from the same frame)."""
+    return ev.agg(
+        F.min("user_key").alias("umin"),
+        F.max("user_key").alias("umax"),
+        F.min("hour_key").alias("hmin"),
+        F.max("hour_key").alias("hmax"),
+    )
+
+
+def _multi_layout_envelopes(
+    spark: SparkSession, sf_dir: str, dom: DataFrame | None = None
+) -> DataFrame:
     """Per-bucket zone maps WITH row counts for all four candidate
     layouts — (layout, file_bucket, n_events, min_user, max_user,
     min_hour, max_hour) — from ONE events scan.
@@ -1256,19 +1279,12 @@ def _multi_layout_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     / ``zorder_scaled_bucketed``, so every (layout, bucket) assignment
     — and hence each layout's envelope table — is bit-identical to the
     per-leg form (pinned by tests/test_round18_opt.py)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.expr(_USER_OR_SENTINEL).alias("user_key"),
-        F.expr(_HOUR_OR_SENTINEL).alias("hour_key"),
-    )
+    ev = _events_keyed(spark, sf_dir)
     # One scalar domain row covering both normalized keys: the hour
     # baseline needs (hmin, hspan); the scaled z-order needs
     # (umin, uspan, tmin, tspan). hspan/tspan share max−min arithmetic.
-    dom = ev.agg(
-        F.min("user_key").alias("umin"),
-        F.max("user_key").alias("umax"),
-        F.min("hour_key").alias("hmin"),
-        F.max("hour_key").alias("hmax"),
-    )
+    if dom is None:
+        dom = _events_domain(ev)
     df = ev.crossJoin(F.broadcast(dom))
     # hour baseline: 64 equal hour ranges (hour_bucketed's expression).
     df = df.withColumn(
@@ -1618,7 +1634,9 @@ def _envelopes_counted(bucketed: DataFrame) -> DataFrame:
     )
 
 
-def _probe_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _probe_workload(
+    spark: SparkSession, sf_dir: str, dom: DataFrame | None = None
+) -> DataFrame:
     """BOTH fixed probe families as one tiny relation
     (probe_kind, dim, pid, lo, hi): the PROBE_COUNT user point lookups
     (lo = hi = the user key) and the HOUR_RANGE_COUNT aligned equal
@@ -1634,10 +1652,15 @@ def _probe_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("probe").cast("long").alias("lo"),
         F.col("probe").cast("long").alias("hi"),
     )
-    dom = ev.agg(
-        F.min(F.expr(_HOUR_OR_SENTINEL)).alias("hmin"),
-        F.max(F.expr(_HOUR_OR_SENTINEL)).alias("hmax"),
-    ).select(
+    if dom is None:
+        dom = ev.agg(
+            F.min(F.expr(_HOUR_OR_SENTINEL)).alias("hmin"),
+            F.max(F.expr(_HOUR_OR_SENTINEL)).alias("hmax"),
+        )
+    # dom may be the shared 4-column events domain (_events_domain) —
+    # only (hmin, hmax) are read; the hour values are the same sentinel
+    # expression either way.
+    dom = dom.select(
         "hmin",
         F.greatest(
             F.expr(f"(hmax - hmin + 1) DIV {HOUR_RANGE_COUNT}").cast("long"),
@@ -1747,10 +1770,14 @@ def layout_prune_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned with an eager localCheckpoint before the broadcast. Same
     # join condition, same grouped aggregates, now keyed by the layout
     # column instead of one union leg per layout.
-    env = _multi_layout_envelopes(spark, sf_dir)
+    # One shared domain aggregate feeds both the envelope normalization
+    # and the hour-range workload — identical broadcast subtrees, so
+    # the exchange is computed once and reused.
+    dom = _events_domain(_events_keyed(spark, sf_dir))
+    env = _multi_layout_envelopes(spark, sf_dir, dom=dom)
     # (single consumer now — no checkpoint: pinning a once-used subtree
     # only adds a sequential job barrier)
-    probes = F.broadcast(_probe_workload(spark, sf_dir))
+    probes = F.broadcast(_probe_workload(spark, sf_dir, dom=dom))
     hit = env.join(
         probes,
         (

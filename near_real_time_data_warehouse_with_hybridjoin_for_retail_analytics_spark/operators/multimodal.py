@@ -1014,6 +1014,32 @@ _DECODE_FORMATS: list[tuple[str, QueryFn]] = [
     ("gif", multimodal_decode_stats_gif),
 ]
 
+# (fmt, encoder) pairs backing the combined single-pass worker below —
+# the same four encoders the per-leg workers wrap.
+_FMT_ENCODERS = [
+    ("png", encode_png),
+    ("jpeg", _encode_jpeg_payload),
+    ("jpeg_progressive", _encode_jpeg_progressive_payload),
+    ("gif", encode_gif),
+]
+
+
+def decode_stats_all_formats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """All four codec round trips in ONE Arrow pass over the payloads
+    (r18, guide §2.4/§4): the four-leg union form scanned documents
+    once per codec and scheduled 4×32 single-codec tasks whose waves
+    were as long as the slowest codec; one worker running every codec
+    per batch reads the corpus once and load-balances perfectly (each
+    task carries the same codec mix). Per-row computation is the
+    per-leg ``_decode_stats_worker`` bodies, unchanged."""
+    for pdf in batches:
+        for fmt, enc in _FMT_ENCODERS:
+            out = next(_decode_stats_worker(enc)(iter([pdf])))
+            out["fmt"] = fmt
+            yield out
+
 
 def _decode_stats_formats_sql() -> str:
     legs = {
@@ -1040,15 +1066,15 @@ def multimodal_decode_stats_formats(
     unioned with a ``fmt`` tag. The per-codec docstrings above state
     what each leg proves; the combined oracle is the union of the
     per-codec byte-level oracles, so a wrong byte in ANY codec's
-    reconstruction still breaks the value hash."""
-    parts = [
-        fn(spark, sf_dir).withColumn("fmt", F.lit(fmt))
-        for fmt, fn in _DECODE_FORMATS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    reconstruction still breaks the value hash. r18: the four legs run
+    in ONE scan through ``decode_stats_all_formats`` (same per-row
+    kernels, one corpus read, balanced tasks) instead of a four-leg
+    union."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    return payloads.mapInPandas(
+        decode_stats_all_formats, DECODE_SCHEMA + ", fmt string"
+    )
 
 
 # --- real audio codec: RIFF/WAVE PCM16 (stdlib struct + numpy) ------------
