@@ -162,11 +162,11 @@ def _dht_segment(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def _quantize_plane(plane: np.ndarray, q: np.ndarray):
+def _dct_quantize(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Block-batched DCT + quantization for one 8-multiple-sized plane:
     one broadcasted matmul over every block at once (the per-block
-    Python matmul was ~60 ms/KB of payload). Returns (zigzag int64
-    coefficients (nb, 64), per-block nonzero-AC index lists)."""
+    Python matmul was ~60 ms/KB of payload). Returns the zigzag int64
+    coefficients, shape (nb, 64)."""
     h, w = plane.shape
     blocks = (
         plane.reshape(h // 8, 8, w // 8, 8)
@@ -176,10 +176,145 @@ def _quantize_plane(plane: np.ndarray, q: np.ndarray):
         - 128.0
     )
     coeffs = _BASIS @ blocks @ _BASIS.T
-    zq_all = np.rint(coeffs / q[None, :, :]).astype(np.int64).reshape(-1, 64)[
+    return np.rint(coeffs / q[None, :, :]).astype(np.int64).reshape(-1, 64)[
         :, _ZIGZAG
     ]
+
+
+def _quantize_plane(plane: np.ndarray, q: np.ndarray):
+    """``_dct_quantize`` plus per-block nonzero-AC index lists — the
+    form the interleaved color paths (which entropy-code block by
+    block across components) consume."""
+    zq_all = _dct_quantize(plane, q)
     return zq_all, [np.nonzero(row)[0] for row in zq_all[:, 1:]]
+
+
+# bit_length over int64 arrays: count of powers of two ≤ a (0 → 0).
+_POW2 = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+
+
+def _bitlen(a: np.ndarray) -> np.ndarray:
+    return np.searchsorted(_POW2, a, side="right")
+
+
+def _pack_puts(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Assemble MSB-first (value, length) bit fields into one stuffed
+    entropy-coded byte string — byte-identical to feeding each pair to
+    ``_BitWriter.put`` and flushing (same 1-fill padding to the byte
+    boundary, same 0xFF00 stuffing, including the stuffed zero after a
+    padded final 0xFF), but one vectorized expansion instead of a
+    Python call per put. Zero-length entries emit nothing, exactly
+    like the callers' ``if s:`` guards."""
+    if values.size == 0:
+        return b""
+    w = int(lengths.max())
+    if w == 0:
+        return b""
+    sh = lengths[:, None] - 1 - np.arange(w, dtype=np.int64)[None, :]
+    live = sh >= 0
+    bits = ((values[:, None] >> np.maximum(sh, 0)) & 1).astype(np.uint8)
+    flat = bits[live]  # row-major: put order, then bit order
+    pad = (-flat.size) % 8
+    if pad:
+        flat = np.concatenate([flat, np.ones(pad, np.uint8)])
+    arr = np.packbits(flat)
+    ff = np.nonzero(arr == 0xFF)[0]
+    if ff.size:
+        arr = np.insert(arr, ff + 1, np.uint8(0))
+    return arr.tobytes()
+
+
+def _code_arrays(codes: dict[int, tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """Dense (code, length) lookup arrays for a canonical-code dict;
+    absent symbols carry length −1 so an out-of-table symbol fails as
+    loudly as the dict KeyError it replaces."""
+    n = max(codes) + 1
+    cv = np.zeros(n, np.int64)
+    cl = np.full(n, -1, np.int64)
+    for sym, (c, ln) in codes.items():
+        cv[sym] = c
+        cl[sym] = ln
+    return cv, cl
+
+
+def _encode_blocks_entropy(zq: np.ndarray, dc_codes, ac_codes) -> bytes:
+    """Vectorized T.81 F.1 entropy coder for a run of blocks whose DC
+    predictor starts at 0 (one restart segment, or the whole scan):
+    builds the complete (value, length) put sequence — DC
+    category+bits, AC run/size symbols with ZRL splitting, EOB — for
+    every block at once, orders it by (block, zigzag position,
+    sub-step), and bit-packs it in one pass. Byte-identical to the
+    per-block ``_encode_block`` loop it replaces (pinned by the
+    equivalence tests in tests/test_round6_ops.py /
+    test_round18_opt.py)."""
+    nb = zq.shape[0]
+    dc_cv, dc_cl = _code_arrays(dc_codes)
+    ac_cv, ac_cl = _code_arrays(ac_codes)
+    # event sort key: (block * 65 + zigzag_pos) * 4 + sub, where DC
+    # sits at pos 0 (sub 0 = symbol, 1 = magnitude bits), each AC
+    # nonzero at its pos k (sub 0 = ZRLs, 1 = symbol, 2 = bits), and
+    # EOB at pos 64.
+    keys: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    lens: list[np.ndarray] = []
+
+    dcv = zq[:, 0]
+    diff = np.diff(dcv, prepend=np.int64(0))
+    s = _bitlen(np.abs(diff))
+    dc_bits = np.where(diff >= 0, diff, diff + (np.int64(1) << s) - 1)
+    bkey = np.arange(nb, dtype=np.int64) * 260
+    keys.append(bkey)
+    vals.append(dc_cv[s])
+    lens.append(dc_cl[s])
+    keys.append(bkey + 1)
+    vals.append(dc_bits)
+    lens.append(s)
+
+    acm = zq[:, 1:]
+    bi, ci = np.nonzero(acm)  # row-major → sorted by (block, pos)
+    lastk = np.zeros(nb, np.int64)
+    if bi.size:
+        k = ci + 1
+        first = np.ones(bi.size, bool)
+        first[1:] = bi[1:] != bi[:-1]
+        prevk = np.empty_like(k)
+        prevk[0] = 0
+        prevk[1:] = np.where(first[1:], 0, k[:-1])
+        run_total = k - prevk - 1
+        nzrl = run_total >> 4
+        run = run_total & 15
+        v = acm[bi, ci]
+        sa = _bitlen(np.abs(v))
+        ac_bits = np.where(v > 0, v, v + (np.int64(1) << sa) - 1)
+        poskey = bi * 260 + k * 4
+        if nzrl.any():
+            zr = np.repeat(poskey, nzrl)
+            zrl_code, zrl_len = ac_codes[0xF0]
+            keys.append(zr)
+            vals.append(np.full(zr.size, zrl_code, np.int64))
+            lens.append(np.full(zr.size, zrl_len, np.int64))
+        sym = (run << 4) | sa
+        keys.append(poskey + 1)
+        vals.append(ac_cv[sym])
+        lens.append(ac_cl[sym])
+        keys.append(poskey + 2)
+        vals.append(ac_bits)
+        lens.append(sa)
+        lastk[bi] = k  # row-major order → last nonzero pos per block
+    eb = np.nonzero(lastk < 63)[0]
+    if eb.size:
+        eob_code, eob_len = ac_codes[0x00]
+        keys.append(eb * 260 + 64 * 4)
+        vals.append(np.full(eb.size, eob_code, np.int64))
+        lens.append(np.full(eb.size, eob_len, np.int64))
+
+    key = np.concatenate(keys)
+    order = np.argsort(key, kind="stable")
+    val = np.concatenate(vals)[order]
+    ln = np.concatenate(lens)[order]
+    if (ln < 0).any():
+        raise KeyError("symbol outside the Huffman table")
+    return _pack_puts(val, ln)
 
 
 def _encode_block(bw, zq_row, nonzero_ac, prev_dc, dc_codes, ac_codes) -> int:
@@ -230,16 +365,21 @@ def encode_jpeg_gray(
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
 
-    zq_all, nonzero_ac = _quantize_plane(img, q)
+    zq_all = _dct_quantize(img, q)
 
-    bw = _BitWriter()
-    prev_dc = 0
-    for n in range(zq_all.shape[0]):
-        if restart_interval and n and n % restart_interval == 0:
-            bw.raw_marker(0xD0 + (n // restart_interval - 1) % 8)
-            prev_dc = 0
-        prev_dc = _encode_block(
-            bw, zq_all[n], nonzero_ac[n], prev_dc, dc_codes, ac_codes
+    # r18 (guide §4.2): the per-block Python entropy loop was ~2 ms/KB
+    # of payload — the whole scan (or, with restarts, each segment:
+    # the DC predictor resets and the stream re-aligns to a byte
+    # boundary at every marker, so segments entropy-code
+    # independently) is now one vectorized put-sequence build.
+    nb = zq_all.shape[0]
+    entropy = bytearray()
+    seg = restart_interval if restart_interval else nb
+    for n0 in range(0, nb, seg):
+        if n0:
+            entropy += bytes([0xFF, 0xD0 + (n0 // restart_interval - 1) % 8])
+        entropy += _encode_blocks_entropy(
+            zq_all[n0 : n0 + seg], dc_codes, ac_codes
         )
 
     qz = q.reshape(-1)[_ZIGZAG]
@@ -257,7 +397,7 @@ def encode_jpeg_gray(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
-    out += bw.flush()
+    out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -282,6 +422,24 @@ def _build_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray
         ln[lo:hi] = length
     _LUT_CACHE[key] = (sym, ln)
     return sym, ln
+
+
+# Same tables as plain Python lists: the symbol walks index them with
+# Python ints, and list indexing returns unboxed ints ~5× faster than
+# numpy scalar extraction (r18, guide §4.2). Cached like _LUT_CACHE.
+_LUT_LIST_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
+def _build_lut_lists(
+    bits: list[int], vals: list[int]
+) -> tuple[list[int], list[int]]:
+    key = bytes(bits) + bytes(vals)
+    cached = _LUT_LIST_CACHE.get(key)
+    if cached is None:
+        sym, ln = _build_lut(bits, vals)
+        cached = (sym.tolist(), ln.tolist())
+        _LUT_LIST_CACHE[key] = cached
+    return cached
 
 
 def _extend(bits: int, s: int) -> int:
@@ -395,8 +553,8 @@ def _decode_scan(
                 quant[qt_id if qt_id in quant else min(quant)].astype(
                     np.float64
                 ),
-                *_build_lut(*huff[(0, dc_tid)]),
-                *_build_lut(*huff[(1, ac_tid)]),
+                *_build_lut_lists(*huff[(0, dc_tid)]),
+                *_build_lut_lists(*huff[(1, ac_tid)]),
             )
         )
 
@@ -426,10 +584,15 @@ def _decode_scan(
 
     powers = (1 << np.arange(15, -1, -1)).astype(np.int64)
 
-    def _windows(a: int, b: int) -> np.ndarray:
+    def _windows(a: int, b: int) -> list[int]:
         clean = arr[a:b][keep[a:b]]
         bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
-        return np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
+        # handed out as a Python list: the symbol walk below reads it
+        # with Python-int positions, and list indexing skips the numpy
+        # scalar boxing that dominated the walk (r18, guide §4.2)
+        return (
+            np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
+        ).tolist()
 
     ncomp = len(comps)
     hmax = max(c[3] for c in comps)
@@ -463,21 +626,21 @@ def _decode_scan(
                     if p >= limit:
                         raise ValueError("entropy data exhausted")
                     code = v16[p]
-                    s = int(dc_sym[code])
+                    s = dc_sym[code]
                     if s < 0:
                         raise ValueError("invalid Huffman code")
-                    p += int(dc_len[code])
+                    p += dc_len[code]
                     if s:
-                        prev_dc[c] += _extend(int(v16[p]) >> (16 - s), s)
+                        prev_dc[c] += _extend(v16[p] >> (16 - s), s)
                         p += s
                     zq[c][n, 0] = prev_dc[c]
                     k = 1
                     while k < 64:
                         code = v16[p]
-                        rs = int(ac_sym[code])
+                        rs = ac_sym[code]
                         if rs < 0:
                             raise ValueError("invalid Huffman code")
-                        p += int(ac_len[code])
+                        p += ac_len[code]
                         if rs == 0x00:  # EOB
                             break
                         if rs == 0xF0:  # ZRL
@@ -487,7 +650,7 @@ def _decode_scan(
                         s = rs & 0x0F
                         if k > 63:
                             raise ValueError("AC run past end of block")
-                        zq[c][n, k] = _extend(int(v16[p]) >> (16 - s), s)
+                        zq[c][n, k] = _extend(v16[p] >> (16 - s), s)
                         p += s
                         k += 1
 
@@ -795,7 +958,7 @@ def encode_jpeg_progressive_gray(
         if ah and ah != al + 1:
             raise ValueError("successive approximation must step by 1")
     q = np.ones((8, 8), dtype=np.int64) if quant is None else quant
-    zq_all, _ = _quantize_plane(img, q)
+    zq_all = _dct_quantize(img, q)
     nb = zq_all.shape[0]
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
@@ -834,24 +997,24 @@ def encode_jpeg_progressive_gray(
 
 
 def _enc_dc_first(zq_all, al: int, dc_codes) -> bytes:
-    bw = _BitWriter()
-    prev = 0
-    for n in range(zq_all.shape[0]):
-        v = int(zq_all[n, 0]) >> al  # arithmetic point transform (G.1.2.1)
-        s, bits = _magnitude(v - prev)
-        code, ln = dc_codes[s]
-        bw.put(code, ln)
-        if s:
-            bw.put(bits, s)
-        prev = v
-    return bw.flush()
+    # arithmetic point transform (G.1.2.1), DC-difference coded — the
+    # whole scan as one vectorized put sequence (r18, guide §4.2).
+    v = zq_all[:, 0] >> al
+    diff = np.diff(v, prepend=np.int64(0))
+    s = _bitlen(np.abs(diff))
+    bits = np.where(diff >= 0, diff, diff + (np.int64(1) << s) - 1)
+    cv, cl = _code_arrays(dc_codes)
+    vals = np.column_stack([cv[s], bits]).ravel()
+    lens = np.column_stack([cl[s], s]).ravel()
+    if (lens < 0).any():
+        raise KeyError("symbol outside the Huffman table")
+    return _pack_puts(vals, lens)
 
 
 def _enc_dc_refine(zq_all, al: int) -> bytes:
-    bw = _BitWriter()
-    for n in range(zq_all.shape[0]):
-        bw.put((int(zq_all[n, 0]) >> al) & 1, 1)
-    return bw.flush()
+    return _pack_puts(
+        (zq_all[:, 0] >> al) & 1, np.ones(zq_all.shape[0], np.int64)
+    )
 
 
 def _enc_ac_first(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
@@ -870,19 +1033,21 @@ def _enc_ac_first(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
                 bw.put(take - (1 << n), n)
             eobrun -= take
 
-    # Vectorized point transform over the whole band: blocks whose band
-    # is entirely zero (the common case — and ALL blocks of the
-    # constant-tile payload profile) take the eobrun fast path without
-    # any per-coefficient Python work.
+    # Vectorized point transform over the whole band; the Python walk
+    # visits ONLY blocks whose band has a nonzero (r18, guide §4.2 —
+    # the per-block loop previously touched every all-EOB block, i.e.
+    # every block of the constant-tile payload profile). Accumulating
+    # a whole zero gap into eobrun at once is byte-identical to the
+    # one-at-a-time cap flush: the flush loop emits min(eobrun, 32767)
+    # per symbol, so a run that crossed the 0x7FFF cap produces the
+    # same 32767-sized chunks either way.
     band = zq_all[:, ss : se + 1]
     pt = np.sign(band) * (np.abs(band) >> al)
     nz_rows = pt.any(axis=1)
-    for b in range(zq_all.shape[0]):
-        if not nz_rows[b]:
-            eobrun += 1
-            if eobrun == 0x7FFF:
-                flush_eob()
-            continue
+    nzb = np.nonzero(nz_rows)[0]
+    prev_end = 0  # block index after the previous nonzero-band block
+    for b in nzb:
+        eobrun += int(b) - prev_end
         vals = pt[b]
         nz = np.nonzero(vals)[0]
         flush_eob()
@@ -901,8 +1066,8 @@ def _enc_ac_first(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
             last = int(i)
         if last < se - ss:  # trailing zeros → EOB joins the run
             eobrun += 1
-            if eobrun == 0x7FFF:
-                flush_eob()
+        prev_end = int(b) + 1
+    eobrun += zq_all.shape[0] - prev_end
     flush_eob()
     return bw.flush()
 
@@ -936,31 +1101,40 @@ def _enc_ac_refine(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
     # Vectorized decoder-state model over the whole band: ``hist`` is
     # what the decoder holds before this scan (point transform at
     # Al+1), ``now`` the target at Al; newly-significant = zero history
-    # with a nonzero target. All-EOB blocks (every block of the
-    # constant-tile payload profile) skip per-coefficient Python work.
+    # with a nonzero target. The Python walk visits ONLY blocks with a
+    # newly-significant coefficient (r18, guide §4.2); whole gaps of
+    # all-EOB blocks are absorbed at once — correction bits gathered
+    # by one row-major mask per gap, split at 0x7FFF cap boundaries so
+    # each cap flush sees exactly the bits the per-block loop had
+    # buffered at that point.
     bandv = zq_all[:, ss : se + 1]
     absb = np.abs(bandv)
     sgn = np.sign(bandv)
     hist_m = sgn * (absb >> (al + 1))
     now_m = sgn * (absb >> al)
+    corr_m = np.abs(now_m) & 1
+    hist_nz = hist_m != 0
     newly_m = (hist_m == 0) & (now_m != 0)
     newly_any = newly_m.any(axis=1)
-    hist_nz_any = hist_m.any(axis=1)
-    for b in range(zq_all.shape[0]):
-        hist = hist_m[b]
-        now = now_m[b]
-        if not newly_any[b]:
-            # whole band is EOB for this block; nonzero-history
-            # coefficients still get correction bits, buffered onto the
-            # pending EOB run.
-            eobrun += 1
-            if hist_nz_any[b]:
-                eob_bits.extend(
-                    (np.abs(now[np.nonzero(hist)[0]]) & 1).tolist()
-                )
+    nzb = np.nonzero(newly_any)[0]
+
+    def absorb_gap(lo: int, hi: int) -> None:
+        nonlocal eobrun
+        while lo < hi:
+            take = min(hi - lo, 0x7FFF - eobrun)
+            chunk = slice(lo, lo + take)
+            eob_bits.extend(corr_m[chunk][hist_nz[chunk]].tolist())
+            eobrun += take
+            lo += take
             if eobrun == 0x7FFF:
                 flush_eob()
-            continue
+
+    prev_end = 0
+    for b in nzb:
+        absorb_gap(prev_end, int(b))
+        prev_end = int(b) + 1
+        hist = hist_m[b]
+        now = now_m[b]
         newly = np.nonzero(newly_m[b])[0]
         flush_eob()
         pend: list[int] = []
@@ -1001,6 +1175,7 @@ def _enc_ac_refine(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
                     eob_bits.append(abs(now[j]) & 1)
             if eobrun == 0x7FFF:
                 flush_eob()
+    absorb_gap(prev_end, zq_all.shape[0])
     flush_eob()
     return bw.flush()
 
@@ -1009,7 +1184,7 @@ class _ScanBits:
     """Bit reader over one scan's unstuffed entropy bytes, using the
     same 16-bit-window formulation as the baseline decoder."""
 
-    __slots__ = ("v16", "p")
+    __slots__ = ("v16", "v16l", "p")
 
     def __init__(self, payload: bytes, start: int, end: int) -> None:
         arr = np.frombuffer(payload, np.uint8, end - start, start)
@@ -1022,25 +1197,29 @@ class _ScanBits:
         bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
         powers = (1 << np.arange(15, -1, -1)).astype(np.int64)
         self.v16 = np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
+        # list twin for the scalar walk: Python-int indexing skips
+        # numpy scalar boxing (r18, guide §4.2); the array form stays
+        # for the vectorized DC-refinement slice.
+        self.v16l = self.v16.tolist()
         self.p = 0
 
-    def huff(self, sym: np.ndarray, ln: np.ndarray) -> int:
-        code = self.v16[self.p]
-        s = int(sym[code])
+    def huff(self, sym: list[int], ln: list[int]) -> int:
+        code = self.v16l[self.p]
+        s = sym[code]
         if s < 0:
             raise ValueError("invalid Huffman code")
-        self.p += int(ln[code])
+        self.p += ln[code]
         return s
 
     def receive(self, n: int) -> int:
         if n == 0:
             return 0
-        v = int(self.v16[self.p]) >> (16 - n)
+        v = self.v16l[self.p] >> (16 - n)
         self.p += n
         return v
 
     def bit(self) -> int:
-        v = int(self.v16[self.p]) >> 15
+        v = self.v16l[self.p] >> 15
         self.p += 1
         return v
 
@@ -1132,7 +1311,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
             br = _ScanBits(payload, data_start, end)
             eobrun = 0
             if ss == 0 and se == 0:
-                dc_sym, dc_ln = _build_lut(*huff[(0, tids >> 4)])
+                dc_sym, dc_ln = _build_lut_lists(*huff[(0, tids >> 4)])
                 if ah == 0:
                     pred = 0
                     for n in range(coef.shape[0]):
@@ -1153,7 +1332,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                     coef[:, 0] |= bits << al
                     br.p += nb_blocks
             else:
-                ac_sym, ac_ln = _build_lut(*huff[(1, tids & 0x0F)])
+                ac_sym, ac_ln = _build_lut_lists(*huff[(1, tids & 0x0F)])
                 if ah == 0:
                     eobrun = _dec_ac_first(
                         br, coef, ss, se, al, ac_sym, ac_ln, eobrun

@@ -467,21 +467,42 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             rec = row
         elif f == 2:
             rec = (row + prev) % 256
-        else:  # sequential: left-dependent filters
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                elif f == 4:
-                    pred = int(_paeth_vec(np.int32(a), np.int32(b), np.int32(c)))
-                else:
-                    raise ValueError(f"unknown filter type {f}")
-                rec[x] = (row[x] + pred) % 256
+        elif f == 1:
+            # Sub: rec[x] = row[x] + rec[x−bpp] — a per-lane prefix
+            # sum mod 256 (r18: was a per-byte Python walk).
+            rec = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) % 256
+        elif f in (3, 4):
+            # Average/Paeth reconstruct sequentially byte by byte
+            # (each byte feeds the next prediction; the floor-div and
+            # the predictor choice defeat prefix tricks). Plain Python
+            # ints run this walk ~10× faster than numpy scalar
+            # indexing plus a _paeth_vec call per byte (r18, §4.2).
+            rowl = raw[y * (stride + 1) + 1 : y * (stride + 1) + 1 + stride]
+            prevl = prev.tolist()
+            recl = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = recl[x - bpp] if x >= bpp else 0
+                    recl[x] = (rowl[x] + (a + prevl[x]) // 2) & 255
+            else:
+                for x in range(stride):
+                    a = recl[x - bpp] if x >= bpp else 0
+                    b = prevl[x]
+                    c = prevl[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    recl[x] = (rowl[x] + pred) & 255
+            rec = np.asarray(recl, np.int32)
+        else:
+            raise ValueError(f"unknown filter type {f}")
         img[y] = rec
         prev = rec.astype(np.int32)
     pixels = img.reshape(h, w, bpp)
