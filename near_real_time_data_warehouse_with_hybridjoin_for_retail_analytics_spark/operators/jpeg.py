@@ -98,8 +98,19 @@ _BASIS = np.array(
 )
 
 
+# Canonical-code dicts are pure functions of the (bits, vals) spec and
+# every caller treats them as read-only, so one dict per spec serves the
+# whole worker — the MJPEG/decode-stats paths otherwise rebuilt the same
+# two standard tables for every 32-block frame (r19, guide §4.5).
+_CANON_CACHE: dict[bytes, dict[int, tuple[int, int]]] = {}
+
+
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) via the canonical algorithm of T.81 §C."""
+    key = bytes(bits) + bytes(vals)
+    cached = _CANON_CACHE.get(key)
+    if cached is not None:
+        return cached
     codes: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -108,6 +119,7 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
+    _CANON_CACHE[key] = codes
     return codes
 
 
@@ -224,16 +236,28 @@ def _pack_puts(values: np.ndarray, lengths: np.ndarray) -> bytes:
     return arr.tobytes()
 
 
+# Dense-array form of a canonical-code dict, cached per dict object.
+# Keyed by id() with the dict itself held in the value: _CANON_CACHE
+# keeps one immutable dict per spec alive forever, so the id can never
+# be reused while the entry exists, and an ad-hoc (non-cached) dict
+# still hits the `is` guard before being trusted.
+_CODE_ARRAYS_CACHE: dict[int, tuple[dict, np.ndarray, np.ndarray]] = {}
+
+
 def _code_arrays(codes: dict[int, tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
     """Dense (code, length) lookup arrays for a canonical-code dict;
     absent symbols carry length −1 so an out-of-table symbol fails as
     loudly as the dict KeyError it replaces."""
+    hit = _CODE_ARRAYS_CACHE.get(id(codes))
+    if hit is not None and hit[0] is codes:
+        return hit[1], hit[2]
     n = max(codes) + 1
     cv = np.zeros(n, np.int64)
     cl = np.full(n, -1, np.int64)
     for sym, (c, ln) in codes.items():
         cv[sym] = c
         cl[sym] = ln
+    _CODE_ARRAYS_CACHE[id(codes)] = (codes, cv, cl)
     return cv, cl
 
 
@@ -344,6 +368,10 @@ def _encode_block(bw, zq_row, nonzero_ac, prev_dc, dc_codes, ac_codes) -> int:
     return int(zq_row[0])
 
 
+# Grayscale marker-stream prefixes, one per (quant, dims, DRI) spec.
+_GRAY_HDR_CACHE: dict[tuple, bytes] = {}
+
+
 def encode_jpeg_gray(
     img: np.ndarray,
     quant: np.ndarray | None = None,
@@ -382,24 +410,34 @@ def encode_jpeg_gray(
             zq_all[n0 : n0 + seg], dc_codes, ac_codes
         )
 
-    qz = q.reshape(-1)[_ZIGZAG]
-    out = bytearray()
-    out += b"\xff\xd8"  # SOI
-    out += (
-        b"\xff\xe0"
-        + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    )
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in qz)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
-    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
-    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
-    out += entropy
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    # The marker stream before the entropy data is a pure function of
+    # (quant table, dims, restart interval) — identical for every frame
+    # of an MJPEG stream and every same-shaped payload image, so build
+    # it once per spec instead of per frame (r19, guide §4.5).
+    hkey = (q.tobytes(), h, w, restart_interval)
+    head = _GRAY_HDR_CACHE.get(hkey)
+    if head is None:
+        qz = q.reshape(-1)[_ZIGZAG]
+        hdr = bytearray()
+        hdr += b"\xff\xd8"  # SOI
+        hdr += (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
+        hdr += (
+            b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            + bytes(int(v) for v in qz)
+        )
+        hdr += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        hdr += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+        hdr += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+        if restart_interval:
+            hdr += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        hdr += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+        head = bytes(hdr)
+        _GRAY_HDR_CACHE[hkey] = head
+    return head + bytes(entropy) + b"\xff\xd9"
 
 
 # 16-bit prefix lookup tables per Huffman table (sym, length), cached
@@ -447,6 +485,42 @@ def _extend(bits: int, s: int) -> int:
     if s == 0:
         return 0
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+class _WinReader:
+    """On-demand 16-bit-window reads over an unstuffed entropy segment.
+
+    Drop-in for the precomputed window list of ``_decode_scan`` (same
+    ``[p]`` / ``len()`` surface, same zero-padding semantics): window p
+    is bits p..p+15 of the segment, zero-filled past the end. For the
+    tiny per-frame scans of the MJPEG/decode-stats paths the symbol
+    walk touches only ~1 window per 5 bit positions, so computing
+    windows at read time beats materializing all of them through
+    numpy's unpack/stride/matmul pipeline — that fixed cost dominated
+    sub-512-byte segments (r19, guide §4.2)."""
+
+    __slots__ = ("b", "n")
+
+    def __init__(self, clean: bytes) -> None:
+        self.b = clean + b"\x00\x00\x00\x00\x00"
+        # match len(sliding_window_view(unpackbits(clean)+32 zeros, 16))
+        self.n = 8 * len(clean) + 17
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, p: int) -> int:
+        b = self.b
+        q = p >> 3
+        return (
+            ((b[q] << 16) | (b[q + 1] << 8) | b[q + 2]) >> (8 - (p & 7))
+        ) & 0xFFFF
+
+
+# Segments at or below this many stuffed bytes take the on-demand
+# reader; larger scans keep the vectorized precompute (which amortizes
+# its fixed cost and is faster per read).
+_SMALL_SCAN_BYTES = 512
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -584,7 +658,15 @@ def _decode_scan(
 
     powers = (1 << np.arange(15, -1, -1)).astype(np.int64)
 
-    def _windows(a: int, b: int) -> list[int]:
+    def _windows(a: int, b: int):
+        if b - a <= _SMALL_SCAN_BYTES:
+            # Unstuffing by byte-replace is exactly the keep-mask drop:
+            # inside a segment every 0xFF is a stuffed one (a non-stuff
+            # 0xFF is a marker and already became a segment boundary or
+            # the scan end above).
+            return _WinReader(
+                payload[pos + a : pos + b].replace(b"\xff\x00", b"\xff")
+            )
         clean = arr[a:b][keep[a:b]]
         bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
         # handed out as a Python list: the symbol walk below reads it
@@ -1181,47 +1263,64 @@ def _enc_ac_refine(zq_all, ss: int, se: int, al: int, ac_codes) -> bytes:
 
 
 class _ScanBits:
-    """Bit reader over one scan's unstuffed entropy bytes, using the
-    same 16-bit-window formulation as the baseline decoder."""
+    """Bit reader over one scan's unstuffed entropy bytes, computing
+    each 16-bit window at read time from the byte buffer. The symbol
+    walk touches roughly one window per five bit positions, so on-
+    demand reads beat materializing every window through the numpy
+    unpack/stride/matmul pipeline — the old precompute was ~20% of the
+    progressive leg (r19, guide §4.2). Windows are zero-filled past the
+    scan end exactly like the old padded window list (same readable
+    length ``n``)."""
 
-    __slots__ = ("v16", "v16l", "p")
+    __slots__ = ("b", "n", "p")
 
     def __init__(self, payload: bytes, start: int, end: int) -> None:
-        arr = np.frombuffer(payload, np.uint8, end - start, start)
-        keep = np.ones(len(arr), dtype=bool)
-        ff = np.flatnonzero(arr == 0xFF)
-        for i in ff:
-            if i + 1 < len(arr) and arr[i + 1] == 0x00:
-                keep[i + 1] = False
-        clean = arr[keep]
-        bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
-        powers = (1 << np.arange(15, -1, -1)).astype(np.int64)
-        self.v16 = np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
-        # list twin for the scalar walk: Python-int indexing skips
-        # numpy scalar boxing (r18, guide §4.2); the array form stays
-        # for the vectorized DC-refinement slice.
-        self.v16l = self.v16.tolist()
+        # byte-replace unstuffing == the keep-mask drop: inside scan
+        # data every 0xFF is stuffed (a bare 0xFF is a marker, and
+        # ``end`` already stops before the first one)
+        clean = bytes(payload[start:end]).replace(b"\xff\x00", b"\xff")
+        self.b = clean + b"\x00\x00\x00\x00\x00"
+        self.n = 8 * len(clean) + 17
         self.p = 0
 
     def huff(self, sym: list[int], ln: list[int]) -> int:
-        code = self.v16l[self.p]
+        b, p = self.b, self.p
+        q = p >> 3
+        code = (
+            ((b[q] << 16) | (b[q + 1] << 8) | b[q + 2]) >> (8 - (p & 7))
+        ) & 0xFFFF
         s = sym[code]
         if s < 0:
             raise ValueError("invalid Huffman code")
-        self.p += ln[code]
+        self.p = p + ln[code]
         return s
 
     def receive(self, n: int) -> int:
         if n == 0:
             return 0
-        v = self.v16l[self.p] >> (16 - n)
-        self.p += n
-        return v
+        b, p = self.b, self.p
+        q = p >> 3
+        window = (
+            ((b[q] << 16) | (b[q + 1] << 8) | b[q + 2]) >> (8 - (p & 7))
+        ) & 0xFFFF
+        self.p = p + n
+        return window >> (16 - n)
 
     def bit(self) -> int:
-        v = self.v16l[self.p] >> 15
-        self.p += 1
-        return v
+        p = self.p
+        self.p = p + 1
+        return (self.b[p >> 3] >> (7 - (p & 7))) & 1
+
+    def take_bits(self, count: int) -> np.ndarray:
+        """The next ``count`` single bits as an int64 vector (the DC-
+        refinement bulk read). Truncates at the readable length exactly
+        like slicing the old precomputed window list did."""
+        p = self.p
+        m = max(0, min(count, self.n - p))
+        a = np.frombuffer(self.b, np.uint8, (p + m + 7) >> 3)
+        bits = np.unpackbits(a)[p : p + m].astype(np.int64)
+        self.p = p + m if m < count else p + count
+        return bits
 
 
 def _scan_end(payload: bytes, pos: int) -> int:
@@ -1322,15 +1421,11 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 else:
                     # DC refinement reads exactly one bit per block, in
                     # block order — read them all in one vectorized
-                    # slice of the bit window instead of nb Python
-                    # round-trips through br.bit() (r18; identical
-                    # bits, v16 is zero-padded past the scan end).
-                    nb_blocks = coef.shape[0]
-                    bits = (
-                        br.v16[br.p : br.p + nb_blocks] >> 15
-                    ).astype(np.int64)
-                    coef[:, 0] |= bits << al
-                    br.p += nb_blocks
+                    # bulk read instead of nb Python round-trips
+                    # through br.bit() (r18; identical bits, zero-
+                    # padded past the scan end like the old window
+                    # list).
+                    coef[:, 0] |= br.take_bits(coef.shape[0]) << al
             else:
                 ac_sym, ac_ln = _build_lut_lists(*huff[(1, tids & 0x0F)])
                 if ah == 0:
