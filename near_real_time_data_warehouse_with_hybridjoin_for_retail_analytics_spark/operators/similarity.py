@@ -3071,7 +3071,16 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = quantized_embeddings(spark, sf_dir)
     cents = coarse_quantizer(spark, sf_dir, qe, ncl)
     home = F.element_at(_probe_udf(cents, 1)(F.col("q")), 1)
-    assign = qe.select("vec_id", home.alias("cluster"))
+    # r19 (guide §2.4 / §5): the assignment feeds BOTH the flagged-list
+    # aggregate below and the rewrite's live-row filter — un-pinned,
+    # the corpus-wide probe UDF executed twice (the r18 work log's
+    # known deferral; ann_index_append's probe pass carries the same
+    # pin). The checkpoint holds 16-byte metadata rows, exactly the
+    # assignment table a production index stores, so one probe pass
+    # serves both consumers at any corpus size.
+    assign = qe.select("vec_id", home.alias("cluster")).localCheckpoint(
+        eager=True
+    )
     dead = (F.col("vec_id") % TOMBSTONE_MOD == 0).cast("long")
     flagged = (
         assign.groupBy("cluster")

@@ -76,6 +76,17 @@ FULLGATE_ONLY: set[str] = {
     # contract plus the physical one-file-per-bucket clause. The exact
     # planner/apply precedent of the compaction pair.
     "layout_zorder_events",
+    # --- round-19 optimization-phase demotion (one window slot for
+    # ann_index_compact, whose callable this round's probe-pass pin
+    # edited — it is hash-forced into the next window for
+    # re-verification and the budget must stay ≤ 50). Policy holds:
+    # hash stable since r15, a driver-rotated sibling on the same
+    # kernel, own pytest + FULLGATE row kept. ---
+    # per-tombstone assignment view: ann_index_delete (driver-rotated)
+    # aggregates the SAME probe + modulo kernel per cluster, and the
+    # streaming tombstone gate's stream/batch-equivalence pytest
+    # replays this table row-for-row every round.
+    "ann_delete_assignments",
     # raw PCA projection table: embedding_pca_topk (driver-rotated) and
     # ann_topk_pca consume the same session-cached PCA basis and their
     # oracles embed the full projection chain — a basis or projection
