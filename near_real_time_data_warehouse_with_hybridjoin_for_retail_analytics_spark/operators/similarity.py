@@ -3600,12 +3600,6 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered round 17; see the block comment for the 100 TB shape."""
     # r18 optimizations (guide §2.4, remove repeated work; §2.3, don't
     # compute what you throw away):
-    #  - the truth table is consumed by every family leg — un-pinned,
-    #    Catalyst re-executed the K×corpus truth matmul subtree once
-    #    per leg (4×). Its result is bounded (RECALL_QUERIES×TOP_K
-    #    rows), so one eager localCheckpoint turns the recomputation
-    #    into a read of a few hundred cached rows, executed inside the
-    #    entry per the no-cross-run-caching rule.
     #  - the query SET is collected once (RECALL_QUERIES bounded rows —
     #    the coarse-quantizer collect precedent): one corpus
     #    TakeOrdered job yields the ids, embeddings and grid vectors
@@ -3637,36 +3631,49 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="vec_id long, embedding array<double>",
     )
-    truth = _sampled_bruteforce_truth(
-        spark, sf_dir, query_rows=queries_local
-    ).localCheckpoint(eager=True)
-    parts = []
+    # r19 (guide §2.6 overlap / §2.4): the r18 form pinned the truth
+    # table with an eager localCheckpoint because the four per-family
+    # union branches each re-executed its subtree — but the checkpoint
+    # job SERIALIZED the whole K×corpus truth pass in front of the four
+    # family legs (~1.6 s of the entry at sf0.1). Joining every family's
+    # broadcast hit set onto ONE truth relation references truth exactly
+    # once, so the checkpoint goes away and the truth stages run
+    # CONCURRENTLY with the four leg subtrees inside a single job (AQE
+    # submits independent ready stages together). Row-for-row identical:
+    # each approx side is unique on (vec_id, neighbor_id) — per-query
+    # top-k with distinct neighbors — so the chained left joins add hit
+    # flags without multiplying rows; n_truth = COUNT(*) and each
+    # family's n_hit = COUNT(its flag) are exactly the old per-branch
+    # aggregates, and stack() re-emits the same four rows. Broadcast
+    # hints kept (the r17 audit showed Catalyst picking SortMergeJoin
+    # here without them).
+    truth = _sampled_bruteforce_truth(spark, sf_dir, query_rows=queries_local)
+    joined = truth
     for name, fn in _FAMILY_TOPK_FOR_QUERIES.items():
         approx = (
             fn(spark, sf_dir, ids, qmat)
             .select("vec_id", "neighbor_id")
-            .withColumn("_hit", F.lit(1))
+            .withColumn(f"_hit_{name}", F.lit(1))
         )
-        # both sides are bounded by RECALL_QUERIES×TOP_K rows; broadcast
-        # the approx side so the recall join never shuffles (the audit
-        # showed Catalyst picking SortMergeJoin here without the hint)
-        joined = truth.join(
+        joined = joined.join(
             F.broadcast(approx), ["vec_id", "neighbor_id"], "left"
         )
-        parts.append(
-            joined.agg(
-                F.count(F.lit(1)).cast("long").alias("n_truth"),
-                F.count("_hit").cast("long").alias("n_hit"),
-            )
-            .withColumn("family", F.lit(name))
-            .selectExpr(
-                "family",
-                "n_truth",
-                "n_hit",
-                "CAST(1000000 * n_hit DIV n_truth AS BIGINT) AS recall_ppm",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    hits = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        *[
+            F.count(f"_hit_{n}").cast("long").alias(f"n_hit_{n}")
+            for n in _FAMILY_TOPK_FOR_QUERIES
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{n}', n_truth, n_hit_{n}" for n in _FAMILY_TOPK_FOR_QUERIES
+    )
+    return hits.selectExpr(
+        f"stack({len(_FAMILY_TOPK_FOR_QUERIES)}, {stack_args})"
+        " AS (family, n_truth, n_hit)"
+    ).selectExpr(
+        "family",
+        "n_truth",
+        "n_hit",
+        "CAST(1000000 * n_hit DIV n_truth AS BIGINT) AS recall_ppm",
+    )

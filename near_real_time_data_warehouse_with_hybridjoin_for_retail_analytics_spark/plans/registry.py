@@ -87,6 +87,14 @@ FULLGATE_ONLY: set[str] = {
     # streaming tombstone gate's stream/batch-equivalence pytest
     # replays this table row-for-row every round.
     "ann_delete_assignments",
+    # compaction PLANNER: layout_compaction_apply (driver-rotated,
+    # r18 row) executes the SAME bin-packing plan and its oracle embeds
+    # the planner's bin contract plus the physical one-file-per-bin
+    # clause — the exact planner/apply precedent that demoted
+    # layout_zorder_events in r18. Source unchanged since its creation
+    # commit. Second slot for this round's recall-report single-job
+    # restructure.
+    "layout_compaction_plan",
     # raw PCA projection table: embedding_pca_topk (driver-rotated) and
     # ann_topk_pca consume the same session-cached PCA basis and their
     # oracles embed the full projection chain — a basis or projection
